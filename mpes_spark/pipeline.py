@@ -124,19 +124,72 @@ class EventPipeline:
 
     # -- diagnostics (viewEventHistogram / count rate, SURVEY §2.3) -------
 
+    def _ts_is_long(self, ts: str) -> bool:
+        """True when ``ts`` carries epoch-nanos longs — the type every
+        engine load path produces for TIMESTAMP(NANOS) parquet under
+        ``spark.sql.legacy.parquet.nanosAsLong`` (see session.py)."""
+        dt = dict(self.df.dtypes).get(ts)
+        return dt in ("bigint", "int", "smallint", "tinyint")
+
     def count_rate(self, ts: str = "ts", unit: str = "1 second") -> DataFrame:
         """Events/interval trace (``getCountRate``,
         /root/reference/mpes/fprocessing.py:1086-1108): event-time
-        tumbling-window counts."""
+        tumbling-window counts. Works on both TIMESTAMP columns
+        (``F.window``) and the epoch-nanos longs the engine's own
+        readers produce (floor-division tumbling windows); output
+        ``win_start`` is epoch-nanos in both cases so downstream code
+        sees one schema."""
+        if self._ts_is_long(ts):
+            width_ns = _interval_ns(unit)
+            win = (F.floor(F.col(ts) / F.lit(width_ns)) * F.lit(width_ns)).cast(
+                "bigint"
+            )
+            return (
+                self.df.groupBy(win.alias("win_start"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         return (
             self.df.groupBy(F.window(F.col(ts), unit).alias("w"))
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.col("w.start").alias("win_start"), "cnt")
+            .select(
+                (F.unix_micros(F.col("w.start")) * F.lit(1000)).alias("win_start"),
+                "cnt",
+            )
         )
 
     def elapsed_time(self, ts: str = "ts") -> DataFrame:
-        """Scan duration (``getElapsedTime``,
-        /root/reference/mpes/fprocessing.py:1110-1119)."""
+        """Scan duration in microseconds (``getElapsedTime``,
+        /root/reference/mpes/fprocessing.py:1110-1119). Integer
+        arithmetic on the nanos path (ns magnitudes exceed 2^53)."""
+        if self._ts_is_long(ts):
+            return self.df.agg(
+                F.expr(f"(max({ts}) div 1000) - (min({ts}) div 1000)").alias(
+                    "elapsed_us"
+                )
+            )
         return self.df.agg(
             (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("elapsed_us")
         )
+
+
+_INTERVAL_UNITS_NS = {
+    "millisecond": 1_000_000,
+    "second": 1_000_000_000,
+    "minute": 60_000_000_000,
+    "hour": 3_600_000_000_000,
+    "day": 86_400_000_000_000,
+}
+
+
+def _interval_ns(unit: str) -> int:
+    """Parse ``'<n> <unit>'`` (the ``F.window`` duration syntax) to
+    nanoseconds for the epoch-long tumbling-window path."""
+    parts = unit.strip().split()
+    if len(parts) == 1:
+        n, name = 1, parts[0]
+    else:
+        n, name = int(parts[0]), parts[1]
+    name = name.rstrip("s")
+    if name not in _INTERVAL_UNITS_NS:
+        raise ValueError(f"unsupported interval unit {unit!r}")
+    return n * _INTERVAL_UNITS_NS[name]

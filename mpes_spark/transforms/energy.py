@@ -54,10 +54,17 @@ def tof2ev_expr(
     """Drift-distance ToF->energy: ``E = m_e/2 * (d / (t*binwidth*2^binning
     - t0))^2 + E0`` (``tof2ev``, ``/root/reference/mpes/base.py:435-458``).
     The square is written as a self-product so Spark and the SQL oracle
-    execute the same multiply (no libm pow)."""
+    execute the same multiply (no libm pow).
+
+    Division is NULL-safe (``try_divide``): a time exactly at ``t0``
+    yields NULL, which the bin-range filter then drops — mirroring the
+    reference's numpy ``inf`` falling out of the histogram range
+    (``/root/reference/mpes/base.py:435-458``). Under Spark 4 ANSI mode
+    a raw ``/`` would instead abort the whole job on the first zero
+    denominator (observed at sf0.1)."""
     x = F.col(t) if isinstance(t, str) else t
     scale = float(binwidth) * float(2**binning)
-    q = F.lit(float(d)) / (x * F.lit(scale) - F.lit(float(t0)))
+    q = F.try_divide(F.lit(float(d)), x * F.lit(scale) - F.lit(float(t0)))
     return F.lit(_ME_HALF) * q * q + F.lit(float(E0))
 
 
@@ -70,5 +77,7 @@ def tof2ev_sql(
     binning: int = 1,
 ) -> str:
     scale = float(binwidth) * float(2**binning)
-    q = f"({_flit(d)} / ({t_sql} * {_flit(scale)} - {_flit(t0)}))"
+    # NULLIF mirrors Spark's try_divide: zero denominator -> NULL row,
+    # dropped by the bin-range filter on both engines.
+    q = f"({_flit(d)} / NULLIF({t_sql} * {_flit(scale)} - {_flit(t0)}, 0.0))"
     return f"({_flit(_ME_HALF)} * {q} * {q} + {_flit(E0)})"
