@@ -1,0 +1,251 @@
+"""Registry entries for the LLM-data-pipeline operators (extras/).
+
+Queries over the ``documents`` and ``embeddings`` tables, each paired
+with a DuckDB oracle where the operator is SQL-expressible; the
+xxhash64-based sketches (MinHash, SimHash) are inherently
+Spark-native and carry rows-only checks — their *verification* stage
+(exact Jaccard) is oracled separately by ``neardup_jaccard``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpes_spark.extras import dedup as DD
+from mpes_spark.extras import multimodal as MM
+from mpes_spark.extras import similarity as SIM
+from mpes_spark.extras import text as TX
+
+
+@dataclass
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+
+
+_REGISTRY: list[Query] = []
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY.append(Query(name, fn, sql))
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    """Spark SQL table expression for a parquet path."""
+    return f"parquet.`{sf_dir}/{name}.parquet`"
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+@_q(
+    "text_stats",
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    f"round(avg({TX.token_count_sql('text')}), 6) AS avg_tokens, "
+    f"round(avg({TX.bpe_token_count_sql('text')}), 6) AS avg_bpe_tokens, "
+    f"CAST(sum({TX.stopword_count_sql('text')}) AS BIGINT) AS stopwords, "
+    f"round(avg({TX.quality_score_sql('text')}), 6) AS avg_quality "
+    "FROM documents GROUP BY source",
+)
+def text_stats(spark, sf_dir):
+    """Per-source corpus statistics — length/stopword/quality columns
+    (SURVEY Phase 6; quality-filter shape per C4/Gopher heuristics).
+    Single scan, column-pruned to (source, text)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg(TX.token_count_expr("text")), 6).alias("avg_tokens"),
+        F.round(F.avg(TX.bpe_token_count_expr("text")), 6).alias("avg_bpe_tokens"),
+        F.sum(TX.stopword_count_expr("text")).cast("bigint").alias("stopwords"),
+        F.round(F.avg(TX.quality_score_expr("text")), 6).alias("avg_quality"),
+    )
+
+
+@_q(
+    "lang_id_heuristic",
+    f"SELECT {TX.lang_id_sql('text')} AS lang_guess, lang AS labeled, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang_guess, labeled",
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Marker-word language ID vs the labeled lang column (confusion
+    counts)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(
+        TX.lang_id_expr("text").alias("lang_guess"), F.col("lang").alias("labeled")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+@_q(
+    "doc_fingerprint",
+    "SELECT source, CAST(count(DISTINCT "
+    f"{TX.fingerprint_sql('text')}) AS BIGINT) AS n_unique, "
+    "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint cardinality per source."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.countDistinct(TX.fingerprint_expr("text")).cast("bigint").alias("n_unique"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+
+def _recrawl(d: DataFrame) -> DataFrame:
+    """Union the corpus with a simulated re-crawl of every 7th doc
+    (new ids, same text) — the standard exact-dup scenario."""
+    dup = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(dup)
+
+
+_RECRAWL_SQL = (
+    "SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 7 = 0"
+)
+
+
+@_q(
+    "exact_dedup_groups",
+    f"SELECT {TX.fingerprint_sql('text')} AS fingerprint, "
+    "CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keep_id "
+    f"FROM ({_RECRAWL_SQL}) u GROUP BY fingerprint HAVING count(*) > 1",
+)
+def exact_dedup_groups(spark, sf_dir):
+    """Exact duplicate groups (md5-fingerprint groupBy) on the
+    re-crawl union — one 16-byte-key shuffle, map-side combined."""
+    return DD.duplicate_groups(_recrawl(_docs(spark, sf_dir)))
+
+
+@_q(
+    "exact_dedup_count",
+    f"SELECT CAST(count(DISTINCT {TX.fingerprint_sql('text')}) AS BIGINT) "
+    f"AS n_after, CAST(count(*) AS BIGINT) AS n_before FROM ({_RECRAWL_SQL}) u",
+)
+def exact_dedup_count(spark, sf_dir):
+    """Row counts before/after keep-first exact dedup."""
+    u = _recrawl(_docs(spark, sf_dir))
+    deduped = DD.exact_dedup(u)
+    return u.agg(F.count(F.lit(1)).cast("bigint").alias("n_before")).crossJoin(
+        deduped.agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    ).select("n_after", "n_before")
+
+
+@_q(
+    "neardup_jaccard",
+    DD.blocked_jaccard_sql("documents", "duckdb", n=3, block_tokens=2, threshold=0.2),
+)
+def neardup_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over prefix-blocked candidate pairs —
+    the oracle-expressible verification core of near-dedup (the
+    SQL template renders for both engines)."""
+    return spark.sql(
+        DD.blocked_jaccard_sql(
+            _pq(sf_dir, "documents"), "spark", n=3, block_tokens=2, threshold=0.2
+        )
+    )
+
+
+@_q("minhash_lsh_pairs", None)  # xxhash64 sketch: rows-only by design
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash (k=32) + banded LSH (8 bands x 4 rows) candidate pairs,
+    exact-Jaccard verified at 0.2 — candidates only ever form inside
+    band buckets (no all-pairs)."""
+    return DD.minhash_neardup_pairs(
+        _docs(spark, sf_dir), n=3, k=32, bands=8, threshold=0.2
+    )
+
+
+@_q("simhash_neardup", None)  # xxhash64 sketch: rows-only by design
+def simhash_neardup(spark, sf_dir):
+    """SimHash(48-bit) near-dup pairs within hamming<=8, banded
+    bucketing (pigeonhole guarantee for d < bands)."""
+    return DD.simhash_neardup_pairs(
+        _docs(spark, sf_dir), nbits=48, bands=4, max_hamming=8
+    )
+
+
+# ===========================================================================
+# similarity search
+# ===========================================================================
+
+_PLANES = SIM.hyperplanes(dim=64, nplanes=8, seed=7)
+
+
+@_q(
+    "topk_cosine",
+    SIM.topk_cosine_sql("embeddings", "vec_id < 8", k=3),
+)
+def topk_cosine(spark, sf_dir):
+    """Brute-force exact top-3 cosine neighbors for 8 query vectors —
+    the ANN baseline; query side broadcast, corpus scanned once."""
+    e = _embs(spark, sf_dir)
+    return SIM.topk_cosine(e, e.filter(F.col("vec_id") < 8), k=3)
+
+
+@_q(
+    "ann_lsh_cosine",
+    SIM.ann_lsh_cosine_sql("embeddings", "vec_id < 8", _PLANES, k=3),
+)
+def ann_lsh_cosine(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN: queries only score their own
+    bucket (8 seeded Gaussian planes -> 256 buckets)."""
+    e = _embs(spark, sf_dir)
+    return SIM.ann_lsh_cosine(e, e.filter(F.col("vec_id") < 8), _PLANES, k=3)
+
+
+@_q(
+    "embed_neardup_lsh",
+    SIM.embedding_neardup_sql("embeddings", _PLANES, threshold=0.4),
+)
+def embed_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets (>= 0.4
+    cosine on this synthetic corpus; production threshold ~0.95)."""
+    return SIM.embedding_neardup_pairs(_embs(spark, sf_dir), _PLANES, threshold=0.4)
+
+
+# ===========================================================================
+# multimodal plumbing
+# ===========================================================================
+
+@_q(
+    "multimodal_meta",
+    "SELECT 'image' AS modality, CAST(count(*) AS BIGINT) AS n_assets, "
+    "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+    "round(avg(length(text) % 640), 6) AS avg_width FROM documents",
+)
+def multimodal_meta(spark, sf_dir):
+    """Metadata-only rollup of the multimodal asset table (payload
+    column untouched — pruned from the scan)."""
+    return MM.modality_stats(MM.assets_from_documents(_docs(spark, sf_dir)))
+
+
+def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {q.name: q.spark for q in _REGISTRY}
+
+
+def extras_oracles() -> dict[str, str]:
+    return {q.name: q.sql for q in _REGISTRY if q.sql is not None}

@@ -1,0 +1,201 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring, token counting,
+and document fingerprinting over a ``documents(text)`` relation. All
+hot-path operators are native ``Column`` expressions (JVM-side,
+whole-stage codegen) — no Python UDFs — so they run at scan speed and
+each has a ``*_sql`` DuckDB twin for the correctness oracle.
+
+Scale notes (100 TB): every operator here is a stateless per-row
+projection — no shuffle, no state, perfectly partition-parallel. The
+only aggregations are the user's own groupBys downstream. regexp
+evaluation is Java-regex inside codegen; for the heaviest corpora the
+token/stopword counters can be fused into a single scan (they all read
+only ``text``, so column pruning keeps IO at one string column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/lexicon language-ID
+# heuristic. Counting hits of high-frequency function words is the
+# classic cheap lang-ID signal (van Noord's textcat n-gram method is
+# the heavier cousin); patterns are shared verbatim with the DuckDB
+# oracle (both Java regex and RE2 support \b word boundaries).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|a|of|and|to|in|is|that|it|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|den|mit)\b",
+    "es": r"\b(el|la|de|que|y|en|un|ser|se|no)\b",
+    "fr": r"\b(le|la|de|et|un|être|que|pour|dans|ce)\b",
+}
+
+_STOPWORDS = r"\b(the|a|of|and|to|in|is|that|it|for|on|as|with|by)\b"
+
+
+# ---------------------------------------------------------------------------
+# column factories + SQL twins
+# ---------------------------------------------------------------------------
+
+def token_count_expr(text: str | Column = "text") -> Column:
+    """Whitespace token count (size of the split array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, " ")).cast("bigint")
+
+
+def token_count_sql(text: str = "text") -> str:
+    return f"CAST(len(string_split({text}, ' ')) AS BIGINT)"
+
+
+def bpe_token_count_expr(text: str | Column = "text") -> Column:
+    """BPE-ish subword-unit count: runs of letters, runs of digits, or
+    single non-space symbols — the standard pre-tokenizer regex shape
+    (GPT-2 style, simplified to a public character-class form)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))).cast("bigint")
+
+
+def bpe_token_count_sql(text: str = "text") -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    )
+
+
+def stopword_count_expr(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(_STOPWORDS), F.lit(0))).cast("bigint")
+
+
+def stopword_count_sql(text: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{_STOPWORDS}')) AS BIGINT)"
+
+
+def digit_ratio_expr(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_dig = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0)))
+    return F.round(n_dig / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def digit_ratio_sql(text: str = "text") -> str:
+    return (
+        f"round(len(regexp_extract_all({text}, '[0-9]')) / "
+        f"greatest(length({text}), 1), 6)"
+    )
+
+
+def punct_ratio_expr(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_p = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+    return F.round(n_p / F.greatest(F.length(c), F.lit(1)), 6)
+
+
+def punct_ratio_sql(text: str = "text") -> str:
+    return (
+        f"round(len(regexp_extract_all({text}, '[^A-Za-z0-9\\s]')) / "
+        f"greatest(length({text}), 1), 6)"
+    )
+
+
+def lang_score_expr(lang: str, text: str | Column = "text") -> Column:
+    """Marker-word hit count for one language (integer — exact, no
+    float-compare hazards in the downstream argmax)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(LANG_MARKERS[lang]), F.lit(0))).cast("bigint")
+
+
+def lang_score_sql(lang: str, text: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{LANG_MARKERS[lang]}')) AS BIGINT)"
+
+
+def lang_id_expr(text: str | Column = "text") -> Column:
+    """Argmax of the language scores; ties and all-zero -> 'und'.
+    Deterministic CASE cascade in declared language order."""
+    scores = {lg: lang_score_expr(lg, text) for lg in LANG_MARKERS}
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    # build CASE from last to first so earlier languages win ties
+    for lg in reversed(langs):
+        cond = scores[lg] > 0
+        for other in langs:
+            if other != lg:
+                # strict > for languages declared earlier, >= for later
+                if langs.index(other) < langs.index(lg):
+                    cond = cond & (scores[lg] > scores[other])
+                else:
+                    cond = cond & (scores[lg] >= scores[other])
+        expr = F.when(cond, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(text: str = "text") -> str:
+    langs = list(LANG_MARKERS)
+    s = {lg: lang_score_sql(lg, text) for lg in langs}
+    whens = []
+    for lg in langs:
+        conds = [f"{s[lg]} > 0"]
+        for other in langs:
+            if other == lg:
+                continue
+            op = ">" if langs.index(other) < langs.index(lg) else ">="
+            conds.append(f"{s[lg]} {op} {s[other]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    # reversed build order in the Column version nests identically to a
+    # first-match-wins CASE cascade
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+def quality_score_expr(text: str | Column = "text") -> Column:
+    """Heuristic document quality in [0, 1]: length saturation (50%),
+    stopword density (30%), non-digit purity (20%) — the standard
+    cheap pretraining-filter shape (cf. C4/Gopher rules)."""
+    c = F.col(text) if isinstance(text, str) else text
+    ntok = token_count_expr(c)
+    len_term = F.least(ntok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+    stop_term = (
+        F.least(stopword_count_expr(c) / F.greatest(ntok, F.lit(1)) * F.lit(4.0), F.lit(1.0))
+        * F.lit(0.3)
+    )
+    digit_term = (F.lit(1.0) - digit_ratio_expr(c) / F.lit(1.0)) * F.lit(0.2)
+    return F.round(len_term + stop_term + digit_term, 6)
+
+
+def quality_score_sql(text: str = "text") -> str:
+    ntok = token_count_sql(text)
+    stop = stopword_count_sql(text)
+    return (
+        f"round(least({ntok} / 100.0, 1.0) * 0.5 + "
+        f"least({stop} / greatest({ntok}, 1) * 4.0, 1.0) * 0.3 + "
+        f"(1.0 - {digit_ratio_sql(text)} / 1.0) * 0.2, 6)"
+    )
+
+
+def fingerprint_expr(text: str | Column = "text") -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text
+    — the exact-dedup key. md5 (not xxhash64) so the DuckDB oracle
+    computes the identical digest."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint_sql(text: str = "text") -> str:
+    # DuckDB regexp_replace needs the 'g' flag to replace all matches
+    # (Spark's replaces all by default)
+    return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
+
+
+def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Append the full stat column set in one projection (single scan,
+    column-pruned to ``text``)."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count_expr(text),
+            "n_bpe_tokens": bpe_token_count_expr(text),
+            "stopword_cnt": stopword_count_expr(text),
+            "digit_ratio": digit_ratio_expr(text),
+            "punct_ratio": punct_ratio_expr(text),
+            "lang_guess": lang_id_expr(text),
+            "quality": quality_score_expr(text),
+            "fingerprint": fingerprint_expr(text),
+        }
+    )

@@ -485,8 +485,12 @@ def elapsed_time(spark, sf_dir):
 # ===========================================================================
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {q.name: q.spark for q in _REGISTRY}
+    from mpes_spark.extras.registry import extras_queries
+
+    return {q.name: q.spark for q in _REGISTRY} | extras_queries()
 
 
 def all_oracles() -> dict[str, str]:
-    return {q.name: q.sql for q in _REGISTRY if q.sql is not None}
+    from mpes_spark.extras.registry import extras_oracles
+
+    return {q.name: q.sql for q in _REGISTRY if q.sql is not None} | extras_oracles()

@@ -1,0 +1,108 @@
+"""Unit tests for the LLM-pipeline operator library (extras/) — the
+behaviors the oracle queries can't see: keep-first semantics, LSH
+recall on known near-dups, multimodal batch plumbing, stub gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpes_spark.extras import dedup as DD
+from mpes_spark.extras import multimodal as MM
+from mpes_spark.extras import similarity as SIM
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+def test_exact_dedup_keeps_first(spark):
+    d = _docs(spark)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 10_000)
+    u = d.unionByName(dup)
+    out = DD.exact_dedup(u)
+    assert out.count() == d.select(
+        F.countDistinct(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")))
+    ).collect()[0][0]
+    # keep-first: every surviving id is from the original (min) range
+    assert out.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_finds_planted_neardup(spark):
+    """A doc with one word changed must surface as an LSH candidate
+    and pass Jaccard verification."""
+    d = _docs(spark).limit(50)
+    planted = (
+        d.filter(F.col("doc_id") == 0)
+        .withColumn("doc_id", F.lit(999_999))
+        .withColumn("text", F.regexp_replace("text", r"^\S+", "REPLACED"))
+    )
+    u = d.unionByName(planted)
+    pairs = DD.minhash_neardup_pairs(u, n=3, k=32, bands=8, threshold=0.3)
+    hits = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 999_999) in hits
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    d = _docs(spark).limit(20)
+    dup = d.filter(F.col("doc_id") == 1).withColumn("doc_id", F.lit(888_888))
+    out = DD.simhash_neardup_pairs(
+        d.unionByName(dup), nbits=48, bands=4, max_hamming=0
+    )
+    assert {(r.id_a, r.id_b, r.hamming) for r in out.collect()} >= {(1, 888_888, 0)}
+
+
+def test_topk_cosine_self_excluded_and_ranked(spark):
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = SIM.topk_cosine(e, e.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_results_subset_of_corpus_bucket(spark):
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    planes = SIM.hyperplanes(64, 8, seed=7)
+    out = SIM.ann_lsh_cosine(e, e.filter(F.col("vec_id") < 3), planes, k=3)
+    rows = out.collect()
+    assert all(r.neighbor_id != r.query_id for r in rows)
+    assert all(r.rank <= 3 for r in rows)
+
+
+def test_multimodal_feature_plumbing(spark):
+    assets = MM.assets_from_documents(_docs(spark).limit(10))
+    feats = MM.extract_features(assets, dim=8).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert r.n_bytes > 0
+        assert len(r.feat) == 8
+        assert r.checksum >= 0
+    # deterministic across runs
+    again = MM.extract_features(
+        MM.assets_from_documents(_docs(spark).limit(10)), dim=8
+    ).collect()
+    assert {r.asset_id: r.checksum for r in feats} == {
+        r.asset_id: r.checksum for r in again
+    }
+
+
+def test_multimodal_frame_sampling(spark):
+    assets = MM.assets_from_documents(_docs(spark).limit(5))
+    frames = MM.sample_frames(assets, every_n=10)
+    pdf = frames.toPandas()
+    meta = {r.asset_id: r.meta.n_frames for r in assets.collect()}
+    for aid, grp in pdf.groupby("asset_id"):
+        n = meta[aid]
+        assert list(grp.frame_idx) == list(range(0, n, 10))
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
