@@ -481,6 +481,180 @@ def elapsed_time(spark, sf_dir):
 
 
 # ===========================================================================
+# §2.6 calibration solvers -> end-to-end binned queries
+#
+# The solvers run once at import (driver-side, deterministic inputs);
+# their outputs are folded into literal expressions on BOTH engines —
+# the same solve-then-apply split as the reference (EP3, SURVEY §3).
+# ===========================================================================
+
+import numpy as np  # noqa: E402
+
+from mpes_spark.calibrate.energy import calibrate_energy_poly, poly_energy_axis  # noqa: E402
+from mpes_spark.calibrate.momentum import calibrate_k  # noqa: E402
+from mpes_spark.calibrate.tps import tps_coeffs  # noqa: E402
+
+# -- energy: solve poly coeffs from synthetic landmarks (calibrateE,
+#    /root/reference/mpes/analysis.py:694-805), bin on the solved axis -----
+_ECAL_POS = np.array([300.0, 350.0, 400.0, 450.0, 500.0])
+_ECAL_VALS = poly_energy_axis(np.array([2e-9, -1e-6, 0.05]), 17.3, _ECAL_POS)
+_ECAL = calibrate_energy_poly(_ECAL_POS, _ECAL_VALS, order=3, refid=0, Eref=float(_ECAL_VALS[0]))
+_AX_ESOLVED = BinAxis("E", nbins=120, lo=15.0, hi=45.0)
+
+
+@_q(
+    "calib_energy_solved",
+    bin_sparse_sql(
+        f"(SELECT {EN.tof2ev_poly_sql(list(_ECAL['coeffs']), _ECAL['E0'], 'value')} "
+        "AS E FROM events)",
+        [_AX_ESOLVED],
+    ),
+)
+def calib_energy_solved(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        EN.tof2ev_poly_expr(list(_ECAL["coeffs"]), _ECAL["E0"], "value").alias("E")
+    )
+    return bin_sparse(ev, [_AX_ESOLVED])
+
+
+# -- momentum: two-point scale solve (calibrateK,
+#    /root/reference/mpes/analysis.py:486-566) -> k axes -------------------
+_KCAL = calibrate_k(
+    (100, 100), pxla=(70.0, 80.0), pxlb=(50.0, 40.0),
+    kcoorda=(0.4, 1.2), kcoordb=(0.0, 0.0),
+)
+_KF_R, _KF_C = _KCAL["coeffs"]
+_AX_KSR = BinAxis("kx", nbins=50, lo=-0.52, hi=0.52)
+_AX_KSC = BinAxis("ky", nbins=30, lo=-0.12, hi=0.12)
+
+
+@_q(
+    "calib_k_solved",
+    bin_sparse_sql(
+        "(SELECT {} AS kx, {} AS ky FROM lineitem)".format(
+            *KM.imxy2kxy_sql("l_quantity", "l_linenumber", 25.0, 4.0, _KF_R, _KF_C)
+        ),
+        [_AX_KSR, _AX_KSC],
+    ),
+)
+def calib_k_solved(spark, sf_dir):
+    kx, ky = KM.imxy2kxy_expr("l_quantity", "l_linenumber", 25.0, 4.0, _KF_R, _KF_C)
+    li = t(spark, sf_dir, "lineitem").select(kx.alias("kx"), ky.alias("ky"))
+    return bin_sparse(li, [_AX_KSR, _AX_KSC])
+
+
+# -- TPS: Bookstein solve (dask_tps.tps_coeffs,
+#    /root/reference/mpes/dask_tps.py:67-97) -> warp-as-column-math bin ----
+_TPS_RNG = np.random.default_rng(13)
+_TPS_SRC = np.column_stack(
+    [_TPS_RNG.uniform(0.0, 50.0, 7), _TPS_RNG.uniform(0.0, 7.0, 7)]
+)
+_TPS_DST = _TPS_SRC + np.column_stack(
+    [_TPS_RNG.normal(0.0, 1.5, 7), _TPS_RNG.normal(0.0, 0.4, 7)]
+)
+_TPS_CO = tps_coeffs(_TPS_SRC, _TPS_DST)
+_AX_TPX = BinAxis("xt", nbins=30, lo=-5.0, hi=55.0)
+_AX_TPY = BinAxis("yt", nbins=20, lo=-2.0, hi=9.0)
+
+_tps_x_sql = XC.tps_sql("l_quantity", "l_linenumber", _TPS_CO, _TPS_SRC, which=0)
+_tps_y_sql = XC.tps_sql("l_quantity", "l_linenumber", _TPS_CO, _TPS_SRC, which=1)
+
+
+@_q(
+    "tps_warp_bin",
+    bin_sparse_sql(
+        f"(SELECT {_tps_x_sql} AS xt, {_tps_y_sql} AS yt FROM lineitem)",
+        [_AX_TPX, _AX_TPY],
+    ),
+)
+def tps_warp_bin(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        XC.tps_expr("l_quantity", "l_linenumber", _TPS_CO, _TPS_SRC, which=0).alias("xt"),
+        XC.tps_expr("l_quantity", "l_linenumber", _TPS_CO, _TPS_SRC, which=1).alias("yt"),
+    )
+    return bin_sparse(li, [_AX_TPX, _AX_TPY])
+
+
+# -- asymmetric Lorentzian ToF correction (the 4th applyECorrection
+#    profile, previously untested) -----------------------------------------
+@_q(
+    "tof_corr_lorentzian_asym",
+    bin_sparse_sql(
+        "(SELECT {} AS tc FROM lineitem)".format(
+            XC.tof_correction_sql(
+                "lorentzian_asymmetric", amplitude=-2000.0, gamma=15.0,
+                gamma2=25.0, amplitude2=-800.0, **_CORR_COMMON,
+            )
+        ),
+        [_AX_TC],
+    ),
+)
+def tof_corr_lorentzian_asym(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        XC.tof_correction_expr(
+            "lorentzian_asymmetric", amplitude=-2000.0, gamma=15.0,
+            gamma2=25.0, amplitude2=-800.0, **_CORR_COMMON,
+        ).alias("tc")
+    )
+    return bin_sparse(li, [_AX_TC])
+
+
+# -- inverse-dfield broadcast-join application (dfieldapply,
+#    /root/reference/mpes/base.py:530-539): the lookup table is built
+#    from a closed-form field so the oracle can compute the identical
+#    values inline while Spark exercises the real join path -----------------
+_DF_H, _DF_W = 51, 8
+
+
+def _formula_dfield() -> np.ndarray:
+    xi, yi = np.meshgrid(np.arange(_DF_H), np.arange(_DF_W), indexing="ij")
+    new_x = 0.9 * xi + 0.2 * yi
+    new_y = 0.1 * xi + 0.95 * yi
+    return np.asarray([new_x, new_y], dtype="float64")
+
+
+_AX_DFX = BinAxis("Xm", nbins=25, lo=0.0, hi=50.0)
+
+_DFIELD_ORACLE = (
+    "(SELECT (0.9 * CAST(CAST(l_quantity AS INT) AS DOUBLE) + "
+    "0.2 * CAST(CAST(l_linenumber AS INT) AS DOUBLE)) AS Xm FROM lineitem "
+    f"WHERE CAST(l_quantity AS INT) < {_DF_H} AND CAST(l_linenumber AS INT) < {_DF_W})"
+)
+
+
+@_q("dfield_join_bin", bin_sparse_sql(_DFIELD_ORACLE, [_AX_DFX]))
+def dfield_join_bin(spark, sf_dir):
+    lookup = XC.dfield_table(spark, _formula_dfield())
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("X"), F.col("l_linenumber").alias("Y")
+    )
+    warped = XC.apply_dfield_join(li, lookup)
+    return bin_sparse(warped, [_AX_DFX])
+
+
+# -- per-file histogram matrix (extractEDC over a file list,
+#    /root/reference/mpes/fprocessing.py:3418-3435): input_file_name
+#    carried as the group key ----------------------------------------------
+_AX_PF = BinAxis("value", nbins=80, lo=0.0, hi=400.0)
+
+
+@_q(
+    "per_file_hist",
+    bin_sparse_sql(
+        "(SELECT 'events.parquet' AS fname, value FROM events)",
+        [_AX_PF],
+        extra_keys=["fname"],
+    ),
+)
+def per_file_hist(spark, sf_dir):
+    from mpes_spark.io.readers import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet", with_file=True)
+    ev = ev.withColumn("fname", F.regexp_extract(F.col("file"), r"[^/]+$", 0))
+    return bin_sparse(ev, [_AX_PF], extra_keys=["fname"])
+
+
+# ===========================================================================
 # public accessors
 # ===========================================================================
 
