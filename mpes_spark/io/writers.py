@@ -1,0 +1,132 @@
+"""Sinks: event-table write-back and binned-histogram persistence.
+
+Covers the reference's sink surface in h5-free formats:
+- ``dataframeProcessor.convert`` (parquet/json/csv event-table export,
+  /root/reference/mpes/fprocessing.py:2700-2728) -> ``write_table``;
+- ``hdf5Splitter.split`` (shard one large file into n,
+  /root/reference/mpes/fprocessing.py:1873-1941) -> ``split_table``
+  (a repartition + write — free in Spark);
+- ``saveDict`` / ``readBinnedhdf5`` histogram persistence
+  (/root/reference/mpes/fprocessing.py:859-980, :3438-3480) ->
+  ``save_binned``/``load_binned`` as .npz (+coord arrays + json attrs
+  inside the archive), round-trip exact;
+- ``saveClassAttributes``/``loadClassAttributes`` calibration-state
+  persistence (/root/reference/mpes/base.py:348-403) ->
+  ``save_params``/``load_params`` (json with ndarray round-trip).
+
+Scale notes: event-table writes go through ``df.write`` — per-task
+parallel parquet with optional ``partition_by`` producing
+partition-pruned layouts for downstream scans; the binned artifacts
+are driver-small by construction (bounded by grid size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from mpes_spark.grid.binned import BinnedArray
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    form: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Event-table sink (``dataframeProcessor.convert``)."""
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if form == "parquet":
+        w.parquet(path)
+    elif form == "json":
+        w.json(path)
+    elif form == "csv":
+        w.option("header", "true").csv(path)
+    else:
+        raise NotImplementedError(f"sink format {form!r}")
+
+
+def split_table(df: DataFrame, nsplit: int, path: str, **kw) -> None:
+    """``hdf5Splitter.split`` analog: re-shard into ``nsplit`` files.
+    ``repartition(n)`` is a round-robin shuffle — even output sizes,
+    which is the reference's goal (balanced per-file parallelism)."""
+    write_table(df.repartition(nsplit), path, **kw)
+
+
+# ---------------------------------------------------------------------------
+# binned-histogram persistence (histdict round-trip)
+# ---------------------------------------------------------------------------
+
+def save_binned(arr: BinnedArray, path: str) -> None:
+    """Persist a :class:`BinnedArray` to one ``.npz`` archive:
+    ``binned`` + one coord array per dim + json-encoded dims/attrs."""
+    payload = {"binned": arr.data}
+    for d in arr.dims:
+        payload[f"coord_{d}"] = arr.coords[d]
+    payload["meta"] = np.frombuffer(
+        json.dumps({"dims": arr.dims, "attrs": arr.attrs}).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **payload)
+
+
+def load_binned(path: str) -> BinnedArray:
+    """Reload a :func:`save_binned` archive (``readBinnedhdf5``
+    analog)."""
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        return BinnedArray(
+            data=z["binned"],
+            dims=list(meta["dims"]),
+            coords={d: z[f"coord_{d}"] for d in meta["dims"]},
+            attrs=dict(meta["attrs"]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# calibration-parameter persistence
+# ---------------------------------------------------------------------------
+
+def save_params(params: dict, path: str) -> None:
+    """Persist a calibration dict (ndarrays included) as json —
+    ``saveClassAttributes`` analog."""
+
+    def enc(v):
+        if isinstance(v, np.ndarray):
+            return {"__nd__": True, "dtype": str(v.dtype), "data": v.tolist()}
+        if isinstance(v, (np.floating, np.integer)):
+            return v.item()
+        if isinstance(v, dict):
+            return {k: enc(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [enc(x) for x in v]
+        return v
+
+    with open(path, "w") as f:
+        json.dump(enc(params), f)
+
+
+def load_params(path: str) -> dict:
+    def dec(v):
+        if isinstance(v, dict):
+            if v.get("__nd__"):
+                return np.asarray(v["data"], dtype=v["dtype"])
+            return {k: dec(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [dec(x) for x in v]
+        return v
+
+    with open(path) as f:
+        return dec(json.load(f))
+
+
+def list_output_files(path: str, suffix: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(suffix)
+    )

@@ -378,10 +378,9 @@ def interval_lookup(spark, sf_dir):
     )
 
 
-# -- as-of join (timestamped config resolution,
-#    /root/reference/mpes/fprocessing.py:2604-2640: "config timestamp <=
-#    file start"): latest order date <= each event's day, per user mod key --
-_ASOF_SQL = (
+# -- orders before a fixed cutoff (config-before-file-start filter,
+#    /root/reference/mpes/fprocessing.py:2604-2610 first stage) -------------
+_CUTOFF_SQL = (
     "SELECT u.user_id, CAST(count(*) AS BIGINT) AS n_orders_before FROM "
     "(SELECT DISTINCT user_id FROM events) u "
     "JOIN orders o ON o.o_custkey = u.user_id AND "
@@ -389,8 +388,8 @@ _ASOF_SQL = (
 )
 
 
-@_q("asof_config_join", _ASOF_SQL)
-def asof_config_join(spark, sf_dir):
+@_q("orders_before_cutoff", _CUTOFF_SQL)
+def orders_before_cutoff(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select("user_id").distinct()
     o = t(spark, sf_dir, "orders")
     return (
@@ -401,6 +400,72 @@ def asof_config_join(spark, sf_dir):
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_before"))
+    )
+
+
+# -- real as-of join: per-row latest-record-<=-timestamp resolution
+#    (the reference's timestamped aperture-config lookup semantics,
+#    /root/reference/mpes/fprocessing.py:2604-2640): for each purchase
+#    event, the latest click of the same user at or before it ---------------
+# last-click time compared at us precision: DuckDB truncates
+# ns-parquet timestamps to its us-precision TIMESTAMP (cf. elapsed_time)
+_ASOF_SQL = (
+    "SELECT p.event_id, CAST(max(epoch_us(c.ts)) AS BIGINT) AS last_click_us, "
+    "CAST(count(*) AS BIGINT) AS n_prior_clicks "
+    "FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events "
+    "WHERE event_type = 'purchase') p "
+    "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c "
+    "ON c.user_id = p.user_id AND epoch_ns(c.ts) <= p.tns "
+    "GROUP BY p.event_id"
+)
+
+
+@_q("asof_latest_event", _ASOF_SQL)
+def asof_latest_event(spark, sf_dir):
+    """Join on the entity key + inequality, then per-left-row max —
+    the canonical as-of plan. Scale: equi-keyed shuffle on user_id
+    (AQE skew-join handles hot users); the inequality prunes inside
+    each key group, never a cross join."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(c, (F.col("c_user") == F.col("p_user")) & (F.col("c_ts") <= F.col("p_ts")))
+        .groupBy("event_id")
+        .agg(
+            F.expr("max(c_ts) div 1000").alias("last_click_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_prior_clicks"),
+        )
+    )
+
+
+# -- tolerance match (lens-mode voltage-set resolution, np.allclose
+#    rtol semantics, /root/reference/mpes/fprocessing.py:2643-2660):
+#    value matches a config nominal within 2% relative tolerance ------------
+_LENS_SQL = (
+    "SELECT m.mode, CAST(count(*) AS BIGINT) AS cnt FROM events e JOIN "
+    "(VALUES ('A', 50.0), ('B', 150.0), ('C', 300.0)) AS m(mode, v0) "
+    "ON abs(e.value - m.v0) <= 0.02 * abs(m.v0) GROUP BY m.mode"
+)
+
+
+@_q("lens_mode_match", _LENS_SQL)
+def lens_mode_match(spark, sf_dir):
+    cfg = spark.createDataFrame(
+        [("A", 50.0), ("B", 150.0), ("C", 300.0)], "mode string, v0 double"
+    )
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(cfg),
+            F.abs(ev.value - cfg.v0) <= 0.02 * F.abs(cfg.v0),
+        )
+        .groupBy("mode")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
 
 
@@ -463,6 +528,97 @@ def count_rate(spark, sf_dir):
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
 
 
+# -- §2.7 window-function analogs -------------------------------------------
+
+# moving-block smoothing of a histogram (blocknorm/savgol analog,
+# /root/reference/mpes/analysis.py:1184-1208): centered 5-tap moving
+# average per group, ANSI window frame on both engines
+_AX_MA = BinAxis("value", nbins=100, lo=0.0, hi=500.0)
+
+
+@_q(
+    "hist_moving_avg",
+    "SELECT event_type, value_bin, cnt, "
+    "round(avg(cnt) OVER (PARTITION BY event_type ORDER BY value_bin "
+    "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smooth "
+    f"FROM ({bin_sparse_sql('events', [_AX_MA], extra_keys=['event_type'])}) h",
+)
+def hist_moving_avg(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    h = bin_sparse(t(spark, sf_dir, "events"), [_AX_MA], extra_keys=["event_type"])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value_bin")
+        .rowsBetween(-2, 2)
+    )
+    return h.select(
+        "event_type", "value_bin", "cnt", F.round(F.avg("cnt").over(w), 6).alias("smooth")
+    )
+
+
+# lag-based count-rate derivative — the actual getCountRate semantic
+# (d(count)/dt, /root/reference/mpes/fprocessing.py:1086-1108)
+@_q(
+    "count_rate_derivative",
+    "SELECT minute, cnt, cnt - lag(cnt) OVER (ORDER BY minute) AS dcnt FROM ("
+    "SELECT CAST(floor(epoch_ns(ts) / 60000000000.0) AS BIGINT) AS minute, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY minute) r",
+)
+def count_rate_derivative(spark, sf_dir):
+    """Window over the *aggregated* per-minute trace (rows = minutes,
+    driver-scale) — the unpartitioned orderBy is bounded by scan
+    duration, not event count."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    rate = ev.groupBy(
+        F.floor(F.col("ts") / F.lit(60000000000.0)).cast("bigint").alias("minute")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy("minute")
+    return rate.select(
+        "minute", "cnt", (F.col("cnt") - F.lag("cnt").over(w)).alias("dcnt")
+    )
+
+
+# -- timeStamps reconstruction from msMarkers (range join,
+#    /root/reference/mpes/fprocessing.py:664-697): the marker table holds
+#    the first event index of each elapsed millisecond; every event gets
+#    the timestamp of its containing marker interval ------------------------
+
+_MS_T0_NS = 1_704_067_200_000_000_000  # file-start attr analog (2024-01-01)
+_MS_MARKERS = [(ms, ms * 500) for ms in range(20)]  # (ms, first event index)
+
+
+def _timestamps_sql(dialect: str) -> str:
+    vals = ", ".join(f"({ms}, {start})" for ms, start in _MS_MARKERS)
+    if dialect == "spark":
+        mk = f"VALUES {vals} AS m(ms, start_idx)"
+    else:
+        mk = f"(VALUES {vals}) m(ms, start_idx)"
+    return f"""
+WITH idx AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS ei FROM events
+)
+SELECT m.ms, CAST({_MS_T0_NS} + m.ms * 1000000 AS BIGINT) AS ts_ns,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(i.ei) AS BIGINT) AS first_idx, CAST(max(i.ei) AS BIGINT) AS last_idx
+FROM idx i JOIN {mk}
+  ON i.ei >= m.start_idx AND i.ei < m.start_idx + 500
+GROUP BY m.ms
+""".strip()
+
+
+@_q("timestamps_from_markers", _timestamps_sql("duckdb"))
+def timestamps_from_markers(spark, sf_dir):
+    """Range join of event index against ms-marker intervals (SURVEY
+    risk 6). The marker relation is tiny -> broadcast nested-loop on
+    the inequality; at ingest scale the marker table is per-file and
+    the join is per-file local."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_timestamps_sql("spark"))
+
+
 @_q(
     "elapsed_time",
     "SELECT CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS elapsed_us "
@@ -478,6 +634,34 @@ def elapsed_time(spark, sf_dir):
     return ev.agg(
         F.expr("(max(ts) div 1000) - (min(ts) div 1000)").alias("elapsed_us")
     )
+
+
+# -- distributed per-group spectral analysis (applyInPandas over the
+#    sparse histogram relation; iterative algorithms -> no SQL oracle,
+#    numpy parity lives in tests/test_analysis.py) --------------------------
+_AX_SH = BinAxis("value", nbins=60, lo=0.0, hi=480.0)
+
+
+@_q("edc_shirley_grouped", None)
+def edc_shirley_grouped(spark, sf_dir):
+    """Per-group Shirley background subtraction (``shirley``,
+    /root/reference/mpes/analysis.py:58-155) batched over groups with
+    applyInPandas — one shuffle on the group key, grid-bounded
+    per-task memory."""
+    from mpes_spark.analysis.grouped import shirley_per_group
+
+    hist = histogram_per_group(t(spark, sf_dir, "events"), _AX_SH, "event_type")
+    return shirley_per_group(hist, "event_type", "value_bin")
+
+
+@_q("peaks_per_group", None)
+def peaks_per_group_q(spark, sf_dir):
+    """Top-3 peaks per group trace (``peaksearch`` semantics,
+    /root/reference/mpes/analysis.py:569-615) via applyInPandas."""
+    from mpes_spark.analysis.grouped import peaks_per_group
+
+    hist = histogram_per_group(t(spark, sf_dir, "events"), _AX_SH, "event_type")
+    return peaks_per_group(hist, "event_type", "value_bin", num_peaks=3)
 
 
 # ===========================================================================

@@ -32,6 +32,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
 
+    # Executor Python workers must be able to import this package for
+    # pandas-UDF / applyInPandas closures regardless of the driver's
+    # cwd: prepend the package parent to PYTHONPATH before the JVM
+    # starts (local mode inherits it). On a real cluster, ship the
+    # package instead: spark-submit --py-files mpes_spark.zip.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -275,7 +275,12 @@ def apply_dfield_udf(
     """Alternative dfield application: broadcast the ndarray and gather
     per-batch with an Arrow pandas UDF — avoids materializing the
     lookup relation when the field is dense and the join columns are
-    not needed downstream."""
+    not needed downstream.
+
+    Out-of-range events get NaN — identical to the join path's NULL and
+    the reference's NaN boundary cells (``generateDfield``,
+    /root/reference/mpes/base.py:570-572) — so ``how='udf'`` and
+    ``how='join'`` agree row-for-row."""
     import pandas as pd
 
     sc = df.sparkSession.sparkContext
@@ -284,9 +289,16 @@ def apply_dfield_udf(
     @F.pandas_udf("struct<nx: double, ny: double>")
     def _lookup(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
         fld = bc.value
-        xi = xs.to_numpy(dtype="int64").clip(0, fld.shape[1] - 1)
-        yi = ys.to_numpy(dtype="int64").clip(0, fld.shape[2] - 1)
-        return pd.DataFrame({"nx": fld[0, xi, yi], "ny": fld[1, xi, yi]})
+        xi = xs.to_numpy(dtype="int64")
+        yi = ys.to_numpy(dtype="int64")
+        ok = (
+            (xi >= 0) & (xi < fld.shape[1]) & (yi >= 0) & (yi < fld.shape[2])
+        )
+        nx = np.full(len(xi), np.nan)
+        ny = np.full(len(xi), np.nan)
+        nx[ok] = fld[0, xi[ok], yi[ok]]
+        ny[ok] = fld[1, xi[ok], yi[ok]]
+        return pd.DataFrame({"nx": nx, "ny": ny})
 
     out = df.withColumn("_m", _lookup(F.col(x), F.col(y)))
     return (

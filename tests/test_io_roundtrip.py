@@ -1,0 +1,88 @@
+"""Sink round-trip tests: event tables (parquet/json/csv), table
+splitting, binned-histogram archives, calibration-parameter dicts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mpes_spark.binning.engine import bin_dataframe
+from mpes_spark.binning.spec import BinAxis
+from mpes_spark.io.writers import (
+    list_output_files,
+    load_binned,
+    load_params,
+    save_binned,
+    save_params,
+    split_table,
+    write_table,
+)
+from mpes_spark.registry import t
+from tests.conftest import SF_SMALL
+
+
+@pytest.mark.parametrize("form", ["parquet", "json", "csv"])
+def test_event_table_roundtrip(spark, tmp_path, form):
+    ev = t(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / f"ev_{form}")
+    write_table(ev, out, form=form)
+    back = (
+        spark.read.parquet(out)
+        if form == "parquet"
+        else spark.read.option("header", "true").option("inferSchema", "true").format(form).load(out)
+    )
+    assert back.count() == ev.count()
+    got = {r.event_id: r.value for r in back.collect()}
+    want = {r.event_id: r.value for r in ev.collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = t(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "part")
+    write_table(ev, out, partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the filter becomes a PartitionFilter, not a data filter
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_split_table(spark, tmp_path):
+    ev = t(spark, SF_SMALL, "events")
+    out = str(tmp_path / "shards")
+    split_table(ev, 4, out)
+    files = list_output_files(out, ".parquet")
+    assert len(files) == 4
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_binned_roundtrip(spark, tmp_path):
+    ba = bin_dataframe(
+        t(spark, SF_SMALL, "events"),
+        [BinAxis("value", nbins=50, lo=0.0, hi=500.0)],
+    )
+    p = str(tmp_path / "hist.npz")
+    save_binned(ba, p)
+    back = load_binned(p)
+    np.testing.assert_array_equal(back.data, ba.data)
+    assert back.dims == ba.dims
+    np.testing.assert_allclose(back.coords["value_bin"], ba.coords["value_bin"])
+    assert back.attrs == ba.attrs
+
+
+def test_params_roundtrip(tmp_path):
+    params = {
+        "coeffs": np.array([1e-9, -2e-6, 0.05]),
+        "E0": 1.5,
+        "nested": {"points": np.arange(6).reshape(3, 2).astype("float64")},
+        "label": "ecal",
+    }
+    p = str(tmp_path / "cal.json")
+    save_params(params, p)
+    back = load_params(p)
+    np.testing.assert_allclose(back["coeffs"], params["coeffs"])
+    np.testing.assert_allclose(back["nested"]["points"], params["nested"]["points"])
+    assert back["E0"] == 1.5 and back["label"] == "ecal"
