@@ -131,6 +131,38 @@ class EventPipeline:
         dt = dict(self.df.dtypes).get(ts)
         return dt in ("bigint", "int", "smallint", "tinyint")
 
+    def view_event_histogram(
+        self,
+        axes: Sequence[str],
+        nbins: int | Sequence[int] = 80,
+        ranges: Sequence[tuple[float, float]] | None = None,
+        sample_fraction: float | None = None,
+        seed: int = 42,
+    ) -> dict[str, "BinnedArray"]:
+        """Quick per-axis 1-D histograms (``viewEventHistogram``,
+        /root/reference/mpes/fprocessing.py:1038-1084): one bounded
+        groupBy per axis, optionally over a seeded sample (the
+        reference inspects a single partition; a Bernoulli sample is
+        the distributed equivalent). Returns {axis: BinnedArray}."""
+        from mpes_spark.binning.engine import bin_dataframe
+
+        df = self.df
+        if sample_fraction is not None:
+            df = df.sample(fraction=sample_fraction, seed=seed)
+        if isinstance(nbins, int):
+            nbins = [nbins] * len(axes)
+        if ranges is None:
+            # one pass for all axis bounds
+            aggs = []
+            for a in axes:
+                aggs += [F.min(a).alias(f"lo_{a}"), F.max(a).alias(f"hi_{a}")]
+            row = df.agg(*aggs).collect()[0]
+            ranges = [(row[f"lo_{a}"], row[f"hi_{a}"] + 1e-9) for a in axes]
+        out = {}
+        for a, n, r in zip(axes, nbins, ranges):
+            out[a] = bin_dataframe(df, [BinAxis(a, nbins=n, lo=float(r[0]), hi=float(r[1]))])
+        return out
+
     def count_rate(self, ts: str = "ts", unit: str = "1 second") -> DataFrame:
         """Events/interval trace (``getCountRate``,
         /root/reference/mpes/fprocessing.py:1086-1108): event-time

@@ -1,0 +1,128 @@
+"""Structured Streaming live binning (SURVEY §2.8 — new surface; the
+reference is batch-only but its data IS an event stream with
+reconstructed event time).
+
+Operators:
+- ``live_binning``: event-time tumbling-window N-D histogram — the
+  streaming twin of :func:`mpes_spark.binning.engine.bin_sparse`;
+  watermarking bounds state and admits late events up to the horizon.
+- ``live_count_rate``: windowed event counts (``getCountRate`` live).
+- ``densify_sink``: a ``foreachBatch`` callback scattering each
+  micro-batch's sparse histogram into a dense
+  :class:`~mpes_spark.grid.binned.BinnedArray` on the driver.
+
+Scale notes: state per trigger is bounded by (windows in watermark
+horizon) x (occupied grid cells), never by event rate; the shuffle key
+is (window, bin...) so partial aggregation happens map-side within
+each micro-batch exactly as in the batch engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpes_spark.binning.spec import BinAxis
+from mpes_spark.grid.binned import BinnedArray
+
+
+def with_event_time(
+    df: DataFrame, ts: str = "ts", out: str = "event_time"
+) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP: the engine's
+    parquet readers surface TIMESTAMP(NANOS) as epoch-nanos longs
+    (see session.py), which F.window cannot consume directly."""
+    dt = dict(df.dtypes).get(ts)
+    if dt in ("bigint", "int"):
+        return df.withColumn(out, F.timestamp_micros((F.col(ts) / 1000).cast("bigint")))
+    return df.withColumn(out, F.col(ts).cast("timestamp"))
+
+
+def live_binning(
+    stream: DataFrame,
+    axes: Sequence[BinAxis],
+    ts: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    count_name: str = "cnt",
+) -> DataFrame:
+    """Windowed N-D histogram over an event stream: one sparse
+    (win_start, bin..., cnt) row per occupied cell per window."""
+    ev = with_event_time(stream, ts).withWatermark("event_time", watermark)
+    cols = [ax.index_expr().alias(ax.out) for ax in axes]
+    keyed = ev.select(F.col("event_time"), *cols)
+    for ax in axes:
+        keyed = keyed.filter(ax.in_range_expr(F.col(ax.out)))
+    return (
+        keyed.groupBy(
+            F.window("event_time", window).alias("w"), *[F.col(ax.out) for ax in axes]
+        )
+        .agg(F.count(F.lit(1)).alias(count_name))
+        .select(F.col("w.start").alias("win_start"), *[ax.out for ax in axes], count_name)
+    )
+
+
+def live_count_rate(
+    stream: DataFrame,
+    ts: str = "ts",
+    window: str = "1 second",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Events/window trace — streaming ``getCountRate``
+    (/root/reference/mpes/fprocessing.py:1086-1108)."""
+    ev = with_event_time(stream, ts).withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(F.window("event_time", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "cnt")
+    )
+
+
+def densify_sink(
+    axes: Sequence[BinAxis],
+    on_update: Callable[[object, BinnedArray], None],
+) -> Callable[[DataFrame, int], None]:
+    """Build a ``foreachBatch`` callback that densifies each
+    micro-batch (already aggregated, grid-bounded) and hands
+    (win_start, BinnedArray) pairs to ``on_update`` — the live-display
+    hook. Use with update output mode."""
+    import numpy as np
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        pdf = batch.toPandas()
+        if pdf.empty:
+            return
+        shape = tuple(ax.nbins for ax in axes)
+        for win, grp in pdf.groupby("win_start"):
+            data = np.zeros(shape)
+            idx = tuple(grp[ax.out].to_numpy(dtype="int64") for ax in axes)
+            data[idx] = grp["cnt"].to_numpy()
+            on_update(
+                win,
+                BinnedArray(
+                    data=data,
+                    dims=[ax.out for ax in axes],
+                    coords={ax.out: ax.centers() for ax in axes},
+                    attrs={"units": "counts", "window": str(win)},
+                ),
+            )
+
+    return handle
+
+
+def read_event_stream(
+    spark,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source event stream (the live-acquisition analog: the DAQ
+    drops one parquet per scan chunk; each trigger folds new files into
+    the windowed aggregation)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

@@ -1,0 +1,105 @@
+"""Structured Streaming live-binning tests: file-source stream driven
+with availableNow triggers into a memory sink, verified against the
+batch engine on the same data (stream-batch parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mpes_spark.binning.spec import BinAxis
+from mpes_spark.streaming.live import (
+    densify_sink,
+    live_binning,
+    live_count_rate,
+    read_event_stream,
+    with_event_time,
+)
+from mpes_spark.registry import t
+from tests.conftest import SF_SMALL
+
+_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+_AX = BinAxis("value", nbins=40, lo=0.0, hi=400.0)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    """Stage the events table as a 3-file stream source."""
+    out = str(tmp_path / "stream_src")
+    t(spark, SF_SMALL, "events").repartition(3).write.parquet(out)
+    return out
+
+
+def _run(q_df, name):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_live_binning_matches_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    assert stream.isStreaming
+    _run(live_binning(stream, [_AX], window="10 minutes"), "livebin")
+    got = spark.sql("SELECT * FROM livebin").toPandas()
+    # batch twin: same windows via floor on the timestamp
+    ev = with_event_time(spark.read.parquet(stream_dir))
+    batch = (
+        ev.select(F.window("event_time", "10 minutes").alias("w"), _AX.index_expr().alias(_AX.out))
+        .filter(_AX.in_range_expr(F.col(_AX.out)))
+        .groupBy(F.col("w.start").alias("win_start"), _AX.out)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas()
+    )
+    key = ["win_start", _AX.out]
+    g = got.sort_values(key, ignore_index=True)
+    b = batch.sort_values(key, ignore_index=True)
+    assert len(g) == len(b)
+    assert (g["cnt"].to_numpy() == b["cnt"].to_numpy()).all()
+
+
+def test_live_count_rate_totals(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    _run(live_count_rate(stream, window="1 hour"), "liverate")
+    got = spark.sql("SELECT sum(cnt) AS total FROM liverate").collect()[0].total
+    assert got == spark.read.parquet(stream_dir).count()
+
+
+def test_densify_sink_callback(spark, stream_dir):
+    captured = {}
+
+    def on_update(win, arr):
+        captured[win] = arr
+
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    q = (
+        live_binning(stream, [_AX], window="1 day")
+        .writeStream.foreachBatch(densify_sink([_AX], on_update))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert captured, "densify sink never fired"
+    arr = next(iter(captured.values()))
+    assert arr.data.shape == (_AX.nbins,)
+    assert arr.data.sum() > 0
+    assert len(arr.coords[_AX.out]) == _AX.nbins
+
+
+def test_with_event_time_long_and_timestamp(spark):
+    ev = t(spark, SF_SMALL, "events")
+    a = with_event_time(ev).select("event_time").limit(5).collect()
+    assert all(r.event_time is not None for r in a)
+    ev2 = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
+    b = with_event_time(ev2).select("event_time").limit(5).collect()
+    assert all(r.event_time is not None for r in b)
