@@ -42,13 +42,28 @@ def with_bin_indices(
     df: DataFrame, axes: Sequence[BinAxis], keep: Sequence[str] = ()
 ) -> DataFrame:
     """Project the input down to bin-index columns (+ optional
-    carried-through columns), dropping out-of-range rows per the
-    half-open bin rule."""
-    cols = [ax.index_expr().alias(ax.out) for ax in axes] + [F.col(c) for c in keep]
-    out = df.select(*cols)
+    carried-through columns), pre-filtering on the raw value domain
+    ``lo <= x < hi`` per the half-open bin rule.
+
+    Filtering on the *value* (not on ``floor(...)``) matters twice at
+    scale: (a) plain-column range predicates push down to the parquet
+    scan (``PushedFilters``) while floor-expressions never do, and
+    (b) when the axis is an expensive derived expression (TPS warp,
+    homography), the expression is evaluated once in the projection
+    instead of being re-inlined into every range conditional — the
+    round-1 formulation blew the whole-stage-codegen method limit on
+    the TPS query and fell back to interpreted eval (~8x slower).
+    The residual guard against float-edge stragglers moves to a
+    post-aggregation filter on the (tiny) grouped result in
+    :func:`bin_sparse`."""
+    out = df
     for ax in axes:
-        out = out.filter(ax.in_range_expr(F.col(ax.out)))
-    return out
+        if not ax.prefilter:
+            continue
+        x = F.col(ax.col)
+        out = out.filter((x >= F.lit(float(ax.lo))) & (x < F.lit(float(ax.hi))))
+    cols = [ax.index_expr().alias(ax.out) for ax in axes] + [F.col(c) for c in keep]
+    return out.select(*cols)
 
 
 def bin_sparse(
@@ -60,10 +75,16 @@ def bin_sparse(
     """N-D histogram as a sparse relation (bin_0..bin_{d-1}[, extra
     keys], count). ``extra_keys`` supports the per-file histogram
     matrix (``extractEDC``, /root/reference/mpes/fprocessing.py:3418-3435)
-    and any group-parallel binning."""
+    and any group-parallel binning. The final bin-range filter runs on
+    the aggregated relation (grid-bounded rows) and exists only to
+    drop the rare float-boundary bin ``floor((x-lo)/step) == nbins``
+    for x just below hi."""
     keyed = with_bin_indices(df, axes, keep=extra_keys)
     keys = [ax.out for ax in axes] + list(extra_keys)
-    return keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+    out = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+    for ax in axes:
+        out = out.filter(ax.in_range_expr(F.col(ax.out)))
+    return out
 
 
 def bin_sparse_sql(
@@ -74,17 +95,24 @@ def bin_sparse_sql(
     where: str | None = None,
 ) -> str:
     """The DuckDB-oracle twin of :func:`bin_sparse` — same arithmetic,
-    same half-open rule, same column names."""
+    same half-open rule (value-domain pre-filter + post-aggregation
+    bin guard), same column names."""
     sel = ", ".join(
         [f"{ax.index_sql()} AS {ax.out}" for ax in axes] + list(extra_keys)
     )
-    conds = [ax.in_range_sql(ax.index_sql()) for ax in axes]
+    conds = [
+        f"({ax.col} >= {float(ax.lo)!r} AND {ax.col} < {float(ax.hi)!r})"
+        for ax in axes
+        if ax.prefilter
+    ]
     if where:
         conds.append(f"({where})")
+    where_sql = f"WHERE {' AND '.join(conds)} " if conds else ""
     keys = ", ".join([ax.out for ax in axes] + list(extra_keys))
+    outer = " AND ".join(ax.in_range_sql(ax.out) for ax in axes)
     return (
-        f"SELECT {sel}, count(*) AS {count_name} FROM {table} "
-        f"WHERE {' AND '.join(conds)} GROUP BY {keys}"
+        f"SELECT * FROM (SELECT {sel}, count(*) AS {count_name} FROM {table} "
+        f"{where_sql}GROUP BY {keys}) binned WHERE {outer}"
     )
 
 

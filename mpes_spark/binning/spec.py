@@ -42,6 +42,14 @@ class BinAxis:
     lo: float
     hi: float
     name: str | None = None  # output bin-index column name
+    #: apply the value-domain pre-filter (lo <= x < hi) before
+    #: aggregation. True for plain scan columns (the predicate pushes
+    #: to parquet). Set False when ``col`` is an expensive derived
+    #: expression (TPS warp, homography): the filter would re-inline
+    #: the expression per condition and blow the codegen compile
+    #: budget; out-of-range rows then aggregate into out-of-range bins
+    #: and are dropped by the post-aggregation guard instead.
+    prefilter: bool = True
 
     def __post_init__(self) -> None:
         if self.nbins <= 0:

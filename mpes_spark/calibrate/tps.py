@@ -64,7 +64,9 @@ def tps_eval(
         acc = a1 + ax * x + ay * y
         for wi, (px, py) in zip(w, fp):
             r2 = (x - px) ** 2 + (y - py) ** 2
-            u = np.where(r2 > 1e-20, 0.5 * r2 * np.log(np.where(r2 > 1e-20, r2, 1.0)), 0.0)
+            # branch-free kernel, identical to tps_expr/tps_sql:
+            # finite log times zero r2 -> exact 0 at the landmark
+            u = 0.5 * r2 * np.log(r2 + 5e-324)
             acc = acc + wi * u
         out.append(acc)
     return out[0], out[1]

@@ -182,9 +182,13 @@ def minhash_lsh_pairs(spark, sf_dir):
 @_q("simhash_neardup", None)  # xxhash64 sketch: rows-only by design
 def simhash_neardup(spark, sf_dir):
     """SimHash(48-bit) near-dup pairs within hamming<=8, banded
-    bucketing (pigeonhole guarantee for d < bands)."""
+    bucketing (pigeonhole guarantee for d < bands). Runs unfused
+    (heavy_expr_session): 48 conditional-sum aggregates compile past
+    the JIT method budget when whole-stage-fused."""
+    from mpes_spark.registry import heavy_expr_session
+
     return DD.simhash_neardup_pairs(
-        _docs(spark, sf_dir), nbits=48, bands=4, max_hamming=8
+        _docs(heavy_expr_session(spark), sf_dir), nbits=48, bands=4, max_hamming=8
     )
 
 

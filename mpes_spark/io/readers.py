@@ -39,6 +39,52 @@ def gather_files(folder: str, identifier: str = "*.parquet") -> list[str]:
     return sorted(glob.glob(os.path.join(folder, identifier)), key=_natural_key)
 
 
+class FileCollection:
+    """Natural-sorted file list with set ops and id-selection —
+    the reference's scan-source abstraction (``FileCollection``,
+    ``/root/reference/mpes/base.py:34-182``): ``+`` unions two
+    collections, ``filter`` keeps substring matches, ``select`` slices
+    by id with keep/remove semantics."""
+
+    def __init__(self, files: list[str] | None = None):
+        self.files: list[str] = sorted(set(files or []), key=_natural_key)
+
+    @classmethod
+    def gather(cls, folder: str, identifier: str = "*.parquet") -> "FileCollection":
+        return cls(gather_files(folder, identifier))
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __add__(self, other: "FileCollection") -> "FileCollection":
+        return FileCollection(self.files + other.files)
+
+    def __sub__(self, other: "FileCollection") -> "FileCollection":
+        drop = set(other.files)
+        return FileCollection([f for f in self.files if f not in drop])
+
+    def filter(self, wexpr: str) -> "FileCollection":
+        return FileCollection([f for f in self.files if wexpr in os.path.basename(f)])
+
+    def select(
+        self,
+        ids: list[int] | slice,
+        update: str = "keep",
+    ) -> "FileCollection":
+        if isinstance(ids, slice):
+            picked = self.files[ids]
+        else:
+            picked = [self.files[i] for i in ids]
+        if update == "remove":
+            return self - FileCollection(picked)
+        return FileCollection(picked)
+
+    def read(self, spark: SparkSession, **kw) -> DataFrame:
+        if not self.files:
+            raise ValueError("empty file collection")
+        return read_table(spark, self.files, **kw)
+
+
 def read_table(
     spark: SparkSession,
     source: str | list[str],

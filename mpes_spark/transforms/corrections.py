@@ -184,15 +184,19 @@ def tps_expr(
     is the (n+3, 2) solution of :func:`mpes_spark.calibrate.tps.tps_coeffs`;
     ``which`` selects the output column (0=row, 1=col).
 
-    At r -> 0 the kernel limit is 0; guarded with a WHEN on r^2."""
+    The r -> 0 kernel limit (U(0) = 0) is realized branch-free as
+    ``0.5 * r2 * ln(r2 + 5e-324)``: at r2 = 0 the product is exactly
+    0.0 (finite log times zero), and the denormal offset is far below
+    double noise for any physical r2. Branch-free matters: the WHEN
+    form doubled the expression tree and, multiplied across bin
+    filters, pushed whole-stage codegen past its compile budget."""
     xcol, ycol = _c(x), _c(y)
     co = np.asarray(coeffs, dtype=float)[:, which]
     w, (a1, ax, ay) = co[:-3], co[-3:]
     expr: Column = F.lit(float(a1)) + F.lit(float(ax)) * xcol + F.lit(float(ay)) * ycol
     for wi, (px, py) in zip(w, np.asarray(points, dtype=float)):
         r2 = _r2(xcol, ycol, float(px), float(py))
-        # U = r^2 * ln r = 0.5 * r^2 * ln(r^2); 0 at the landmark itself
-        u = F.when(r2 > 1e-20, F.lit(0.5) * r2 * F.log(r2)).otherwise(F.lit(0.0))
+        u = F.lit(0.5) * r2 * F.log(r2 + F.lit(5e-324))
         expr = expr + F.lit(float(wi)) * u
     return expr
 
@@ -205,7 +209,7 @@ def tps_sql(
     terms = [f"{_flit(a1)} + {_flit(ax)} * {x} + {_flit(ay)} * {y}"]
     for wi, (px, py) in zip(w, np.asarray(points, dtype=float)):
         r2 = _r2_sql(x, y, float(px), float(py))
-        u = f"(CASE WHEN {r2} > 1e-20 THEN 0.5 * {r2} * ln({r2}) ELSE 0.0 END)"
+        u = f"(0.5 * {r2} * ln({r2} + 5e-324))"
         terms.append(f"{_flit(wi)} * {u}")
     return "(" + " + ".join(terms) + ")"
 

@@ -1,0 +1,80 @@
+"""Tests for FileCollection set ops, metadata gathering, dynamics
+matrix, and sorted-array lookups."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mpes_spark.analysis.dynamics import (
+    binarysearch,
+    build_dynamic_matrix,
+    searchinterp,
+)
+from mpes_spark.io.metadata import gather_metadata, resolve_aperture, resolve_lens_mode
+from mpes_spark.io.readers import FileCollection
+from mpes_spark.registry import t
+from tests.conftest import SF_SMALL
+
+
+def test_file_collection_ops(tmp_path):
+    names = ["scan_2.parquet", "scan_10.parquet", "scan_1.parquet", "other_1.parquet"]
+    for n in names:
+        (tmp_path / n).write_bytes(b"")
+    fc = FileCollection.gather(str(tmp_path))
+    # natural sort: scan_1, scan_2, scan_10 (not lexicographic)
+    basenames = [f.split("/")[-1] for f in fc.filter("scan").files]
+    assert basenames == ["scan_1.parquet", "scan_2.parquet", "scan_10.parquet"]
+    a = fc.filter("scan")
+    b = fc.filter("other")
+    assert len(a + b) == 4
+    assert len((a + b) - b) == 3
+    assert len(a.select([0, 2])) == 2
+    assert len(a.select([0], update="remove")) == 2
+
+
+def test_file_collection_read(spark):
+    fc = FileCollection([f"{SF_SMALL}/events.parquet"])
+    df = fc.read(spark, with_file=True)
+    assert df.count() > 0 and "file" in df.columns
+    with pytest.raises(ValueError):
+        FileCollection([]).read(spark)
+
+
+def test_gather_metadata(spark):
+    ev = t(spark, SF_SMALL, "events")
+    md = gather_metadata(
+        ev,
+        aperture_value=120.0,
+        aperture_intervals=[(0.0, 50.0, "S"), (50.0, 200.0, "M"), (200.0, 400.0, "L")],
+        lens_voltages=np.array([100.0, 200.4]),
+        lens_mode_table={"modeA": np.array([100.0, 200.0]), "modeB": np.array([50.0, 60.0])},
+    )
+    assert md["timing"]["n_events"] == ev.count()
+    assert md["timing"]["elapsed_s"] > 0
+    assert sum(md["counts_by_type"].values()) == ev.count()
+    assert md["instrument"]["aperture"] == "M"
+    assert md["instrument"]["lens_mode"] == "modeA"  # within 0.5% rtol
+
+
+def test_resolve_helpers():
+    assert resolve_aperture(400.0, [(0.0, 100.0, "S")]) is None
+    assert resolve_lens_mode(np.array([1.0]), {"m": np.array([1.01])}, rtol=0.005) is None
+
+
+def test_build_dynamic_matrix():
+    fp = np.array([[1.0, 10.0], [1.5, 10.0], [2.0, 0.0]])
+    dyn = build_dynamic_matrix(fp, baseline_index=0)
+    assert dyn.shape == (3, 3, 2)
+    np.testing.assert_allclose(dyn[0], fp)
+    np.testing.assert_allclose(dyn[1][1], [0.5, 0.0])
+    np.testing.assert_allclose(dyn[2][1], [0.5, 0.0])
+
+
+def test_sorted_lookups():
+    arr = np.array([0.0, 1.0, 4.0, 9.0])
+    assert binarysearch(arr, 4.0) == 2
+    assert binarysearch(arr, 3.9) == 1
+    assert binarysearch(arr, -1.0) == -1
+    assert searchinterp(arr, 2.5) == pytest.approx(1.5)
+    assert searchinterp(arr, 100.0) == 3.0
