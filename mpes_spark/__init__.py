@@ -17,9 +17,15 @@ that surface Spark-first:
   (``mpes_spark.grid``),
 - calibration solvers run driver-side on small landmark data
   (``mpes_spark.calibrate``),
+- post-aggregation analysis (backgrounds, peaks, segmentation,
+  registration, fitting, alignment) in ``mpes_spark.analysis`` with
+  ``applyInPandas`` adapters for per-group batching,
 - large-scale training-data operators (dedup, similarity search, text
   stats, multimodal plumbing) live in ``mpes_spark.extras``,
 - live binning over event streams in ``mpes_spark.streaming``.
+
+Coverage vs the reference's operator inventory: COVERAGE.md.
+Scale design rationale (100 TB / 1000 executors): SCALING.md.
 """
 
 from mpes_spark.binning import BinAxis, bin_dataframe, bin_sparse, densify
