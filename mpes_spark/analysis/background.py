@@ -63,3 +63,36 @@ def shirley2d(
     """Shirley background per row of a trace stack (``shirley2d``)."""
     traces = np.asarray(traces, dtype=float)
     return np.stack([shirley(x, tr, **kw) for tr in traces])
+
+
+def shirley_piecewise(
+    x: np.ndarray,
+    y: np.ndarray,
+    breakpoints: list[float],
+    smooth_window: int = 0,
+    smooth_order: int = 2,
+    **kw,
+) -> np.ndarray:
+    """Segment-wise Shirley background: solve each [b_i, b_{i+1}]
+    span independently and concatenate, optionally Savitzky-Golay
+    smoothing the assembled background to remove junction kinks
+    (reference behavior: ``shirley_piecewise``,
+    /root/reference/mpes/analysis.py:158-190, which savgols the tail).
+    ``breakpoints`` must include both end values."""
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    if len(breakpoints) < 2:
+        raise ValueError("need at least [start, end] breakpoints")
+    bg = np.empty_like(y)
+    for b0, b1 in zip(breakpoints[:-1], breakpoints[1:]):
+        m = (x >= b0) & (x <= b1)
+        if m.sum() < 4:
+            raise ValueError(f"segment [{b0}, {b1}] has <4 samples")
+        seg_kw = dict(kw)
+        seg_kw.setdefault("edge_pts", max(1, min(3, m.sum() // 10)))
+        bg[m] = shirley(x[m], y[m], **seg_kw)
+    if smooth_window:
+        from mpes_spark.analysis.smooth import savgol_filter
+
+        bg = savgol_filter(bg, smooth_window, smooth_order)
+    return bg

@@ -110,6 +110,83 @@ def apply_mask_along(arr: np.ndarray, mask: np.ndarray, axes: tuple[int, ...]) -
     return arr * mask.reshape(shape)
 
 
+class BoundedArea:
+    """Composable mask region with boolean algebra (``&``, ``|``,
+    ``~``, ``-``) and linear / circular decision boundaries —
+    reference behavior: ``BoundedArea``
+    (/root/reference/mpes/analysis.py:1803-1958). Wraps a boolean
+    array; factory methods add half-plane and disk constraints."""
+
+    def __init__(self, shape: tuple[int, int], mask: np.ndarray | None = None):
+        self.shape = tuple(shape)
+        self.mask = (
+            np.ones(self.shape, dtype=bool) if mask is None else np.asarray(mask, bool)
+        )
+
+    @classmethod
+    def halfplane(
+        cls, shape: tuple[int, int], a: float, b: float, c: float
+    ) -> "BoundedArea":
+        """Linear boundary: keep pixels with a*row + b*col + c >= 0."""
+        rr, cc = np.ogrid[: shape[0], : shape[1]]
+        return cls(shape, a * rr + b * cc + c >= 0)
+
+    @classmethod
+    def disk(
+        cls, shape: tuple[int, int], rcent: float, ccent: float, rad: float
+    ) -> "BoundedArea":
+        return cls(shape, circmask(shape, rcent, ccent, rad))
+
+    @classmethod
+    def rect(cls, shape, r0, r1, c0, c1) -> "BoundedArea":
+        return cls(shape, rectmask(shape, r0, r1, c0, c1))
+
+    def _bin(self, other: "BoundedArea", op) -> "BoundedArea":
+        if other.shape != self.shape:
+            raise ValueError("shape mismatch")
+        return BoundedArea(self.shape, op(self.mask, other.mask))
+
+    def __and__(self, other):
+        return self._bin(other, np.logical_and)
+
+    def __or__(self, other):
+        return self._bin(other, np.logical_or)
+
+    def __sub__(self, other):
+        return self._bin(other, lambda a, b: a & ~b)
+
+    def __invert__(self):
+        return BoundedArea(self.shape, ~self.mask)
+
+    def apply(self, img: np.ndarray, fill: float = np.nan) -> np.ndarray:
+        return apply_mask(img, self.mask, fill)
+
+    def predicate_expr(self):
+        """The same region as a Spark boolean Column over (row, col)
+        event coordinates — masks are predicate columns at event
+        scale (SURVEY §2.6 note), evaluated in-scan, no image."""
+        raise NotImplementedError(
+            "use the factory predicates directly: halfplane -> "
+            "a*col('row') + b*col('col') + c >= 0; disk -> "
+            "(col('row')-rc)**2 + (col('col')-cc)**2 <= r**2"
+        )
+
+
+def intensity_transform_rotsym(img: np.ndarray, rotsym: int, center: tuple[float, float]) -> np.ndarray:
+    """Rotational-symmetry intensity averaging: mean of the image over
+    its ``rotsym`` rotations about ``center`` (``intensityTransform``,
+    /root/reference/mpes/analysis.py:2661-2682). NaN-aware mean so
+    out-of-frame rotated pixels don't bite."""
+    from mpes_spark.analysis.registration import homography_from_params, warp_image
+
+    stack = []
+    for k in range(rotsym):
+        M = homography_from_params(angle=360.0 * k / rotsym, center=center)
+        stack.append(warp_image(img, M))
+    with np.errstate(invalid="ignore"):
+        return np.nanmean(np.stack(stack), axis=0)
+
+
 # ---------------------------------------------------------------------------
 # connected components & region ops
 # ---------------------------------------------------------------------------

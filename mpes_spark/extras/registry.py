@@ -231,6 +231,18 @@ def embed_neardup_lsh(spark, sf_dir):
     return SIM.embedding_neardup_pairs(_embs(spark, sf_dir), _PLANES, threshold=0.4)
 
 
+@_q("ivf_ann_cosine", None)  # learned buckets (kmeans+UDF): rows-only
+def ivf_ann_cosine(spark, sf_dir):
+    """IVF ANN: driver-trained coarse quantizer (k-means on a bounded
+    sample), inverted lists by nearest centroid, nprobe=2 probing.
+    Recall-vs-brute-force is asserted in tests/test_extras.py."""
+    e = _embs(spark, sf_dir)
+    cent = SIM.train_ivf_centroids(e, k=8, sample_rows=2000, iters=8, seed=7)
+    return SIM.ivf_topk_cosine(
+        e, e.filter(F.col("vec_id") < 8), cent, k=3, nprobe=2
+    )
+
+
 # ===========================================================================
 # multimodal plumbing
 # ===========================================================================

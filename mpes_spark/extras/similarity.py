@@ -22,6 +22,7 @@ Scale notes (100 TB / 1e9+ vectors):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -217,6 +218,115 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the learned-bucket scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Driver-side Lloyd k-means on a bounded sample -> (k, dim)
+    centroids. The sample collect is capped (`sample_rows`), never the
+    corpus; at 1e9 vectors the same code trains on a 1e5-row sample —
+    standard IVF practice (coarse quantizer quality needs samples,
+    not the full set)."""
+    pdf = corpus.select(vec).limit(sample_rows).toPandas()
+    X = np.stack(pdf[vec].to_numpy()).astype("float64")
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = X[m].mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec: str = "embedding", out: str = "list_id"
+) -> DataFrame:
+    """Nearest-centroid assignment via an Arrow-batched pandas UDF
+    (vectorized argmin against the broadcast centroid matrix — the
+    k x dim distance matrix per batch stays in numpy)."""
+
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype="float64"))
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        cent = bc.value
+        X = np.stack(vs.to_numpy()).astype("float64")
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out, _assign(F.col(vec)))
+
+
+def ivf_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 3,
+    nprobe: int = 1,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: corpus sharded into inverted lists by nearest
+    centroid; each query scores only its ``nprobe`` nearest lists.
+    Join is equi-keyed on list id. At 1e9 vectors the assigned corpus
+    is written ``partitionBy(list_id)`` once, so probes prune to
+    nprobe partitions; recall is tuned by nprobe (and k of the
+    quantizer)."""
+
+
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec).alias("cv"),
+                      F.col(vec).alias("_raw")),
+        centroids, vec="_raw",
+    ).drop("_raw")
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype="float64"))
+
+    @F.pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        cent = bc.value
+        X = np.stack(vs.to_numpy()).astype("float64")
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(vec).alias("qv"),
+            F.col(vec).alias("_raw"),
+        )
+        .withColumn("probe", _probe(F.col("_raw")))
+        .drop("_raw")
+        .withColumn("list_id", F.explode("probe"))
+        .drop("probe")
+    )
+    scored = (
+        c.join(F.broadcast(q), ["list_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
 
 
 def embedding_neardup_pairs(

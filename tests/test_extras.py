@@ -76,6 +76,29 @@ def test_ann_results_subset_of_corpus_bucket(spark):
     assert all(r.rank <= 3 for r in rows)
 
 
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=all-lists must equal brute force exactly;
+    nprobe=2 must keep decent top-1 recall."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    cent = SIM.train_ivf_centroids(e, k=4, sample_rows=500, iters=6, seed=7)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.topk_cosine(e, q, k=1).collect()
+    }
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk_cosine(e, q, cent, k=1, nprobe=4).collect()
+    }
+    assert full == exact  # probing every list == brute force
+    probed = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk_cosine(e, q, cent, k=1, nprobe=2).collect()
+    }
+    hits = sum(probed.get(k) == v for k, v in exact.items())
+    assert hits >= len(exact) // 2  # recall >= 0.5 at nprobe=2 of 4
+
+
 def test_multimodal_feature_plumbing(spark):
     assets = MM.assets_from_documents(_docs(spark).limit(10))
     feats = MM.extract_features(assets, dim=8).collect()

@@ -1,0 +1,176 @@
+"""Stateful-streaming test (cumulative histogram must equal the batch
+histogram after draining the stream) + hypothesis property tests for
+the engine's core invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mpes_spark.binning.spec import BinAxis
+
+
+# -- stateful streaming ----------------------------------------------------
+
+def test_cumulative_histogram_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mpes_spark.binning.engine import bin_sparse
+    from mpes_spark.registry import t
+    from mpes_spark.streaming.live import read_event_stream
+    from mpes_spark.streaming.stateful import cumulative_histogram
+    from tests.conftest import SF_SMALL
+
+    src = str(tmp_path / "src")
+    t(spark, SF_SMALL, "events").repartition(4).write.parquet(src)
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    ax = BinAxis("value", nbins=30, lo=0.0, hi=450.0)
+    stream = read_event_stream(spark, src, schema, max_files_per_trigger=2)
+    q = (
+        cumulative_histogram(stream, ax, "event_type")
+        .writeStream.format("memory")
+        .queryName("cumhist")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted state per (group, bin) = cumulative counts
+    got = {
+        (r.group, r.bin): r.cnt
+        for r in spark.sql(
+            "SELECT group, bin, cnt FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY group, bin ORDER BY rn DESC) k"
+            " FROM (SELECT *, monotonically_increasing_id() rn FROM cumhist) t) w WHERE k = 1"
+        ).collect()
+    }
+    want = {
+        (r.event_type, r[ax.out]): r.cnt
+        for r in bin_sparse(
+            spark.read.parquet(src), [ax], extra_keys=["event_type"]
+        ).collect()
+    }
+    assert got == want
+
+
+# -- hypothesis properties -------------------------------------------------
+
+@given(
+    nbins=st.integers(1, 500),
+    lo=st.floats(-1e6, 1e6, allow_nan=False),
+    width=st.floats(1e-3, 1e6, allow_nan=False),
+    x=st.floats(-2e6, 2e6, allow_nan=False),
+)
+@settings(max_examples=300, deadline=None)
+def test_bin_index_invariants(nbins, lo, width, x):
+    """Every value inside [lo, hi) maps to a bin in [0, nbins); values
+    outside never map into a valid bin unless boundary float rounding
+    puts them in the adjacent edge bin (strictly bounded drift)."""
+    ax = BinAxis("v", nbins=nbins, lo=lo, hi=lo + width)
+    step = ax.step
+    idx = np.floor((x - lo) / step)
+    if lo <= x < ax.hi and np.isfinite(idx):
+        assert -1 <= idx <= nbins  # float edge drift is at most one bin
+        if lo + idx * step <= x:  # the representative case
+            assert idx >= 0
+    centers = ax.centers()
+    assert len(centers) == nbins
+    edges = ax.edges()
+    assert len(edges) == nbins + 1
+    assert edges[0] == lo
+
+
+@given(
+    data=st.lists(st.integers(0, 1000), min_size=8, max_size=64),
+    factor=st.integers(1, 5),
+)
+@settings(max_examples=200, deadline=None)
+def test_rebin_preserves_sum(data, factor):
+    """Sum-rebin conserves total counts over the trimmed span."""
+    from mpes_spark.grid.binned import BinnedArray
+
+    arr = np.asarray(data, dtype=float)
+    ba = BinnedArray(
+        arr, ["x"], {"x": np.arange(len(arr), dtype=float)}
+    )
+    rb = ba.rebin({"x": factor}, method="sum")
+    trimmed = arr[: (len(arr) // factor) * factor]
+    assert rb.data.sum() == trimmed.sum()
+
+
+@given(
+    y=st.lists(st.floats(0.1, 100, allow_nan=False), min_size=12, max_size=80),
+)
+@settings(max_examples=100, deadline=None)
+def test_shirley_pins_baseline_endpoints(y):
+    """Unconditional Shirley invariants: the background equals the
+    averaged edge baselines exactly at both ends (area fraction is 1
+    on the far left, 0 on the far right) and is finite everywhere.
+    (Hypothesis falsified the stronger between-the-baselines claim:
+    for signals dipping below the right baseline the area-fraction
+    construction legitimately overshoots — same as the reference
+    algorithm; the monotone-envelope case is covered by the
+    deterministic step test in test_analysis.py.)"""
+    from mpes_spark.analysis.background import shirley
+
+    x = np.arange(len(y), dtype=float)
+    ya = np.asarray(y)
+    bg = shirley(x, ya, edge_pts=3)
+    yl = float(ya[:3].mean())
+    yr = float(ya[-3:].mean())
+    assert np.isfinite(bg).all()
+    assert bg[-1] == pytest.approx(yr, rel=1e-9, abs=1e-9)
+    assert bg[0] == pytest.approx(yl, rel=1e-6, abs=1e-6)
+
+
+@given(
+    vals=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False), min_size=2, max_size=40
+    ),
+    k=st.integers(2, 6),
+)
+@settings(max_examples=100, deadline=None)
+def test_savgol_constant_invariance(vals, k):
+    """SG smoothing reproduces constants exactly (kernel sums to 1)."""
+    from mpes_spark.analysis.smooth import savgol_filter
+
+    c = float(vals[0])
+    y = np.full(max(len(vals), 2 * k + 3), c)
+    out = savgol_filter(y, 2 * k + 1, 2)
+    np.testing.assert_allclose(out, c, atol=1e-8 * max(1, abs(c)))
+
+
+def test_shirley_piecewise_and_bounded_area():
+    from mpes_spark.analysis.background import shirley, shirley_piecewise
+    from mpes_spark.analysis.image import BoundedArea, intensity_transform_rotsym
+
+    x = np.linspace(0, 100, 401)
+    y = 1.0 + 4 * np.exp(-((x - 30) ** 2) / 8.0) + 2 * np.exp(-((x - 70) ** 2) / 8.0)
+    bg = shirley_piecewise(x, y, [0.0, 50.0, 100.0], smooth_window=11)
+    assert bg.shape == y.shape
+    assert np.isfinite(bg).all()
+
+    # mask algebra
+    ba = (
+        BoundedArea.disk((40, 40), 20, 20, 15)
+        & ~BoundedArea.disk((40, 40), 20, 20, 5)
+    ) | BoundedArea.rect((40, 40), 0, 3, 0, 40)
+    assert ba.mask[0, 0]  # rect band
+    assert not ba.mask[20, 20]  # inner hole
+    assert ba.mask[20, 32]  # annulus
+    out = ba.apply(np.ones((40, 40)))
+    assert np.isnan(out[20, 20]) and out[20, 32] == 1.0
+
+    # rotational averaging symmetrizes
+    img = np.zeros((41, 41))
+    img[10, 20] = 4.0
+    sym = intensity_transform_rotsym(img, 4, (20.0, 20.0))
+    assert np.nansum(sym) == pytest.approx(4.0, rel=0.2)
+    np.testing.assert_allclose(sym[10, 20], sym[30, 20], atol=1e-6)
+    np.testing.assert_allclose(sym[20, 10], sym[20, 30], atol=1e-6)
