@@ -60,6 +60,27 @@ def split_table(df: DataFrame, nsplit: int, path: str, **kw) -> None:
     write_table(df.repartition(nsplit), path, **kw)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table — the
+    co-located-join layout for repeated joins/aggregations on the same
+    key at 100 TB: both sides bucketed on the join key with equal
+    bucket counts join with NO exchange (verified in-plan by the test
+    suite). This is the Spark replacement for the reference's
+    per-file data organization: pay the shuffle once at write time,
+    never again per query."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # binned-histogram persistence (histdict round-trip)
 # ---------------------------------------------------------------------------

@@ -59,6 +59,32 @@ def test_split_table(spark, tmp_path):
     assert spark.read.parquet(out).count() == ev.count()
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key with matching bucket counts
+    must join without an Exchange on either side — the co-located-join
+    contract write_bucketed exists for."""
+    from mpes_spark.io.writers import write_bucketed
+
+    ev = t(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    agg = ev.groupBy("user_id").count()
+    write_bucketed(ev, "ev_b", "user_id", 4)
+    write_bucketed(agg, "agg_b", "user_id", 4)
+    # disable auto-broadcast: at real scale neither side fits a
+    # broadcast — the bucketed sort-merge path is what we verify
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ev_b").join(spark.table("agg_b"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS agg_b")
+
+
 def test_binned_roundtrip(spark, tmp_path):
     ba = bin_dataframe(
         t(spark, SF_SMALL, "events"),
