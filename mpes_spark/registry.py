@@ -650,6 +650,39 @@ def elapsed_time(spark, sf_dir):
     )
 
 
+# -- skew-salted two-phase aggregation (scale technique: hot group
+#    keys spread over salt buckets, then merged; result is exactly the
+#    plain aggregation, which is what the oracle computes) ------------------
+@_q(
+    "salted_agg_counts",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS count_value, "
+    "round(sum(value), 4) AS sum_value FROM events GROUP BY event_type",
+)
+def salted_agg_counts(spark, sf_dir):
+    from mpes_spark.transforms.columns import salted_agg
+
+    out = salted_agg(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={"value": "sum"},
+        salt_buckets=8,
+    )
+    cnt = salted_agg(
+        t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={"value": "count"},
+        salt_buckets=8,
+    ).withColumnRenamed("count_value", "cv")
+    return (
+        out.join(cnt, "event_type")
+        .select(
+            "event_type",
+            F.col("cv").cast("bigint").alias("count_value"),
+            F.round(F.col("sum_value"), 4).alias("sum_value"),
+        )
+    )
+
+
 # -- distributed per-group spectral analysis (applyInPandas over the
 #    sparse histogram relation; iterative algorithms -> no SQL oracle,
 #    numpy parity lives in tests/test_analysis.py) --------------------------

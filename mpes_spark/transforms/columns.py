@@ -128,6 +128,40 @@ def apply_jitter(
     return out
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation with key salting for skewed group keys:
+    phase 1 aggregates on (keys + random salt) so a hot key's rows
+    spread over ``salt_buckets`` reducers; phase 2 merges the partial
+    results on the true keys (sum/count re-aggregate with sum, min
+    with min, max with max). Use when one group holds a data-scale
+    share of rows and AQE skew handling isn't enough (e.g. a single
+    detector hot spot at 100 TB). ``aggs`` maps column -> one of
+    sum|count|min|max."""
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1 = []
+    phase2 = []
+    for col, how in aggs.items():
+        out = f"{how}_{col}"
+        if how == "count":
+            phase1.append(F.count(F.col(col)).alias(out))
+        elif how in ("sum", "min", "max"):
+            phase1.append(getattr(F, how)(F.col(col)).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {how!r} (sum|count|min|max)")
+        phase2.append(merge[how](F.col(out)).alias(out))
+    salted = df.withColumn(
+        "_salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(*phase1)
+    return partial.groupBy(*keys).agg(*phase2)
+
+
 def map_partitions(df: DataFrame, fn, schema) -> DataFrame:
     """Partition-level escape hatch (``mapColumn`` via
     ``map_partitions``, ``/root/reference/mpes/fprocessing.py:2220-2240``)
