@@ -17,7 +17,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+
+# Executor Python workers (pandas UDF / applyInPandas queries) must be
+# able to import mpes_spark regardless of the harness's cwd or session
+# builder — export before any SparkSession exists (workers inherit the
+# driver env in local mode).
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO_ROOT}{os.pathsep}{os.environ['PYTHONPATH']}"
+        if os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
