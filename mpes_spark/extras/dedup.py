@@ -225,12 +225,15 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: two equi-joins
     against the shingle table + one groupBy — only candidate pairs pay
-    this cost."""
+    this cost. The candidate-pair relation is broadcast (it is orders
+    of magnitude smaller than the shingle table — that is the point of
+    LSH), so the big shingle relation is scanned without a shuffle for
+    the first join; AQE handles the second."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
     sb = shingles.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
-        pairs.join(sa, "id_a")
+        sa.join(F.broadcast(pairs), "id_a")
         .join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("icnt"))

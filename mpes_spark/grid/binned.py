@@ -132,6 +132,25 @@ class BinnedArray:
         m = self.data.max()
         return self.scale(1.0 / m) if m else self
 
+    def rename_dims(self, keypair: dict[str, str] | None = None) -> "BinnedArray":
+        """Rename axes per a mapping — the ``BandStructure`` keypair
+        convention ``{'ADC': 'tpp', 'X': 'kx', 'Y': 'ky', 't': 'E'}``
+        (``/root/reference/mpes/bandstructure.py:22-57``); unmapped
+        dims keep their names. Bin-index suffixes (``X_bin``) map via
+        their base name."""
+        keypair = keypair or {"ADC": "tpp", "X": "kx", "Y": "ky", "t": "E"}
+
+        def re_name(d: str) -> str:
+            if d in keypair:
+                return keypair[d]
+            if d.endswith("_bin") and d[:-4] in keypair:
+                return keypair[d[:-4]]
+            return d
+
+        dims = [re_name(d) for d in self.dims]
+        coords = {re_name(d): c for d, c in self.coords.items()}
+        return BinnedArray(self.data, dims, coords, dict(self.attrs))
+
     # -- exports -------------------------------------------------------
 
     def to_dict(self) -> dict:
