@@ -80,6 +80,40 @@ def live_count_rate(
     )
 
 
+def scan_sessions(
+    stream: DataFrame,
+    ts: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Scan segmentation via session windows (SURVEY §2.8): events
+    separated by more than ``gap`` of event-time silence belong to
+    different scans. Emits (session_start, session_end, n_events
+    [, group]) per closed session — the acquisition-run detector the
+    reference reconstructs manually from timestamps. Works on batch
+    DataFrames too (session_window is a grouping expression).
+
+    Streaming constraint (Spark): session windows need a non-empty
+    grouping key — pass ``group_col`` (e.g. a detector/run id) for
+    streaming input; batch input may omit it."""
+    ev = with_event_time(stream, ts)
+    if stream.isStreaming:
+        ev = ev.withWatermark("event_time", watermark)
+    keys = [F.session_window("event_time", gap).alias("w")]
+    if group_col:
+        keys.append(F.col(group_col))
+    out = ev.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
+    sel = [
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    ]
+    if group_col:
+        sel.insert(2, F.col(group_col))
+    return out.select(*sel)
+
+
 def densify_sink(
     axes: Sequence[BinAxis],
     on_update: Callable[[object, BinnedArray], None],

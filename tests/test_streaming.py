@@ -96,6 +96,37 @@ def test_densify_sink_callback(spark, stream_dir):
     assert len(arr.coords[_AX.out]) == _AX.nbins
 
 
+def test_scan_sessions_batch_and_stream(spark, stream_dir, tmp_path):
+    from mpes_spark.streaming.live import scan_sessions
+
+    # batch: synthetic two-burst timeline -> exactly two sessions
+    base = 1_700_000_000_000_000_000
+    rows = [(i, base + i * 1_000_000_000) for i in range(10)] + [
+        (100 + i, base + 3_600_000_000_000 + i * 1_000_000_000) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts bigint")
+    got = scan_sessions(df, gap="1 minute").orderBy("session_start").collect()
+    assert [r.n_events for r in got] == [10, 5]
+    assert got[0].session_end < got[1].session_start
+
+    # streaming: sessions close under watermark on the staged stream
+    # (streaming session windows require a grouping key; the watermark
+    # must exceed the cross-file event-time disorder or late files are
+    # dropped — files arrive unordered in event time here)
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    q = (
+        scan_sessions(stream, gap="10 minutes", watermark="60 days", group_col="event_type")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    tot = spark.sql("SELECT sum(n_events) s FROM sessions").collect()[0].s
+    assert tot == spark.read.parquet(stream_dir).count()
+
+
 def test_with_event_time_long_and_timestamp(spark):
     ev = t(spark, SF_SMALL, "events")
     a = with_event_time(ev).select("event_time").limit(5).collect()
