@@ -222,7 +222,6 @@ class MomentumCorrector:
         equal arcs, anchored at the first landmark's angle."""
         rel = self.landmarks - self.center
         radius = float(np.linalg.norm(rel, axis=1).mean()) * scale
-        th0 = float(np.arctan2(rel[0, 0], rel[0, 1]))
         # order landmarks by angle so targets pair with neighbors
         order = np.argsort(np.arctan2(rel[:, 0], rel[:, 1]))
         self.landmarks = self.landmarks[order]

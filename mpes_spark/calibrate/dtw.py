@@ -41,10 +41,7 @@ def dtw_path(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.asarray(path[::-1])
 
 
-def find_nearest(val: float, arr: np.ndarray) -> int:
-    """Index of the element nearest to ``val`` (u.find_nearest,
-    /root/reference/mpes/utils.py:15-30)."""
-    return int(np.argmin(np.abs(np.asarray(arr) - val)))
+from mpes_spark.utils import find_nearest  # noqa: E402  (shared helper)
 
 
 def range_convert(

@@ -310,7 +310,12 @@ def simhash_neardup_pairs(
     """SimHash near-dup pairs: band the fingerprint into ``bands``
     contiguous bit slices (a pair within hamming distance d < bands
     must agree exactly on >= 1 band — pigeonhole), bucket-join on
-    (band, slice), then verify with bit_count(xor) <= max_hamming."""
+    (band, slice), then verify with bit_count(xor) <= max_hamming.
+
+    Completeness: the result is guaranteed-complete only for
+    ``max_hamming < bands``; a larger threshold returns only pairs
+    that happen to share a band (recall < 1) — raise ``bands`` (or
+    use multi-band slices) to widen the guarantee."""
     fps = simhash(df, text, id_col, nbits)
     width = nbits // bands
     mask = (1 << width) - 1

@@ -181,14 +181,16 @@ def minhash_lsh_pairs(spark, sf_dir):
 
 @_q("simhash_neardup", None)  # xxhash64 sketch: rows-only by design
 def simhash_neardup(spark, sf_dir):
-    """SimHash(48-bit) near-dup pairs within hamming<=8, banded
-    bucketing (pigeonhole guarantee for d < bands). Runs unfused
+    """SimHash(48-bit) near-dup pairs within hamming<=3, banded
+    bucketing. max_hamming = bands-1 keeps the pigeonhole guarantee
+    exact (a pair within distance d < bands must agree on >= 1 band),
+    so the output is complete, not best-effort. Runs unfused
     (heavy_expr_session): 48 conditional-sum aggregates compile past
     the JIT method budget when whole-stage-fused."""
     from mpes_spark.registry import heavy_expr_session
 
     return DD.simhash_neardup_pairs(
-        _docs(heavy_expr_session(spark), sf_dir), nbits=48, bands=4, max_hamming=8
+        _docs(heavy_expr_session(spark), sf_dir), nbits=48, bands=4, max_hamming=3
     )
 
 

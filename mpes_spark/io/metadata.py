@@ -48,18 +48,27 @@ def gather_metadata(
     lens_voltages: np.ndarray | None = None,
     lens_mode_table: dict[str, np.ndarray] | None = None,
 ) -> dict:
-    """Assemble the metadata dict: one aggregation pass over the event
-    table (count, per-type counts, elapsed, mean rate) + driver-side
-    config resolution."""
-    pipe = EventPipeline(events)
-    n_events = events.count()
-    elapsed_us = pipe.elapsed_time(ts).collect()[0].elapsed_us
-    by_type = {
-        r["event_type"]: r["cnt"]
-        for r in events.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    """Assemble the metadata dict in one scan: a single per-type
+    groupBy carries count + min/max ts per group; totals and elapsed
+    time reduce from those few rows on the driver."""
+    is_long = EventPipeline(events)._ts_is_long(ts)
+    lo_ex = F.expr(f"min({ts}) div 1000") if is_long else F.unix_micros(F.min(ts))
+    hi_ex = F.expr(f"max({ts}) div 1000") if is_long else F.unix_micros(F.max(ts))
+    keys = ["event_type"] if "event_type" in events.columns else []
+    rows = (
+        events.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            lo_ex.alias("lo_us"),
+            hi_ex.alias("hi_us"),
+        )
         .collect()
-    } if "event_type" in events.columns else {}
+    )
+    n_events = sum(r.cnt for r in rows)
+    los = [r.lo_us for r in rows if r.lo_us is not None]
+    his = [r.hi_us for r in rows if r.hi_us is not None]
+    elapsed_us = (max(his) - min(los)) if los and his else None
+    by_type = {r.event_type: r.cnt for r in rows} if keys else {}
 
     md: dict = {
         "timing": {

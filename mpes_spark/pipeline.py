@@ -152,12 +152,26 @@ class EventPipeline:
         if isinstance(nbins, int):
             nbins = [nbins] * len(axes)
         if ranges is None:
+            import math
+
             # one pass for all axis bounds
             aggs = []
             for a in axes:
                 aggs += [F.min(a).alias(f"lo_{a}"), F.max(a).alias(f"hi_{a}")]
             row = df.agg(*aggs).collect()[0]
-            ranges = [(row[f"lo_{a}"], row[f"hi_{a}"] + 1e-9) for a in axes]
+            ranges = []
+            for a in axes:
+                lo, hi = row[f"lo_{a}"], row[f"hi_{a}"]
+                if lo is None or hi is None:
+                    raise ValueError(f"cannot infer range for {a!r}: no rows")
+                lo, hi = float(lo), float(hi)
+                # nudge hi past the max so the half-open rule keeps the
+                # max value; a fixed 1e-9 epsilon is absorbed at large
+                # magnitudes (ulp(1.7e18) ~ 256)
+                hi = hi + max(1e-9, 4 * math.ulp(abs(hi)))
+                if not hi > lo:
+                    lo, hi = lo - 0.5, hi + 0.5
+                ranges.append((lo, hi))
         out = {}
         for a, n, r in zip(axes, nbins, ranges):
             out[a] = bin_dataframe(df, [BinAxis(a, nbins=n, lo=float(r[0]), hi=float(r[1]))])
@@ -173,9 +187,9 @@ class EventPipeline:
         sees one schema."""
         if self._ts_is_long(ts):
             width_ns = _interval_ns(unit)
-            win = (F.floor(F.col(ts) / F.lit(width_ns)) * F.lit(width_ns)).cast(
-                "bigint"
-            )
+            # integer div: epoch-nanos exceed 2^53, double floor-divide
+            # would misbucket events within ~256 ns of a boundary
+            win = F.expr(f"({ts} div {width_ns}) * {width_ns}")
             return (
                 self.df.groupBy(win.alias("win_start"))
                 .agg(F.count(F.lit(1)).alias("cnt"))

@@ -8,13 +8,17 @@ from mpes_spark.streaming.live import (
     live_binning,
     live_count_rate,
     read_event_stream,
+    scan_sessions,
     with_event_time,
 )
+from mpes_spark.streaming.stateful import cumulative_histogram
 
 __all__ = [
+    "cumulative_histogram",
     "densify_sink",
     "live_binning",
     "live_count_rate",
     "read_event_stream",
+    "scan_sessions",
     "with_event_time",
 ]

@@ -36,7 +36,8 @@ def with_event_time(
     (see session.py), which F.window cannot consume directly."""
     dt = dict(df.dtypes).get(ts)
     if dt in ("bigint", "int"):
-        return df.withColumn(out, F.timestamp_micros((F.col(ts) / 1000).cast("bigint")))
+        # integer div, not double: epoch-nanos exceed 2^53
+        return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts} div 1000")))
     return df.withColumn(out, F.col(ts).cast("timestamp"))
 
 
@@ -118,25 +119,32 @@ def densify_sink(
     axes: Sequence[BinAxis],
     on_update: Callable[[object, BinnedArray], None],
 ) -> Callable[[DataFrame, int], None]:
-    """Build a ``foreachBatch`` callback that densifies each
-    micro-batch (already aggregated, grid-bounded) and hands
-    (win_start, BinnedArray) pairs to ``on_update`` — the live-display
-    hook. Use with update output mode."""
+    """Build a ``foreachBatch`` callback that densifies micro-batch
+    updates and hands (win_start, BinnedArray) pairs to ``on_update``
+    — the live-display hook. Use with update output mode.
+
+    Update mode emits only the *changed* (window, bin) rows per
+    micro-batch, so the callback keeps a per-window dense accumulator
+    (driver-side, bounded by windows x grid) and merges each batch
+    into it — the array handed to ``on_update`` is always the full
+    current grid for that window, never a partial one."""
     import numpy as np
+
+    shape = tuple(ax.nbins for ax in axes)
+    grids: dict = {}
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
         pdf = batch.toPandas()
         if pdf.empty:
             return
-        shape = tuple(ax.nbins for ax in axes)
         for win, grp in pdf.groupby("win_start"):
-            data = np.zeros(shape)
+            data = grids.setdefault(win, np.zeros(shape))
             idx = tuple(grp[ax.out].to_numpy(dtype="int64") for ax in axes)
             data[idx] = grp["cnt"].to_numpy()
             on_update(
                 win,
                 BinnedArray(
-                    data=data,
+                    data=data.copy(),
                     dims=[ax.out for ax in axes],
                     coords={ax.out: ax.centers() for ax in axes},
                     attrs={"units": "counts", "window": str(win)},

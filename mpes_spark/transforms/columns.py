@@ -142,14 +142,15 @@ def salted_agg(
     with min, max with max). Use when one group holds a data-scale
     share of rows and AQE skew handling isn't enough (e.g. a single
     detector hot spot at 100 TB). ``aggs`` maps column -> one of
-    sum|count|min|max."""
+    sum|count|min|max; ``count`` has count(*) row semantics (NULLs in
+    the named column still count), matching the plain-groupBy twin."""
     merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase1 = []
     phase2 = []
     for col, how in aggs.items():
         out = f"{how}_{col}"
         if how == "count":
-            phase1.append(F.count(F.col(col)).alias(out))
+            phase1.append(F.count(F.lit(1)).alias(out))
         elif how in ("sum", "min", "max"):
             phase1.append(getattr(F, how)(F.col(col)).alias(out))
         else:

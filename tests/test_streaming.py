@@ -80,9 +80,11 @@ def test_densify_sink_callback(spark, stream_dir):
     def on_update(win, arr):
         captured[win] = arr
 
+    # watermark wider than the cross-file event-time disorder so no
+    # file is dropped as late (files arrive unordered in event time)
     stream = read_event_stream(spark, stream_dir, _SCHEMA)
     q = (
-        live_binning(stream, [_AX], window="1 day")
+        live_binning(stream, [_AX], window="1 day", watermark="60 days")
         .writeStream.foreachBatch(densify_sink([_AX], on_update))
         .outputMode("update")
         .trigger(availableNow=True)
@@ -92,8 +94,18 @@ def test_densify_sink_callback(spark, stream_dir):
     assert captured, "densify sink never fired"
     arr = next(iter(captured.values()))
     assert arr.data.shape == (_AX.nbins,)
-    assert arr.data.sum() > 0
     assert len(arr.coords[_AX.out]) == _AX.nbins
+    # update-mode accumulation: the LAST grid per window holds the
+    # complete histogram (multiple micro-batches merged), equal to the
+    # batch engine's totals over the same source
+    from mpes_spark.binning.engine import bin_sparse
+
+    want = {
+        r[_AX.out]: r.cnt
+        for r in bin_sparse(spark.read.parquet(stream_dir), [_AX]).collect()
+    }
+    total = float(sum(a.data.sum() for a in captured.values()))
+    assert total == sum(want.values())
 
 
 def test_scan_sessions_batch_and_stream(spark, stream_dir, tmp_path):
