@@ -528,17 +528,19 @@ def ridge_agg(spark, sf_dir):
 
 @_q(
     "count_rate",
-    "SELECT CAST(floor(epoch_ns(ts) / 60000000000.0) AS BIGINT) AS minute, "
+    "SELECT epoch_ns(ts) // 60000000000 AS minute, "
     "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY minute",
 )
 def count_rate(spark, sf_dir):
     """Events/minute trace (``getCountRate``,
     /root/reference/mpes/fprocessing.py:1086-1108) — event-time
     tumbling windows keyed by epoch integer for oracle parity (Spark
-    sees epoch-nanos longs, see :func:`t`)."""
+    sees epoch-nanos longs, see :func:`t`). Integer division on both
+    engines: epoch-nanos exceed 2^53, double floor-divide misbuckets
+    boundary events."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy(
-        F.floor(F.col("ts") / F.lit(60000000000.0)).cast("bigint").alias("minute")
+        F.expr("ts div 60000000000").alias("minute")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
 
 
@@ -576,18 +578,18 @@ def hist_moving_avg(spark, sf_dir):
 @_q(
     "count_rate_derivative",
     "SELECT minute, cnt, cnt - lag(cnt) OVER (ORDER BY minute) AS dcnt FROM ("
-    "SELECT CAST(floor(epoch_ns(ts) / 60000000000.0) AS BIGINT) AS minute, "
+    "SELECT epoch_ns(ts) // 60000000000 AS minute, "
     "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY minute) r",
 )
 def count_rate_derivative(spark, sf_dir):
     """Window over the *aggregated* per-minute trace (rows = minutes,
     driver-scale) — the unpartitioned orderBy is bounded by scan
-    duration, not event count."""
+    duration, not event count. Integer ns arithmetic (2^53 hazard)."""
     from pyspark.sql.window import Window
 
     ev = t(spark, sf_dir, "events")
     rate = ev.groupBy(
-        F.floor(F.col("ts") / F.lit(60000000000.0)).cast("bigint").alias("minute")
+        F.expr("ts div 60000000000").alias("minute")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     w = Window.orderBy("minute")
     return rate.select(
