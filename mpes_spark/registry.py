@@ -117,6 +117,21 @@ def hist_3d(spark, sf_dir):
     return bin_sparse(t(spark, sf_dir, "lineitem"), _AX3)
 
 
+# -- 4-D histogram (the reference's full production shape:
+#    (kx, ky, E, delay) / MPESDataset >= 4-D, SURVEY §1.2) ------------------
+_AX4 = [
+    BinAxis("l_quantity", nbins=12, lo=1.0, hi=50.0),
+    BinAxis("l_discount", nbins=11, lo=0.0, hi=0.11),
+    BinAxis("l_tax", nbins=9, lo=0.0, hi=0.09),
+    BinAxis("l_linenumber", nbins=7, lo=1.0, hi=8.0),
+]
+
+
+@_q("hist_4d", bin_sparse_sql("lineitem", _AX4))
+def hist_4d(spark, sf_dir):
+    return bin_sparse(t(spark, sf_dir, "lineitem"), _AX4)
+
+
 # -- range filter + binning (applyFilter,
 #    /root/reference/mpes/fprocessing.py:2185-2203) -------------------------
 _AX_FLT = BinAxis("value", nbins=50, lo=50.0, hi=300.0)
@@ -363,6 +378,53 @@ def lookup_join(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# -- mid-size dimension broadcast join + rollup (the dfield-lookup
+#    shape at realistic dimension cardinality: part is ~20k rows at
+#    sf0.1 — broadcast-able, same plan as the 4.2M-row dfield table) --------
+@_q(
+    "part_brand_rollup",
+    "SELECT p.p_brand AS brand, CAST(count(*) AS BIGINT) AS cnt, "
+    "round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "GROUP BY p.p_brand",
+)
+def part_brand_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# -- three-way broadcast-chain join (customer -> nation -> region):
+#    config-hierarchy resolution rollup --------------------------------------
+@_q(
+    "region_rollup",
+    "SELECT r.r_name AS region, CAST(count(*) AS BIGINT) AS n_customers, "
+    "round(avg(c.c_acctbal), 6) AS avg_bal "
+    "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+)
+def region_rollup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
         )
     )
 
