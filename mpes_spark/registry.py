@@ -545,6 +545,45 @@ def lens_mode_match(spark, sf_dir):
     )
 
 
+# -- anti join (set difference at data scale — the FileCollection
+#    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
+#    to relations): customers with no orders ------------------------------
+@_q(
+    "customers_without_orders",
+    "SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_inactive "
+    "FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "GROUP BY c.c_mktsegment",
+)
+def customers_without_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inactive"))
+    )
+
+
+# -- global top-k with deterministic ties (§2.5 sorts/limits):
+#    top-10 revenue customers --------------------------------------------
+@_q(
+    "top_spenders",
+    "SELECT * FROM (SELECT l.l_suppkey AS suppkey, "
+    "round(sum(l.l_extendedprice), 2) AS revenue FROM lineitem l "
+    "GROUP BY suppkey) s ORDER BY revenue DESC, suppkey LIMIT 10",
+)
+def top_spenders(spark, sf_dir):
+    """Global top-k: Spark's TakeOrderedAndProject computes partial
+    per-partition top-k map-side, so the exchange carries k rows per
+    partition — scale-safe for any input size."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("suppkey")).limit(10)
+
+
 # -- union of event tables (appendRow,
 #    /root/reference/mpes/fprocessing.py:2413-2433) -------------------------
 @_q(
