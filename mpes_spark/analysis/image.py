@@ -53,9 +53,12 @@ def peakdetect2d(
     img: np.ndarray, radius: int = 2, threshold: float | None = None, num_peaks: int | None = None
 ) -> np.ndarray:
     """Local-maximum 2-D peak detection: a pixel is a peak when it is
-    the strict maximum of its (2r+1)^2 neighborhood and above
-    ``threshold`` (default: mean + 2*std). Returns (k, 2) peak
-    (row, col) sorted by descending intensity (top ``num_peaks``)."""
+    >= every value in its (2r+1)^2 neighborhood and above
+    ``threshold`` (default: mean + 2*std). Plateau ties (count images
+    routinely have equal-max adjacent bins) are resolved by greedy
+    non-max suppression: candidates within ``radius`` of an accepted
+    stronger peak are dropped. Returns (k, 2) peak (row, col) sorted
+    by descending intensity (top ``num_peaks``)."""
     img = np.asarray(img, dtype=float)
     if threshold is None:
         threshold = float(img.mean() + 2 * img.std())
@@ -70,11 +73,16 @@ def peakdetect2d(
                 radius + dj : radius + dj + img.shape[1],
             ]
             neigh_max = np.maximum(neigh_max, win)
-    rows, cols = np.nonzero((img > neigh_max) & (img >= threshold))
+    rows, cols = np.nonzero((img >= neigh_max) & (img >= threshold))
     order = np.argsort(img[rows, cols])[::-1]
-    if num_peaks is not None:
-        order = order[:num_peaks]
-    return np.column_stack([rows[order], cols[order]])
+    cand = np.column_stack([rows[order], cols[order]]).astype(float)
+    kept: list[np.ndarray] = []
+    for c in cand:
+        if all(np.abs(c - k).max() > radius for k in kept):
+            kept.append(c)
+        if num_peaks is not None and len(kept) >= num_peaks:
+            break
+    return np.asarray(kept, dtype=int).reshape(-1, 2)
 
 
 # ---------------------------------------------------------------------------
