@@ -112,6 +112,72 @@ def test_full_correction_workflow(spark, event_parquet):
     assert rad == pytest.approx(RADIUS, abs=2.5)
 
 
+def test_energy_calibration_workflow_distributed(spark, tmp_path):
+    """Energy arm of EP3: a bias scan whose per-bias ToF peak follows
+    a known poly energy law -> distributed EDC matrix
+    (histogram_per_group) -> EnergyCalibrator solve on the driver ->
+    solved axis applied to the event table -> binned energy peaks land
+    at the bias energies."""
+    from mpes_spark.binning.engine import densify, histogram_per_group
+    from mpes_spark.calibrate import EnergyCalibrator, poly_energy_axis
+
+    rng = np.random.default_rng(7)
+    a_true = np.array([3e-9, -2e-6, 0.04])
+    biases = np.array([10.0, 12.0, 14.0, 16.0, 18.0])
+    tof_axis = np.linspace(200.0, 800.0, 1201)
+    e_of_t = poly_energy_axis(a_true, 0.0, tof_axis)
+    peak_tofs = [float(tof_axis[np.argmin(np.abs(e_of_t - b))]) for b in biases]
+
+    frames = []
+    for b, pt in zip(biases, peak_tofs):
+        frames.append(
+            pd.DataFrame(
+                {"bias": f"b{b:.0f}", "t": rng.normal(pt, 5.0, 20_000)}
+            )
+        )
+    path = str(tmp_path / "bias_scan.parquet")
+    spark.createDataFrame(pd.concat(frames)).write.parquet(path)
+    ev = spark.read.parquet(path)
+
+    # distributed EDC matrix: one trace per bias file/group
+    ax = BinAxis("t", nbins=600, lo=200.0, hi=800.0)
+    edc = histogram_per_group(ev, ax, "bias")
+    pdf = edc.toPandas().pivot_table(
+        index="bias", columns=ax.out, values="cnt", fill_value=0.0
+    )
+    order = [f"b{b:.0f}" for b in biases]
+    traces = np.zeros((len(biases), ax.nbins))
+    cols = {c: i for i, c in enumerate(pdf.columns)}
+    for r, name in enumerate(order):
+        for c, v in pdf.loc[name].items():
+            traces[r, cols[c] if isinstance(c, str) else int(c)] = v
+    tof = ax.centers()
+
+    cal = (
+        EnergyCalibrator(biases, traces, tof)
+        .normalize()
+        .add_features((peak_tofs[0] - 30, peak_tofs[0] + 30), refid=0)
+        .feature_extract(pkwindow=8)
+        .calibrate(order=3, refid=0, Eref=float(biases[0]))
+    )
+
+    # apply the SOLVED axis distributed and bin each bias group: the
+    # energy peak of group b must land at energy b
+    from pyspark.sql import functions as F
+
+    from mpes_spark.binning.engine import bin_sparse
+
+    calib = EnergyCalibrator(biases, traces, tof)
+    calib.calibration = cal
+    with_e = ev.withColumn("E", calib.energy_expr("t"))
+    eax = BinAxis("E", nbins=200, lo=8.0, hi=20.0)
+    for b in biases:
+        grp = with_e.filter(F.col("bias") == f"b{b:.0f}")
+        hist = densify(bin_sparse(grp, [eax]), [eax])
+        peak_e = hist.coords[eax.out][int(np.argmax(hist.data))]
+        assert peak_e == pytest.approx(b, abs=0.15)
+
+
 def test_workflow_persists_roundtrip(spark, event_parquet, tmp_path):
     """The produced histogram survives a save/load cycle with the
     calibration parameters alongside — the session-resume story."""
