@@ -753,6 +753,75 @@ def elapsed_time(spark, sf_dir):
     )
 
 
+# -- exact quantiles (interpolating percentile — Spark `percentile`
+#    and DuckDB `quantile_cont` share the interpolation rule) ---------------
+@_q(
+    "value_quantiles",
+    "SELECT event_type, round(quantile_cont(value, 0.25), 6) AS q25, "
+    "round(quantile_cont(value, 0.5), 6) AS q50, "
+    "round(quantile_cont(value, 0.75), 6) AS q75 "
+    "FROM events GROUP BY event_type",
+)
+def value_quantiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25D)"), 6).alias("q25"),
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75D)"), 6).alias("q75"),
+    )
+
+
+# -- CUBE rollup (multi-granularity aggregation in one pass; cube keys
+#    coalesced to a sentinel so the hash compare never sees NULL keys) ------
+@_q(
+    "cube_rollup",
+    "SELECT coalesce(l_returnflag, '(all)') AS rf, "
+    "coalesce(l_linestatus, '(all)') AS ls, "
+    "CAST(count(*) AS BIGINT) AS cnt, round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def cube_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("ls"),
+            "cnt",
+            "qty",
+        )
+    )
+
+
+# -- distinct counting: exact (oracled) and HLL sketch (approximate;
+#    engines use different sketch impls -> rows-only + tolerance test) ------
+@_q(
+    "distinct_users",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY event_type",
+)
+def distinct_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+
+
+@_q("hll_distinct_users", None)  # sketch impls differ across engines
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct — the sketch path for
+    cardinalities where exact distinct's shuffle is prohibitive;
+    accuracy vs exact asserted in tests/test_misc_ops.py."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    )
+
+
 # -- skew-salted two-phase aggregation (scale technique: hot group
 #    keys spread over salt buckets, then merged; result is exactly the
 #    plain aggregation, which is what the oracle computes) ------------------

@@ -71,6 +71,23 @@ def test_build_dynamic_matrix():
     np.testing.assert_allclose(dyn[2][1], [0.5, 0.0])
 
 
+def test_hll_within_tolerance(spark):
+    from mpes_spark.registry import all_queries
+
+    qs = all_queries()
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in qs["hll_distinct_users"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in qs["distinct_users"](spark, SF_SMALL).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(2, 0.05 * exact[k])
+
+
 def test_sorted_lookups():
     arr = np.array([0.0, 1.0, 4.0, 9.0])
     assert binarysearch(arr, 4.0) == 2
