@@ -105,6 +105,41 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    assets: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image-resize plumbing over Arrow batches (``mapInPandas``):
+    emits the asset rows with resized payloads and updated metadata.
+    The pixel resample itself is STUBBED deterministically (payload
+    re-hashed to the target byte budget — no imaging library in this
+    runtime); a real implementation decodes with
+    :func:`decode_image`, resamples, and re-encodes per batch — the
+    schema, batch shape, and partition-preserving plan are already
+    exactly what that implementation needs."""
+    target_bytes = width * height * 3  # fake RGB byte budget
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            # deterministic fake resample: tile/truncate payload bytes
+            out["payload"] = out["payload"].map(
+                lambda b: (bytes(b) * (target_bytes // max(len(b), 1) + 1))[
+                    :target_bytes
+                ]
+            )
+            out["meta"] = out["meta"].map(
+                lambda m: {
+                    "width": width,
+                    "height": height,
+                    "sample_rate": m["sample_rate"],
+                    "n_frames": m["n_frames"],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
     index (the decode itself is stubbed — a real impl reads the

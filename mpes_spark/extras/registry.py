@@ -94,6 +94,20 @@ def lang_id_heuristic(spark, sf_dir):
 
 
 @_q(
+    "doc_rolling_hash",
+    f"SELECT doc_id, {TX.rolling_hash_sql('text')} AS rhash "
+    "FROM documents WHERE doc_id < 200",
+)
+def doc_rolling_hash(spark, sf_dir):
+    """Rabin–Karp rolling-hash fingerprint as pure fold column math —
+    value-identical on both engines (modular BIGINT arithmetic)."""
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id", TX.rolling_hash_expr("text").alias("rhash")
+    )
+
+
+@_q(
     "doc_fingerprint",
     "SELECT source, CAST(count(DISTINCT "
     f"{TX.fingerprint_sql('text')}) AS BIGINT) AS n_unique, "

@@ -184,6 +184,36 @@ def fingerprint_sql(text: str = "text") -> str:
     return f"md5(regexp_replace(lower(trim({text})), '\\s+', ' ', 'g'))"
 
 
+#: rolling-hash parameters (Rabin–Karp polynomial hash): base 31,
+#: large prime modulus applied per step so the accumulator never
+#: overflows a BIGINT under either engine's (ANSI) arithmetic
+_RH_BASE = 31
+_RH_MOD = 1_000_000_007
+_RH_SEED = 7
+
+
+def rolling_hash_expr(text: str | Column = "text") -> Column:
+    """Polynomial rolling hash of the character stream (Rabin–Karp):
+    ``h = fold(chars, seed, (acc, c) -> (acc*31 + ascii(c)) % p)`` —
+    pure ``aggregate`` column math, no UDF; the DuckDB twin
+    (``list_reduce``) computes the identical value."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(_RH_SEED).cast("bigint"),
+        lambda acc, ch: (acc * _RH_BASE + F.ascii(ch)) % _RH_MOD,
+    )
+
+
+def rolling_hash_sql(text: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({_RH_SEED} AS BIGINT), "
+        f"list_transform(string_split_regex({text}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD})"
+    )
+
+
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """Append the full stat column set in one projection (single scan,
     column-pruned to ``text``)."""
@@ -197,5 +227,6 @@ def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
             "lang_guess": lang_id_expr(text),
             "quality": quality_score_expr(text),
             "fingerprint": fingerprint_expr(text),
+            "rolling_hash": rolling_hash_expr(text),
         }
     )

@@ -116,6 +116,23 @@ def test_multimodal_feature_plumbing(spark):
     }
 
 
+def test_multimodal_resize_plumbing(spark):
+    assets = MM.assets_from_documents(_docs(spark).limit(6))
+    out = MM.resize_images(assets, width=32, height=16).collect()
+    assert len(out) == 6
+    for r in out:
+        assert len(r.payload) == 32 * 16 * 3
+        assert r.meta.width == 32 and r.meta.height == 16
+        assert r.meta.sample_rate == 16000  # untouched metadata carried
+    # deterministic across runs
+    again = MM.resize_images(
+        MM.assets_from_documents(_docs(spark).limit(6)), width=32, height=16
+    ).collect()
+    assert {r.asset_id: bytes(r.payload) for r in out} == {
+        r.asset_id: bytes(r.payload) for r in again
+    }
+
+
 def test_multimodal_frame_sampling(spark):
     assets = MM.assets_from_documents(_docs(spark).limit(5))
     frames = MM.sample_frames(assets, every_n=10)
