@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the optimizations SCALING.md
+promises must be visible in the executed plan, not just intended."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpes_spark.binning.engine import bin_sparse
+from mpes_spark.binning.spec import BinAxis
+from mpes_spark.registry import t
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_binning_pushes_range_filter_to_scan(spark):
+    """The half-open value pre-filter must reach the parquet scan as
+    PushedFilters, and the scan must read only the binned column."""
+    df = bin_sparse(
+        t(spark, SF_SMALL, "events"), [BinAxis("value", 100, 10.0, 480.0)]
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(value,10.0)" in plan
+    assert "LessThan(value,480.0)" in plan
+    assert "ReadSchema: struct<value:double>" in plan
+
+
+def test_binning_single_exchange(spark):
+    """Partial+final hash aggregation: exactly one shuffle, keyed on
+    the bin index — shuffle volume bounded by grid, not input."""
+    df = bin_sparse(
+        t(spark, SF_SMALL, "events"), [BinAxis("value", 100, 0.0, 500.0)]
+    )
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_derived_axis_skips_prefilter(spark):
+    """prefilter=False axes must not re-inline the derived expression
+    into scan filters (no pushed range filter), relying on the
+    post-aggregation guard instead."""
+    ev = t(spark, SF_SMALL, "events").select(
+        (F.col("value") * 2.0 + 1.0).alias("d")
+    )
+    df = bin_sparse(ev, [BinAxis("d", 10, 0.0, 100.0, prefilter=False)])
+    plan = _plan(df)
+    assert "GreaterThanOrEqual" not in plan
+    # the post-agg guard filters on the grouped key
+    assert "Filter" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    """Dimension lookups must broadcast the small side — the probe
+    side stays shuffle-free until the final aggregation."""
+    c = t(spark, SF_SMALL, "customer")
+    n = t(spark, SF_SMALL, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_k_uses_partial_per_partition(spark):
+    """Global top-k compiles to TakeOrderedAndProject (per-partition
+    partial top-k), never a full sort."""
+    li = t(spark, SF_SMALL, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("rev"))
+    df = agg.orderBy(F.col("rev").desc()).limit(10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_metadata_rollup_prunes_payload(spark):
+    """Metadata-only multimodal stats must not read the payload
+    column... except through the byte-length aggregate; verify the
+    text-stat query at least prunes to the columns it needs."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "source", F.length("text").alias("n")
+    )
+    df = d.groupBy("source").agg(F.sum("n"))
+    plan = _plan(df)
+    assert "ReadSchema: struct<text:string,source:string>" in plan or (
+        "text" in plan and "doc_id" not in plan.split("ReadSchema")[1][:200]
+    )
