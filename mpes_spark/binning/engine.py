@@ -71,17 +71,28 @@ def bin_sparse(
     axes: Sequence[BinAxis],
     extra_keys: Sequence[str] = (),
     count_name: str = "cnt",
+    weight: str | None = None,
 ) -> DataFrame:
     """N-D histogram as a sparse relation (bin_0..bin_{d-1}[, extra
     keys], count). ``extra_keys`` supports the per-file histogram
     matrix (``extractEDC``, /root/reference/mpes/fprocessing.py:3418-3435)
-    and any group-parallel binning. The final bin-range filter runs on
-    the aggregated relation (grid-bounded rows) and exists only to
-    drop the rare float-boundary bin ``floor((x-lo)/step) == nbins``
-    for x just below hi."""
-    keyed = with_bin_indices(df, axes, keep=extra_keys)
+    and any group-parallel binning. ``weight`` switches the measure
+    from row counts to a weighted histogram ``sum(weight)`` — the
+    non-count-measure extension SURVEY §2.9 anticipates (the
+    reference's kernels are count-only); same plan shape, the partial
+    aggregate carries a sum instead of a count. The final bin-range
+    filter runs on the aggregated relation (grid-bounded rows) and
+    exists only to drop the rare float-boundary bin
+    ``floor((x-lo)/step) == nbins`` for x just below hi."""
+    keep = list(extra_keys) + ([weight] if weight else [])
+    keyed = with_bin_indices(df, axes, keep=keep)
     keys = [ax.out for ax in axes] + list(extra_keys)
-    out = keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias(count_name))
+    measure = (
+        F.sum(F.col(weight)).alias(count_name)
+        if weight
+        else F.count(F.lit(1)).alias(count_name)
+    )
+    out = keyed.groupBy(*keys).agg(measure)
     for ax in axes:
         out = out.filter(ax.in_range_expr(F.col(ax.out)))
     return out
@@ -93,10 +104,13 @@ def bin_sparse_sql(
     extra_keys: Sequence[str] = (),
     count_name: str = "cnt",
     where: str | None = None,
+    weight: str | None = None,
+    round_digits: int | None = None,
 ) -> str:
     """The DuckDB-oracle twin of :func:`bin_sparse` — same arithmetic,
     same half-open rule (value-domain pre-filter + post-aggregation
-    bin guard), same column names."""
+    bin guard), same column names. ``weight``/``round_digits`` mirror
+    the weighted-measure variant."""
     sel = ", ".join(
         [f"{ax.index_sql()} AS {ax.out}" for ax in axes] + list(extra_keys)
     )
@@ -110,8 +124,15 @@ def bin_sparse_sql(
     where_sql = f"WHERE {' AND '.join(conds)} " if conds else ""
     keys = ", ".join([ax.out for ax in axes] + list(extra_keys))
     outer = " AND ".join(ax.in_range_sql(ax.out) for ax in axes)
+    if weight:
+        m = f"sum({weight})"
+        if round_digits is not None:
+            m = f"round({m}, {round_digits})"
+        measure = f"{m} AS {count_name}"
+    else:
+        measure = f"count(*) AS {count_name}"
     return (
-        f"SELECT * FROM (SELECT {sel}, count(*) AS {count_name} FROM {table} "
+        f"SELECT * FROM (SELECT {sel}, {measure} FROM {table} "
         f"{where_sql}GROUP BY {keys}) binned WHERE {outer}"
     )
 

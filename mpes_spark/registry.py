@@ -132,6 +132,27 @@ def hist_4d(spark, sf_dir):
     return bin_sparse(t(spark, sf_dir, "lineitem"), _AX4)
 
 
+# -- weighted histogram (sum-of-measure binning — the non-count
+#    measure extension of SURVEY §2.9; the reference kernels are
+#    count-only) -------------------------------------------------------------
+_AX_W = BinAxis("l_quantity", nbins=49, lo=1.0, hi=50.0)
+
+
+@_q(
+    "hist_weighted",
+    bin_sparse_sql(
+        "lineitem", [_AX_W], count_name="wsum", weight="l_extendedprice",
+        round_digits=2,
+    ),
+)
+def hist_weighted(spark, sf_dir):
+    h = bin_sparse(
+        t(spark, sf_dir, "lineitem"), [_AX_W], count_name="wsum",
+        weight="l_extendedprice",
+    )
+    return h.select(_AX_W.out, F.round(F.col("wsum"), 2).alias("wsum"))
+
+
 # -- range filter + binning (applyFilter,
 #    /root/reference/mpes/fprocessing.py:2185-2203) -------------------------
 _AX_FLT = BinAxis("value", nbins=50, lo=50.0, hi=300.0)
