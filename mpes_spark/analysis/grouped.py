@@ -53,6 +53,50 @@ def shirley_per_group(
     return hist.groupBy(group_col).applyInPandas(per_group, schema=schema)
 
 
+def bootstrapfit_per_group(
+    hist: DataFrame,
+    group_col: str,
+    line_col: str,
+    bin_col: str,
+    cnt_col: str = "cnt",
+    model=None,
+    p0=None,
+    param_names: list[str] | None = None,
+) -> DataFrame:
+    """Distributed bootstrapped line fitting: within each group, fit
+    the (line, bin) -> cnt map line-by-line with parameter
+    bootstrapping from the previous line (sequential by construction —
+    SURVEY §7 risk 5); groups run in parallel across the cluster.
+    Input: sparse (group, line, bin, cnt). Output: (group, line,
+    param..., cost) one row per fitted line."""
+    from mpes_spark.analysis.fitting import Model, gaussian
+
+    if model is None:
+        model = Model(lambda x, p: gaussian(x, *p), ["amp", "xc", "sig"])
+        p0 = p0 or [1.0, 0.0, 1.0]
+    names = param_names or model.param_names
+    schema = (
+        f"{group_col} string, {line_col} bigint, "
+        + ", ".join(f"{n} double" for n in names)
+        + ", cost double"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = np.asarray(p0, dtype=float)
+        out = []
+        for line, grp in pdf.sort_values([line_col, bin_col]).groupby(line_col):
+            x = grp[bin_col].to_numpy(dtype="float64")
+            y = grp[cnt_col].to_numpy(dtype="float64")
+            res = model.fit(x, y, p)
+            p = res["p"]  # bootstrap the next line from this solution
+            out.append(
+                [pdf[group_col].iloc[0], int(line), *p.tolist(), res["cost"]]
+            )
+        return pd.DataFrame(out, columns=[group_col, line_col, *names, "cost"])
+
+    return hist.groupBy(group_col).applyInPandas(per_group, schema=schema)
+
+
 def peaks_per_group(
     hist: DataFrame,
     group_col: str,

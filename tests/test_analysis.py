@@ -188,6 +188,33 @@ def test_line_generator():
     np.testing.assert_allclose(np.diff(pts[:, 0]), 1.0)
 
 
+def test_bootstrapfit_per_group_distributed(spark):
+    """Two groups of synthetic line scans with drifting gaussian
+    centers: the distributed bootstrapped fit must track each group's
+    drift independently."""
+    import pandas as pd
+
+    from mpes_spark.analysis.grouped import bootstrapfit_per_group
+
+    x = np.linspace(-5, 5, 101)
+    rows = []
+    truth = {}
+    for g, (c0, dc) in {"a": (-1.0, 0.25), "b": (1.5, -0.3)}.items():
+        for line in range(6):
+            c = c0 + dc * line
+            truth[(g, line)] = c
+            for xi, yi in zip(x, _gauss(x, c, 0.8) * 2.0):
+                rows.append((g, line, float(xi), float(yi)))
+    pdf = pd.DataFrame(rows, columns=["grp", "line", "bin", "cnt"])
+    hist = spark.createDataFrame(pdf)
+    out = bootstrapfit_per_group(
+        hist, "grp", "line", "bin", p0=[1.5, 0.0, 1.0]
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.xc == pytest.approx(truth[(r.grp, r.line)], abs=0.05)
+
+
 # -- distributed adapters --------------------------------------------------
 
 def test_shirley_per_group_distributed(spark):
