@@ -221,19 +221,32 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(
-    pairs: DataFrame, shingles: DataFrame, threshold: float, id_col: str = "doc_id"
+    pairs: DataFrame,
+    shingles: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: two equi-joins
     against the shingle table + one groupBy — only candidate pairs pay
-    this cost. The candidate-pair relation is broadcast (it is orders
-    of magnitude smaller than the shingle table — that is the point of
-    LSH), so the big shingle relation is scanned without a shuffle for
-    the first join; AQE handles the second."""
+    this cost.
+
+    ``broadcast_pairs=None`` (default) leaves the join strategy to the
+    optimizer: AQE measures the *actual* candidate-pair size at the
+    shuffle boundary and converts to a broadcast join iff it fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` — the common LSH case,
+    where candidates are orders of magnitude smaller than the shingle
+    table. On a pathological corpus (template spam / boilerplate: every
+    doc near-identical, so the candidate relation grows ~quadratically
+    in the duplicate-cluster size) AQE instead keeps a shuffled join —
+    a forced ``F.broadcast`` there would OOM the executors. Pass
+    ``True``/``False`` only to pin the strategy for a known corpus."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "sh")
     sb = shingles.select(F.col(id_col).alias("id_b"), "sh")
+    pairs_side = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        sa.join(F.broadcast(pairs), "id_a")
+        sa.join(pairs_side, "id_a")
         .join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("icnt"))

@@ -247,6 +247,26 @@ def embed_neardup_lsh(spark, sf_dir):
     return SIM.embedding_neardup_pairs(_embs(spark, sf_dir), _PLANES, threshold=0.4)
 
 
+_BANDED_PLANES = SIM.hyperplanes(dim=64, nplanes=16, seed=11)
+
+
+@_q(
+    "embed_neardup_banded",
+    SIM.embedding_neardup_banded_sql(
+        "embeddings", _BANDED_PLANES, bands=4, threshold=0.4
+    ),
+)
+def embed_neardup_banded(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup (4 bands x 4 planes) — the
+    corpus-scale variant: band width sets bucket granularity
+    (2^w buckets per band), band count restores recall
+    (P = 1 - (1 - p^w)^bands); candidates distinct'd before the exact
+    cosine verify. Full oracle twin (UNION-ALL band rendering)."""
+    return SIM.embedding_neardup_banded(
+        _embs(spark, sf_dir), _BANDED_PLANES, bands=4, threshold=0.4
+    )
+
+
 @_q("ivf_ann_cosine", None)  # learned buckets (kmeans+UDF): rows-only
 def ivf_ann_cosine(spark, sf_dir):
     """IVF ANN: driver-trained coarse quantizer (k-means on a bounded

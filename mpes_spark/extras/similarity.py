@@ -236,8 +236,22 @@ def train_ivf_centroids(
     centroids. The sample collect is capped (`sample_rows`), never the
     corpus; at 1e9 vectors the same code trains on a 1e5-row sample —
     standard IVF practice (coarse quantizer quality needs samples,
-    not the full set)."""
-    pdf = corpus.select(vec).limit(sample_rows).toPandas()
+    not the full set).
+
+    The sample is a seeded uniform ``.sample()`` over the whole corpus
+    — NOT a ``.limit()`` prefix, which on a sorted/clustered corpus
+    (e.g. ingested shard-by-shard) would train the quantizer on one
+    cluster and starve the rest. The one count() it costs is a
+    metadata-cheap scan, paid once at train time."""
+    n = corpus.count()
+    if n > sample_rows:
+        # oversample 2x then cap, so the post-filter row count reliably
+        # reaches sample_rows despite Bernoulli-sampling variance
+        frac = min(1.0, 2.0 * sample_rows / n)
+        sampled = corpus.select(vec).sample(fraction=frac, seed=seed).limit(sample_rows)
+    else:
+        sampled = corpus.select(vec)
+    pdf = sampled.toPandas()
     X = np.stack(pdf[vec].to_numpy()).astype("float64")
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=k, replace=False)]
@@ -339,7 +353,18 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs *within LSH buckets*:
     (id_a, id_b, cosine >= threshold). Same bucket-join discipline —
     exact near-dup pairs whose members land in different buckets are
-    (documented) recall loss, the standard LSH trade."""
+    (documented) recall loss, the standard LSH trade.
+
+    Sizing: with p planes there are 2^p buckets, so the expected
+    within-bucket candidate volume is ~n^2 / 2^p. A fixed small p does
+    NOT survive corpus growth (8 planes at 1e9 vectors -> ~4M
+    rows/bucket -> ~10^12 pair evaluations); p must scale as
+    ``p >= log2(n / target_bucket_rows)``. But raising p alone
+    collapses recall (P[same bucket] = (1 - theta/pi)^p). The scale
+    answer is :func:`embedding_neardup_banded` below, which decouples
+    the two: band width sets bucket granularity, band count restores
+    recall. This single-bucket form is kept as the oracle-simplest
+    variant."""
     c = corpus.select(
         F.col(id_col), as_double_array(vec).alias("v")
     ).withColumn("bucket", bucket_expr(F.col("v"), planes))
@@ -380,4 +405,122 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
 WHERE list_dot_product(a.v, b.v) /
       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {threshold!r}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# banded (multi-band OR) embedding near-dup — the corpus-scale variant
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_banded(
+    corpus: DataFrame,
+    planes: np.ndarray,
+    bands: int = 4,
+    threshold: float = 0.95,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup pairs — the same multi-band OR
+    construction MinHash uses, applied to SRP sign bits. ``planes``
+    holds ``bands * w`` hyperplanes; band ``b`` buckets on the sign
+    bits of its own ``w``-plane slice, a pair is a candidate iff it
+    agrees on ALL ``w`` bits of >= 1 band, and candidates are verified
+    with the exact cosine.
+
+    Why this survives corpus growth where the single-bucket variant
+    does not (sizing math, mirrored in SCALING.md):
+
+    - per-band bucket count = 2^w, so expected within-bucket candidate
+      volume ~= bands * n^2 / 2^w. Choose
+      ``w >= log2(n / target_bucket_rows)`` — e.g. n=1e9,
+      target 1e3 rows/bucket -> w = 20.
+    - recall for a pair at angle theta (bit-agreement prob
+      p = 1 - theta/pi): P[candidate] = 1 - (1 - p^w)^bands —
+      raising w sharpens the threshold, raising bands restores recall.
+      For cosine 0.95 (p ~= 0.899), w=20, bands=16: P ~= 0.78; bands=32:
+      P ~= 0.95. Bands cost one extra explode row per vector each, NOT
+      extra verify work (candidates are distinct'd before the verify
+      join).
+
+    Joins: candidate generation is equi-keyed on (band, bucket); the
+    verify stage re-joins ids to vectors equi-keyed on id. Never
+    all-pairs; the vector payload is NOT carried through the bucket
+    explode (ids only), so the candidate shuffle stays narrow."""
+    nplanes = len(planes)
+    if nplanes % bands:
+        raise ValueError(f"bands={bands} must divide nplanes={nplanes}")
+    w = nplanes // bands
+    c = corpus.select(F.col(id_col), as_double_array(vec).alias("v"))
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            bucket_expr(F.col("v"), planes[b * w : (b + 1) * w]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    cb = c.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = cb.alias("a"), cb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    raw = dot_expr(F.col("va"), F.col("vb")) / (
+        norm_expr(F.col("va")) * norm_expr(F.col("vb"))
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_banded_sql(
+    table: str,
+    planes: np.ndarray,
+    bands: int = 4,
+    threshold: float = 0.95,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle twin of :func:`embedding_neardup_banded` — the
+    band explode is rendered as a UNION ALL over the (small, fixed)
+    band count so both engines form identical candidate sets."""
+    nplanes = len(planes)
+    if nplanes % bands:
+        raise ValueError(f"bands={bands} must divide nplanes={nplanes}")
+    w = nplanes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, "
+        f"{bucket_sql('v', planes[b * w : (b + 1) * w])} AS bucket FROM c"
+        for b in range(bands)
+    )
+    cos = (
+        "list_dot_product(va.v, vb.v) / "
+        "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
+    )
+    return f"""
+WITH c AS (SELECT {id_col}, {vec}::DOUBLE[] AS v FROM {table}),
+cb AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM cb a JOIN cb b ON a.band = b.band AND a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+)
+SELECT cand.id_a, cand.id_b, round({cos}, 6) AS cosine
+FROM cand
+JOIN c va ON va.{id_col} = cand.id_a
+JOIN c vb ON vb.{id_col} = cand.id_b
+WHERE {cos} >= {threshold!r}
 """.strip()

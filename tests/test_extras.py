@@ -44,6 +44,27 @@ def test_minhash_finds_planted_neardup(spark):
     assert (0, 999_999) in hits
 
 
+def test_minhash_pathological_corpus_no_forced_broadcast(spark):
+    """Template-spam corpus (every doc near-identical -> candidate
+    relation ~quadratic in corpus size): the pipeline must not force a
+    broadcast of the huge pair relation (VERDICT r2 #2) and must still
+    complete and find the expected pair volume."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "slow green turtle watches from the muddy river bank nearby"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"{base} tail{i % 3}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_neardup_pairs(docs, n=3, k=32, bands=8, threshold=0.5)
+    # no static broadcast hint anywhere in the plan
+    assert "ResolvedHint" not in pairs._jdf.queryExecution().analyzed().toString()
+    n = pairs.count()
+    # 3 template groups of 40 identical docs -> >= 3 * C(40,2) pairs
+    assert n >= 3 * (40 * 39) // 2
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     d = _docs(spark).limit(20)
     dup = d.filter(F.col("doc_id") == 1).withColumn("doc_id", F.lit(888_888))
@@ -97,6 +118,79 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     hits = sum(probed.get(k) == v for k, v in exact.items())
     assert hits >= len(exact) // 2  # recall >= 0.5 at nprobe=2 of 4
+
+
+def test_ivf_sampling_robust_to_clustered_corpus(spark):
+    """VERDICT r2 #8: the quantizer trains on a seeded uniform sample,
+    not a ``.limit`` prefix — on a corpus laid out cluster-by-cluster
+    (orderBy label) a prefix sees one cluster only and recall
+    collapses. Seeded sampling must keep recall intact on the sorted
+    layout."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").orderBy(
+        "label", "vec_id"
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    cent = SIM.train_ivf_centroids(e, k=4, sample_rows=300, iters=6, seed=7)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.topk_cosine(e, q, k=1).collect()
+    }
+    probed = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk_cosine(e, q, cent, k=1, nprobe=2).collect()
+    }
+    hits = sum(probed.get(k) == v for k, v in exact.items())
+    assert hits >= len(exact) // 2
+    # and the inverted lists are actually spread, not one mega-list
+    counts = (
+        SIM.ivf_assign(e, cent).groupBy("list_id").count().collect()
+    )
+    total = sum(r["count"] for r in counts)
+    assert len(counts) >= 2
+    assert max(r["count"] for r in counts) < total
+
+
+def test_banded_neardup_recall_vs_exact(spark):
+    """Banded hyperplane LSH (VERDICT r2 #3): verified candidates must
+    be a subset of the exact all-pairs ground truth (no false
+    positives), and narrowing bands (more bands x fewer planes each)
+    must raise recall on the same plane budget."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    c = e.select("vec_id", SIM.as_double_array("embedding").alias("v"))
+    a, b = c.alias("a"), c.alias("b")
+    raw = SIM.dot_expr(F.col("a.v"), F.col("b.v")) / (
+        SIM.norm_expr(F.col("a.v")) * SIM.norm_expr(F.col("b.v"))
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(raw >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .collect()
+    }
+    assert exact  # the synthetic corpus must contain near-dups at 0.4
+    planes = SIM.hyperplanes(64, 16, seed=11)
+    wide = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_neardup_banded(
+            e, planes, bands=4, threshold=0.4
+        ).collect()
+    }
+    narrow = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_neardup_banded(
+            e, planes, bands=8, threshold=0.4
+        ).collect()
+    }
+    assert wide <= exact and narrow <= exact  # exact-verified: no FPs
+    # 8 bands x 2 planes has strictly higher collision prob than
+    # 4 bands x 4 planes: 1-(1-p^2)^8 > 1-(1-p^4)^4 for p in (0,1)
+    assert len(narrow) >= len(wide)
+    assert len(narrow) / len(exact) >= 0.6
 
 
 def test_multimodal_feature_plumbing(spark):

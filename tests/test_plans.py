@@ -88,3 +88,24 @@ def test_metadata_rollup_prunes_payload(spark):
     assert "ReadSchema: struct<text:string,source:string>" in plan or (
         "text" in plan and "doc_id" not in plan.split("ReadSchema")[1][:200]
     )
+
+
+def test_verify_jaccard_aqe_broadcasts_candidates(spark):
+    """VERDICT r2 #2: verify_jaccard no longer forces F.broadcast on
+    the candidate-pair relation. In the common LSH case (candidates
+    orders of magnitude smaller than shingles) AQE must still pick a
+    broadcast join at runtime from the measured shuffle size — so the
+    shingle side is never shuffled across the network for that join —
+    while a pathological corpus safely degrades to a shuffled join
+    instead of an executor OOM."""
+    from mpes_spark.extras import dedup as DD
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(200)
+    out = DD.minhash_neardup_pairs(docs, n=3, k=32, bands=8, threshold=0.3)
+    # no static hint in the analyzed plan
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+    out.collect()  # finalize the adaptive plan
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan
+    # AQE converted the small candidate side to a runtime broadcast
+    assert "BroadcastHashJoin" in plan
