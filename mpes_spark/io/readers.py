@@ -112,19 +112,19 @@ def read_table(
     return df
 
 
-def read_events_hdf5(spark: SparkSession, paths: list[str]) -> DataFrame:
+def read_events_hdf5(spark: SparkSession, paths: list[str], **spec_kw) -> DataFrame:
     """Distributed HDF5 single-event ingest (``hdf5Reader.summarize``,
-    ``/root/reference/mpes/fprocessing.py:704-821``): parallelize the
-    file list, read ``Stream_*`` datasets per file on executors with
-    h5py, emit Arrow batches via ``mapInPandas``.
+    ``/root/reference/mpes/fprocessing.py:704-821``): a thin h5py
+    binding of the format-agnostic ingest seam in
+    ``mpes_spark/io/binary_source.py`` — chunk planning, alias lookup,
+    float32 cast, timeStamps reconstruction and the ``mapInPandas``
+    Arrow assembly all live there and are fully tested against the
+    in-memory ``DictBackend``. Only the ``Hdf5Backend`` constructor
+    touches h5py; without it this raises ``NotImplementedError``."""
+    from mpes_spark.io.binary_source import (
+        Hdf5Backend,
+        IngestSpec,
+        read_events_binary,
+    )
 
-    h5py is not installed in this environment — the plumbing is kept
-    and the dataset read is stubbed."""
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "h5py unavailable: convert HDF5 to parquet offline "
-            "(hdf5Reader.convert analog) or install h5py on executors"
-        ) from exc
-    raise NotImplementedError("HDF5 executor-side reader: implement when h5py present")
+    return read_events_binary(spark, paths, Hdf5Backend(), IngestSpec(**spec_kw))
