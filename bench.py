@@ -1,13 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness — times every registered query at the bench scale
-factor and emits ONE parseable JSON line on stdout.
+factor, BASELINE.md §2 protocol (3 repetitions, fresh SparkSession per
+rep, per-query MEDIAN wall-clock), and emits ONE parseable JSON line
+on stdout.
 
 Protocol (driver contract):
     $SPARK_GRAFT_SF_DIR  input dir  (default /root/testdata/sf0.1)
     $SPARK_GRAFT_CPUS    local[N]   (default 32)
+    $SPARK_GRAFT_REPS    repetitions (default 3; medians over reps)
     stdout last line: {"metric": ..., "value": total_sec, "unit": "sec",
                        "queries": {name: sec, ...}, "sf": N}
+    plus: "reps", per-query dispersion ("spread": {name: [min, max]}),
+    and round-over-round deltas vs the latest BENCH_r*.json
+    ("prev_total", "delta_total", "regressions").
 
+Each rep tears the SparkSession down and builds a new one (cold
+catalog/file-index/plan caches; the JVM itself is reused in-process —
+the one warmth the protocol cannot shed without a subprocess per rep).
 Each query is materialized with ``collect()`` — results are small
 aggregates (bounded by grid/group cardinality, never event rows), so
 collect cost is negligible and the timing captures the full scan ->
@@ -16,22 +25,45 @@ transform -> shuffle -> aggregate pipeline.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+def _prev_round_queries(sf: float) -> tuple[str | None, dict[str, float]]:
+    """Latest driver-recorded BENCH_r*.json at the same scale factor
+    -> (file, per-query secs); deltas across scale factors would be
+    meaningless."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            r = int(m.group(1))
+            if best is None or r > best[0]:
+                best = (r, p)
+    if best is None:
+        return None, {}
     try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = -1.0
+        with open(best[1]) as fh:
+            doc = json.load(fh)
+        parsed = doc.get("parsed", doc)
+        if float(parsed.get("sf", -1)) != sf:
+            return None, {}
+        q = parsed.get("queries", {})
+        return os.path.basename(best[1]), {k: float(v) for k, v in q.items()}
+    except Exception:  # noqa: BLE001 - deltas are best-effort decoration
+        return os.path.basename(best[1]), {}
 
+
+def _run_suite(sf_dir: str, cpus: str) -> tuple[dict[str, float], dict[str, str]]:
+    """One cold rep: fresh session, warm-up scan, run every query."""
     from mpes_spark.session import get_spark
 
     spark = get_spark(
@@ -39,13 +71,11 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
     )
+    # Pay one-time session costs (JVM threads, parquet footer reads)
+    # outside the timed region.
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy().count().collect()
 
     from __spark_entry__ import queries
-
-    # Warm up the JVM / codegen / file-index caches outside the timed
-    # region (standard benchmarking practice: the first action pays
-    # one-time session costs that say nothing about query throughput).
-    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy().count().collect()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -53,22 +83,67 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - report, don't abort the run
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# FAIL {name}: {failures[name]}", file=sys.stderr)
+    spark.stop()
+    return timings, failures
 
-    out = {
-        "metric": "query_suite_total",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    per_rep: list[dict[str, float]] = []
+    failures: dict[str, str] = {}
+    for r in range(reps):
+        t, f = _run_suite(sf_dir, cpus)
+        per_rep.append(t)
+        failures.update(f)
+        print(f"# rep {r + 1}/{reps}: {sum(t.values()):.1f}s", file=sys.stderr)
+
+    names = [n for n in per_rep[0] if all(n in t for t in per_rep)]
+    medians = {
+        n: round(statistics.median(t[n] for t in per_rep), 4) for n in names
     }
+    spread = {
+        n: [round(min(t[n] for t in per_rep), 4), round(max(t[n] for t in per_rep), 4)]
+        for n in names
+    }
+
+    out: dict = {
+        "metric": "query_suite_total",
+        "value": round(sum(medians.values()), 4),
+        "unit": "sec",
+        "queries": medians,
+        "sf": sf,
+        "reps": reps,
+        "spread": spread,
+    }
+
+    prev_file, prev = _prev_round_queries(sf)
+    if prev:
+        common = [n for n in medians if n in prev]
+        out["prev_round"] = prev_file
+        out["prev_total"] = round(sum(prev[n] for n in common), 4)
+        out["delta_total"] = round(
+            sum(medians[n] for n in common) - out["prev_total"], 4
+        )
+        # queries >= 1.5x slower than last round's recorded number
+        out["regressions"] = {
+            n: [round(prev[n], 4), medians[n]]
+            for n in common
+            if prev[n] > 0.05 and medians[n] / prev[n] >= 1.5
+        }
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
