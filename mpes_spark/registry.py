@@ -1058,6 +1058,56 @@ def dfield_join_bin(spark, sf_dir):
     return bin_sparse(warped, [_AX_DFX])
 
 
+# -- production-path dfield: generate_dfield -> dfield_table ->
+#    apply_dfield_join, exact closed-form oracle ---------------------------
+_DP_N = 64
+
+
+def _shear_dfield() -> np.ndarray:
+    """Inverse field produced by the REAL pipeline inverter
+    (``generate_dfield``, calibrate/dfield.py:23) from a forward shear
+    (i, j) -> (i, i + j). The shear is a unimodular integer map, so
+    the scatter inversion is EXACT — one vote per reached cell, no
+    rounding collisions, fill disabled — and the inverse has the
+    closed form the oracle needs: cell (r, c) -> (r, c - r) when
+    0 <= c - r < N, NaN outside the sheared footprint (the
+    reference's boundary-NaN semantics, base.py:570-572)."""
+    from mpes_spark.calibrate.dfield import generate_dfield
+
+    ii, jj = np.meshgrid(np.arange(_DP_N), np.arange(_DP_N), indexing="ij")
+    return generate_dfield(ii, ii + jj, out_shape=(_DP_N, _DP_N), fill_iters=0)
+
+
+_AX_DPX = BinAxis("Xm", nbins=8, lo=0.0, hi=8.0)
+_AX_DPY = BinAxis("Ym", nbins=16, lo=0.0, hi=64.0)
+
+_DP_ORACLE = (
+    "(SELECT CAST(CAST(l_linenumber AS INT) AS DOUBLE) AS Xm, "
+    "CAST(CAST(l_quantity AS INT) - CAST(l_linenumber AS INT) AS DOUBLE) AS Ym "
+    "FROM lineitem "
+    f"WHERE CAST(l_linenumber AS INT) >= 0 AND CAST(l_linenumber AS INT) < {_DP_N} "
+    f"AND CAST(l_quantity AS INT) >= 0 AND CAST(l_quantity AS INT) < {_DP_N} "
+    "AND CAST(l_quantity AS INT) - CAST(l_linenumber AS INT) >= 0 "
+    f"AND CAST(l_quantity AS INT) - CAST(l_linenumber AS INT) < {_DP_N})"
+)
+
+
+@_q("dfield_pipeline_bin", bin_sparse_sql(_DP_ORACLE, [_AX_DPX, _AX_DPY]))
+def dfield_pipeline_bin(spark, sf_dir):
+    """Unlike ``dfield_join_bin`` (formula-built lookup), this runs
+    the inverse field through the production inverter itself: the
+    oracle's closed form holds because the forward shear makes the
+    scatter inversion exact. Events outside the warped footprint pick
+    up NaN (Spark) / are excluded (oracle) — both fall out of the bin
+    range filter, asserting the NaN boundary semantics end-to-end."""
+    lookup = XC.dfield_table(spark, _shear_dfield())
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_linenumber").alias("X"), F.col("l_quantity").alias("Y")
+    )
+    warped = XC.apply_dfield_join(li, lookup)
+    return bin_sparse(warped, [_AX_DPX, _AX_DPY])
+
+
 # -- per-file histogram matrix (extractEDC over a file list,
 #    /root/reference/mpes/fprocessing.py:3418-3435): input_file_name
 #    carried as the group key ----------------------------------------------

@@ -240,6 +240,23 @@ def dfield_table(spark: SparkSession, dfield: np.ndarray) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+# Broadcast budget for the dfield lookup relation: full detector
+# resolution (2048 x 2048) flattens to 4.19e6 rows x 24 B
+# (int32 xi, int32 yi, float64 newX, float64 newY) = 96 MiB raw
+# columnar. The JVM HashedRelation roughly doubles that in executor
+# memory — still well under a 4 GiB executor, and constant in event
+# count, so the broadcast is safe at any corpus scale. Asserted at
+# full resolution in tests/test_dfield_production.py.
+DFIELD_BROADCAST_BUDGET_BYTES = 160 * 2**20
+
+
+def dfield_broadcast_bytes(shape: tuple[int, int]) -> int:
+    """Raw columnar size estimate of ``dfield_table`` for an (H, W)
+    field: rows x (4 + 4 + 8 + 8) bytes."""
+    h, w = shape
+    return h * w * 24
+
+
 def apply_dfield_join(
     df: DataFrame,
     lookup: DataFrame,
@@ -251,8 +268,8 @@ def apply_dfield_join(
     """Per-event inverse-deformation lookup via broadcast-hash join on
     the truncated integer pixel index (int16 cast in the reference,
     ``/root/reference/mpes/base.py:538``). The lookup table is at most
-    2048^2 rows (~130 MB) — always broadcastable; the event side stays
-    shuffle-free."""
+    2048^2 rows (96 MiB raw, see ``DFIELD_BROADCAST_BUDGET_BYTES``) —
+    always broadcastable; the event side stays shuffle-free."""
     keyed = df.withColumn("_xi", F.col(x).cast("int")).withColumn(
         "_yi", F.col(y).cast("int")
     )
