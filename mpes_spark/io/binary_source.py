@@ -219,6 +219,32 @@ def convert_to_parquet(
     read_events_binary(spark, paths, backend, spec).write.mode(mode).parquet(save_addr)
 
 
+def summarize_source(
+    spark: SparkSession, paths: list[str], backend: BinaryEventBackend
+) -> DataFrame:
+    """Catalog relation of a binary source: one row per (file, group,
+    alias) with the file's event count and start time — the queryable
+    analog of ``hdf5Reader.summarize(form='text'/'metadict')``
+    (fprocessing.py:704-760). Driver-side metadata only (stream
+    catalogs are tiny); the event payload never moves."""
+    rows = []
+    for p in paths:
+        n = backend.n_events(p)
+        st = backend.start_time(p)
+        for g, a in backend.list_streams(p):
+            rows.append((p, g, a, n, float(st)))
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("group", T.StringType()),
+            T.StructField("alias", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("start_time", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # in-memory fake backend (tests; also the reference for new bindings)
 # ---------------------------------------------------------------------------

@@ -1130,6 +1130,51 @@ def per_file_hist(spark, sf_dir):
     return bin_sparse(ev, [_AX_PF], extra_keys=["fname"])
 
 
+# -- session-window scan segmentation (§2.8's batch-mode hard signal:
+#    session_window is the same grouping expression streaming uses) --------
+_SESSION_GAP_US = 7_200_000_000  # 2 hours
+
+
+@_q(
+    "session_scan_segments",
+    f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM e),
+f AS (SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS news
+      FROM l),
+g AS (SELECT user_id, us,
+             sum(news) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f)
+SELECT user_id, min(us) AS session_start_us,
+       max(us) + {_SESSION_GAP_US} AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+""".strip(),
+)
+def session_scan_segments(spark, sf_dir):
+    """Acquisition-scan segmentation via ``session_window`` on the
+    batch events table (the identical grouping expression drives the
+    streaming path, ``streaming/live.py:scan_sessions``): events of
+    a user separated by more than 2 h of silence start a new scan.
+    Oracle is the classic gaps-and-islands rewrite; the boundary rule
+    matches Spark exactly (merge at gap == threshold, split strictly
+    beyond — pinned empirically and by the `>` in the oracle).
+    Timestamps are compared at µs (DuckDB truncates TIMESTAMP(NANOS)
+    to µs; Spark reads nanos longs and divides)."""
+    from mpes_spark.streaming.live import scan_sessions
+
+    ev = t(spark, sf_dir, "events")
+    out = scan_sessions(ev, gap="2 hours", group_col="user_id")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -1148,7 +1193,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     from mpes_spark.extras.registry import extras_queries
 
-    return extras_queries() | {q.name: q.spark for q in _REGISTRY}
+    base = extras_queries() | {q.name: q.spark for q in _REGISTRY}
+    # hoist this round's new, still-driver-unproven queries ahead of
+    # the long-green ones (same window rationale as extras-first)
+    prove_first = ["session_scan_segments", "dfield_pipeline_bin"]
+    return {n: base[n] for n in prove_first if n in base} | base
 
 
 def all_oracles() -> dict[str, str]:

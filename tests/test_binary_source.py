@@ -154,6 +154,17 @@ def test_convert_to_parquet_then_bin(spark, backend, tmp_path):
     assert np.array_equal(got, want)
 
 
+def test_summarize_source_catalog(spark, backend):
+    from mpes_spark.io.binary_source import summarize_source
+
+    paths = sorted(backend.files)
+    cat = summarize_source(spark, paths, backend).toPandas()
+    assert len(cat) == sum(len(backend.list_streams(p)) for p in paths)
+    f0 = cat[cat.file == paths[0]]
+    assert set(f0.alias) == {"X", "Y", "t", "Stream_4"}  # nullval alias kept
+    assert (f0.n_events == backend.n_events(paths[0])).all()
+
+
 def test_hdf5_binding_gated_without_h5py(spark):
     from mpes_spark.io.readers import read_events_hdf5
 
