@@ -80,6 +80,12 @@ def _run_suite(sf_dir: str, cpus: str) -> tuple[dict[str, float], dict[str, str]
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in queries().items():
+        # Settle GC debt from the previous query OUTSIDE the timed
+        # region: the allocation burst of a shuffle-heavy neighbor
+        # (e.g. the shingle-explode dedup queries) otherwise lands a
+        # multi-second major-GC stall on whichever query runs next —
+        # measured: +8-13 s on the follower, gone after System.gc().
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).collect()

@@ -293,6 +293,10 @@ def minhash_neardup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_FIELD_BITS = 21  # 3 packed bit-counters per 64-bit accumulator
+_SIMHASH_MAX_TOKENS = (1 << _SIMHASH_FIELD_BITS) - 1  # ~2.1M tokens/doc
+
+
 def simhash(
     df: DataFrame,
     text: str = "text",
@@ -302,24 +306,47 @@ def simhash(
     """Per-doc SimHash fingerprint (Charikar 2002): hash each token,
     sum +1/-1 per bit position over all tokens, take the sign vector
     as an ``nbits``-bit integer. 48 bits keeps the fingerprint positive
-    in a signed bigint. One explode + one groupBy with nbits
-    conditional sums (map-side combined)."""
+    in a signed bigint.
+
+    The per-bit +1/-1 sums are packed, not separate: a naive nbits
+    conditional-sum aggregate (48 CASE WHENs per row) compiles past
+    the JIT method budget and ran ~3x slower interpreted. Instead each
+    aggregate column packs 3 bit-counters into 21-bit fields of one
+    long — ``sum(((h>>b)&1) | ((h>>b+1)&1)<<21 | ((h>>b+2)&1)<<42)``
+    — so 48 bits need 16 small JIT-friendly sums, map-side combined.
+    The ±1 sum is recovered as ``2*count_b - n_tokens``. Carry-safe
+    for docs up to ``_SIMHASH_MAX_TOKENS`` (~2.1M) tokens; longer
+    docs raise at runtime via an ANSI-checked guard below."""
+    per_acc = 64 // _SIMHASH_FIELD_BITS  # 3
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{b}")
-        for b in range(nbits)
-    ]
-    sums = toks.groupBy(id_col).agg(*bit_sums)
+
+    def bit(b: int):
+        return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("bigint")
+
+    aggs = []
+    for a in range(0, nbits, per_acc):
+        packed = F.lit(0).cast("bigint")
+        for k in range(min(per_acc, nbits - a)):
+            packed = packed + F.shiftleft(bit(a + k), k * _SIMHASH_FIELD_BITS)
+        aggs.append(F.sum(packed).alias(f"acc_{a}"))
+    aggs.append(F.count(F.lit(1)).alias("_n_tok"))
+    sums = toks.groupBy(id_col).agg(*aggs)
+
+    mask = F.lit((1 << _SIMHASH_FIELD_BITS) - 1).cast("bigint")
     fp = F.lit(0).cast("bigint")
     for b in range(nbits):
-        fp = fp + F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+        acc, k = (b // per_acc) * per_acc, b % per_acc
+        cnt = F.shiftright(F.col(f"acc_{acc}"), k * _SIMHASH_FIELD_BITS).bitwiseAND(mask)
+        # sign of (2*cnt - n) > 0  <=>  +1 majority on bit b
+        fp = fp + F.when(
+            cnt * 2 > F.col("_n_tok"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    guard = F.when(
+        F.col("_n_tok") <= _SIMHASH_MAX_TOKENS, fp
+    ).otherwise(F.raise_error(F.lit("simhash: doc exceeds packed-counter capacity")))
+    return sums.select(F.col(id_col), guard.alias("simhash"))
 
 
 def simhash_neardup_pairs(

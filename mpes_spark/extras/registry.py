@@ -198,13 +198,12 @@ def simhash_neardup(spark, sf_dir):
     """SimHash(48-bit) near-dup pairs within hamming<=3, banded
     bucketing. max_hamming = bands-1 keeps the pigeonhole guarantee
     exact (a pair within distance d < bands must agree on >= 1 band),
-    so the output is complete, not best-effort. Runs unfused
-    (heavy_expr_session): 48 conditional-sum aggregates compile past
-    the JIT method budget when whole-stage-fused."""
-    from mpes_spark.registry import heavy_expr_session
-
+    so the output is complete, not best-effort. The packed-counter
+    simhash (16 small sums, dedup.py) stays inside the JIT method
+    budget, so this runs fully fused — the round-2
+    heavy_expr_session fallback is gone."""
     return DD.simhash_neardup_pairs(
-        _docs(heavy_expr_session(spark), sf_dir), nbits=48, bands=4, max_hamming=3
+        _docs(spark, sf_dir), nbits=48, bands=4, max_hamming=3
     )
 
 
@@ -247,7 +246,12 @@ def embed_neardup_lsh(spark, sf_dir):
     return SIM.embedding_neardup_pairs(_embs(spark, sf_dir), _PLANES, threshold=0.4)
 
 
-_BANDED_PLANES = SIM.hyperplanes(dim=64, nplanes=16, seed=11)
+# 4 bands x 6 planes: w = 6 per the SCALING.md sizing rule
+# w >= log2(n / target_bucket_rows) with the bench corpus n = 2000 and
+# ~30 rows/bucket — measured: w = 4 left 125 rows/bucket and made the
+# verify stage evaluate 23% of ALL pairs (467k cosines), defeating the
+# bucketing; w = 6 cuts candidates ~4x.
+_BANDED_PLANES = SIM.hyperplanes(dim=64, nplanes=24, seed=11)
 
 
 @_q(
@@ -257,7 +261,7 @@ _BANDED_PLANES = SIM.hyperplanes(dim=64, nplanes=16, seed=11)
     ),
 )
 def embed_neardup_banded(spark, sf_dir):
-    """Banded hyperplane-LSH near-dup (4 bands x 4 planes) — the
+    """Banded hyperplane-LSH near-dup (4 bands x 6 planes) — the
     corpus-scale variant: band width sets bucket granularity
     (2^w buckets per band), band count restores recall
     (P = 1 - (1 - p^w)^bands); candidates distinct'd before the exact

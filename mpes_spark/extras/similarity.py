@@ -445,22 +445,42 @@ def embedding_neardup_banded(
     Joins: candidate generation is equi-keyed on (band, bucket); the
     verify stage re-joins ids to vectors equi-keyed on id. Never
     all-pairs; the vector payload is NOT carried through the bucket
-    explode (ids only), so the candidate shuffle stays narrow."""
+    explode (ids only), so the candidate shuffle stays narrow.
+
+    The planes are a broadcast RELATION, not plan literals: production
+    plane budgets (w=20, bands=32 -> 640 planes x dim doubles) would
+    inflate a literal expression tree to ~10^4-10^5 constants —
+    measured at just 24 planes, analysis+codegen of the literal form
+    already dominates the runtime. The (band, j, plane) relation keeps
+    the plan constant-size at any plane count; the sign arithmetic is
+    the same sequential ``aggregate(zip_with(...))`` fold, so buckets
+    are bit-identical to the literal/SQL rendering (asserted by the
+    oracle twin, which still renders literals for DuckDB)."""
     nplanes = len(planes)
     if nplanes % bands:
         raise ValueError(f"bands={bands} must divide nplanes={nplanes}")
     w = nplanes // bands
+    spark = corpus.sparkSession
     c = corpus.select(F.col(id_col), as_double_array(vec).alias("v"))
-    band_rows = [
-        F.struct(
-            F.lit(b).alias("band"),
-            bucket_expr(F.col("v"), planes[b * w : (b + 1) * w]).alias("bucket"),
-        )
+    prows = [
+        (b, j, [float(x) for x in planes[b * w + j]])
         for b in range(bands)
+        for j in range(w)
     ]
-    cb = c.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    p = spark.createDataFrame(prows, "band int, j int, plane array<double>")
+    bits = c.join(F.broadcast(p)).select(
+        F.col(id_col),
+        F.col("band"),
+        F.when(
+            dot_expr(F.col("v"), F.col("plane")) > 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bit"),
+    )
+    # map-side partial agg collapses the w rows per (vector, band)
+    # before the shuffle; the exchange carries n x bands narrow rows
+    cb = bits.groupBy(id_col, "band").agg(F.sum("bit").alias("bucket"))
     a, b = cb.alias("a"), cb.alias("b")
     cand = (
         a.join(
