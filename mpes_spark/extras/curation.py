@@ -1,0 +1,186 @@
+"""Corpus-curation operators a training-data pipeline runs between
+dedup and tokenization: stratified (per-source quota) sampling,
+benchmark-contamination detection, and fixed-size token chunking.
+
+Like the rest of ``extras/``, every operator is written once as a
+dual-dialect SQL template or as paired Column/SQL builders, so the
+DuckDB oracle runs the semantically identical computation and the
+driver's value-hash gate applies.
+
+Scale shapes:
+- stratified sampling is one window per source partition (rank by a
+  deterministic content hash) — shuffle keyed on ``source``; a skewed
+  mega-source is AQE's problem, and the hash ordering means no
+  secondary sort on a hot column;
+- contamination is a shingle semi-join: train-side n-grams against
+  the (small) benchmark-side n-gram set, equi-keyed on the shingle —
+  never a cross join; the benchmark side is the natural broadcast;
+- chunking is a stateless explode (posexplode of token slices) — no
+  shuffle at all, fuses into any downstream projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# stratified (per-source quota) sampling
+# ---------------------------------------------------------------------------
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``quota`` docs per ``group``, chosen by ranking on
+    a deterministic content hash (md5) — a seedless, engine-portable
+    stand-in for uniform sampling that both engines reproduce exactly.
+    Ties broken by id. Returns (group, id, rank)."""
+    w = Window.partitionBy(group).orderBy(F.md5(F.col(text)), F.col(id_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= quota)
+        .select(group, id_col, F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    quota: int,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+SELECT {group}, {id_col}, rank FROM (
+  SELECT {group}, {id_col},
+         CAST(row_number() OVER (PARTITION BY {group}
+                                 ORDER BY md5({text}), {id_col}) AS BIGINT) AS rank
+  FROM {table}
+) r WHERE rank <= {quota}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination detection
+# ---------------------------------------------------------------------------
+
+def contamination_sql(
+    table: str,
+    dialect: str,
+    n: int = 8,
+    bench_pred: str = "doc_id % 50 = 0",
+    group: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """Per-``group`` count of train docs sharing >= 1 word ``n``-gram
+    with any benchmark doc (``bench_pred`` selects the benchmark
+    split) — the standard eval-set decontamination check (n-gram
+    collision per GPT-3 appendix C / PaLM). Rendered for both engines
+    from one template; the join is equi-keyed on the shingle string,
+    and the benchmark shingle set is the small side."""
+    from mpes_spark.extras.dedup import _shingle_cte
+
+    train = f"(SELECT {id_col}, {group}, text FROM {table} WHERE NOT ({bench_pred})) tr"
+    bench = f"(SELECT {id_col}, text FROM {table} WHERE {bench_pred}) be"
+    sh_train = _shingle_cte(train, n, dialect, id_col)
+    sh_bench = _shingle_cte(bench, n, dialect, id_col)
+    return f"""
+WITH sh_tr AS ({sh_train}),
+sh_be AS ({sh_bench}),
+hits AS (
+  SELECT DISTINCT sh_tr.{id_col}
+  FROM sh_tr JOIN (SELECT DISTINCT sh FROM sh_be) b ON sh_tr.sh = b.sh
+),
+tr AS (SELECT {id_col}, {group} FROM {table} WHERE NOT ({bench_pred}))
+SELECT tr.{group}, CAST(count(*) AS BIGINT) AS n_train,
+       CAST(count(hits.{id_col}) AS BIGINT) AS n_contaminated
+FROM tr LEFT JOIN hits ON tr.{id_col} = hits.{id_col}
+GROUP BY tr.{group}
+""".strip()
+
+
+def contaminated_docs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DataFrame-native core: ids of ``train`` docs sharing >= 1 word
+    n-gram with ``benchmark`` (left-semi join on the shingle)."""
+    from mpes_spark.extras.dedup import shingle_table
+
+    sh_tr = shingle_table(train, text, n, id_col)
+    sh_be = shingle_table(benchmark, text, n, id_col).select("sh").distinct()
+    return sh_tr.join(sh_be, "sh", "left_semi").select(id_col).distinct()
+
+
+# ---------------------------------------------------------------------------
+# fixed-size token chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each doc's whitespace tokens into consecutive
+    ``chunk_tokens``-sized chunks (last chunk ragged):
+    (id, chunk_idx, n_tokens, chunk_hash). The chunk content is
+    carried as md5 so the relation stays narrow — the typical
+    pretokenization shard map. Stateless explode, no shuffle."""
+    toks = df.select(F.col(id_col), F.split(F.col(text), " ").alias("toks"))
+    nchunks = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, {_m1('nchunks')}), i -> named_struct("
+        f"'chunk_idx', CAST(i AS BIGINT), "
+        f"'n_tokens', CAST(size(slice(toks, i * {chunk_tokens} + 1, {chunk_tokens})) AS BIGINT), "
+        f"'chunk_hash', md5(concat_ws(' ', slice(toks, i * {chunk_tokens} + 1, {chunk_tokens})))))"
+    )
+    return (
+        toks.withColumn("nchunks", nchunks)
+        .filter(F.size("toks") > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
+def _m1(col: str) -> str:
+    return f"{col} - 1"
+
+
+def chunk_documents_sql(
+    table: str,
+    chunk_tokens: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (1-based inclusive list
+    slicing vs Spark's 1-based length slicing is normalized here)."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, string_split({text}, ' ') AS toks FROM {table}
+  WHERE len(string_split({text}, ' ')) > 0
+),
+ch AS (
+  SELECT {id_col},
+         unnest(range(CAST(ceil(len(toks) / {chunk_tokens}.0) AS INT))) AS chunk_idx,
+         toks
+  FROM tok
+)
+SELECT {id_col}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {chunk_tokens} + 1 : chunk_idx * {chunk_tokens} + {chunk_tokens}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(toks[chunk_idx * {chunk_tokens} + 1 : chunk_idx * {chunk_tokens} + {chunk_tokens}], ' ')) AS chunk_hash
+FROM ch
+""".strip()

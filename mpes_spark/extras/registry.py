@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mpes_spark.extras import curation as CU
 from mpes_spark.extras import dedup as DD
 from mpes_spark.extras import multimodal as MM
 from mpes_spark.extras import similarity as SIM
@@ -280,6 +281,48 @@ def ivf_ann_cosine(spark, sf_dir):
     cent = SIM.train_ivf_centroids(e, k=8, sample_rows=2000, iters=8, seed=7)
     return SIM.ivf_topk_cosine(
         e, e.filter(F.col("vec_id") < 8), cent, k=3, nprobe=2
+    )
+
+
+# ===========================================================================
+# corpus curation (sampling / decontamination / chunking)
+# ===========================================================================
+
+@_q(
+    "stratified_sample",
+    CU.stratified_sample_sql("documents", quota=5),
+)
+def stratified_sample(spark, sf_dir):
+    """Per-source quota sampling (5 docs/source) ranked by a
+    deterministic content hash — one window per source partition."""
+    return CU.stratified_sample(_docs(spark, sf_dir), quota=5)
+
+
+@_q(
+    "contamination_check",
+    CU.contamination_sql("documents", "duckdb", n=8),
+)
+def contamination_check(spark, sf_dir):
+    """Eval-set decontamination: per-source count of train docs
+    sharing >= 1 word 8-gram with the benchmark split
+    (doc_id % 50 = 0) — shingle semi-join, benchmark side small."""
+    return spark.sql(
+        CU.contamination_sql(_pq(sf_dir, "documents"), "spark", n=8)
+    )
+
+
+@_q(
+    "doc_chunking",
+    "SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM ("
+    + CU.chunk_documents_sql("documents", chunk_tokens=64)
+    + ") c WHERE doc_id < 300",
+)
+def doc_chunking(spark, sf_dir):
+    """Fixed-size (64-token) chunk shard map for pretokenization —
+    stateless explode, content carried as md5 to keep the relation
+    narrow."""
+    return CU.chunk_documents(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 300), chunk_tokens=64
     )
 
 

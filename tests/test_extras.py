@@ -193,6 +193,56 @@ def test_banded_neardup_recall_vs_exact(spark):
     assert len(narrow) / len(exact) >= 0.6
 
 
+def test_stratified_sample_quota_and_determinism(spark):
+    from mpes_spark.extras import curation as CU
+
+    d = _docs(spark)
+    out = CU.stratified_sample(d, quota=3).toPandas()
+    per = out.groupby("source").size()
+    assert (per <= 3).all()
+    # groups with >= 3 docs fill their quota exactly
+    sizes = d.groupBy("source").count().toPandas().set_index("source")["count"]
+    for src, n in sizes.items():
+        assert per.get(src, 0) == min(3, n)
+    again = CU.stratified_sample(d, quota=3).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from mpes_spark.extras import curation as CU
+
+    d = _docs(spark).limit(40)
+    bench = d.filter(F.col("doc_id") == 0)
+    # train doc 777 contains benchmark doc 0's text verbatim
+    leaked = bench.select(
+        F.lit(777).cast("long").alias("doc_id"),
+        F.concat(F.lit("prefix words here "), F.col("text")).alias("text"),
+    )
+    train = d.filter(F.col("doc_id") > 0).select("doc_id", "text").unionByName(leaked)
+    hits = {r.doc_id for r in CU.contaminated_docs(train, bench, n=8).collect()}
+    assert 777 in hits
+
+
+def test_chunking_reassembles(spark):
+    from mpes_spark.extras import curation as CU
+
+    d = _docs(spark).limit(30)
+    out = CU.chunk_documents(d, chunk_tokens=16).toPandas()
+    want = {
+        r.doc_id: len(r.text.split(" ")) for r in d.select("doc_id", "text").collect()
+    }
+    got = out.groupby("doc_id")["n_tokens"].sum().to_dict()
+    assert got == want  # chunks partition the token stream exactly
+    # chunk indices are contiguous from 0 and only the last is ragged
+    for doc, grp in out.groupby("doc_id"):
+        idx = sorted(grp.chunk_idx)
+        assert idx == list(range(len(idx)))
+        full = grp.sort_values("chunk_idx")["n_tokens"].tolist()
+        assert all(n == 16 for n in full[:-1])
+
+
 def test_multimodal_feature_plumbing(spark):
     assets = MM.assets_from_documents(_docs(spark).limit(10))
     feats = MM.extract_features(assets, dim=8).collect()
