@@ -89,6 +89,11 @@ class BinaryEventBackend(Protocol):
         fprocessing.py:670-686)."""
         ...
 
+    def attributes(self, path: str) -> dict:
+        """File-level attribute (metadata) map — the root of the
+        ``metaReadHDF5`` attribute tree (fprocessing.py:430-465)."""
+        ...
+
 
 @dataclass
 class IngestSpec:
@@ -219,6 +224,25 @@ def convert_to_parquet(
     read_events_binary(spark, paths, backend, spec).write.mode(mode).parquet(save_addr)
 
 
+def read_metadata(
+    paths: list[str],
+    backend: BinaryEventBackend,
+    attributes: list[str] | None = None,
+) -> dict[str, dict]:
+    """``metaReadHDF5`` analog (fprocessing.py:430-465): per-file
+    attribute dictionaries, optionally projected to ``attributes``
+    ([] / None = all, matching the reference's selection semantics).
+    Driver-side — metadata trees are config-sized, never data-sized."""
+    out: dict[str, dict] = {}
+    for p in paths:
+        attrs = dict(backend.attributes(p))
+        if attributes:
+            attrs = {k: v for k, v in attrs.items() if k in attributes}
+        attrs["n_events"] = backend.n_events(p)
+        out[p] = attrs
+    return out
+
+
 def summarize_source(
     spark: SparkSession, paths: list[str], backend: BinaryEventBackend
 ) -> DataFrame:
@@ -281,6 +305,9 @@ class DictBackend:
         # mtime fallback, corrected by write duration (fprocessing.py:678-686)
         return float(self.files[path]["mtime"]) - len(self.ms_markers(path)) / 1000.0
 
+    def attributes(self, path: str) -> dict:
+        return dict(self.files[path].get("attrs", {}))
+
 
 def parse_first_event_timestamp(s: str) -> float:
     """FirstEventTimeStamp attribute parser
@@ -342,3 +369,10 @@ class Hdf5Backend:
                     s.decode() if isinstance(s, bytes) else str(s)
                 )
             return os.path.getmtime(path) - len(self.ms_markers(path)) / 1000.0
+
+    def attributes(self, path: str) -> dict:
+        with self._open(path) as f:
+            return {
+                k: (v.decode() if isinstance(v, bytes) else v)
+                for k, v in f.attrs.items()
+            }

@@ -154,6 +154,18 @@ def test_convert_to_parquet_then_bin(spark, backend, tmp_path):
     assert np.array_equal(got, want)
 
 
+def test_read_metadata_projection(backend):
+    from mpes_spark.io.binary_source import read_metadata
+
+    paths = sorted(backend.files)
+    backend.files[paths[0]]["attrs"] = {"Instrument": "METIS", "Run": 42}
+    meta = read_metadata(paths, backend)
+    assert meta[paths[0]]["Instrument"] == "METIS"
+    assert meta[paths[0]]["n_events"] == backend.n_events(paths[0])
+    proj = read_metadata([paths[0]], backend, attributes=["Run"])
+    assert set(proj[paths[0]]) == {"Run", "n_events"}
+
+
 def test_summarize_source_catalog(spark, backend):
     from mpes_spark.io.binary_source import summarize_source
 
