@@ -326,6 +326,27 @@ def doc_chunking(spark, sf_dir):
     )
 
 
+@_q(
+    "vocab_topk",
+    "SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM ("
+    "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+    "GROUP BY tok ORDER BY freq DESC, tok LIMIT 100",
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-100 tokens by frequency (the
+    vocab-building / BPE-seed primitive). Explode -> partial+final
+    count agg -> TakeOrderedAndProject (per-partition partial top-k,
+    never a global sort); ties broken by token for determinism."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(100)
+    )
+
+
 # ===========================================================================
 # multimodal plumbing
 # ===========================================================================
