@@ -123,6 +123,52 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+def _pii_augmented_sql(dialect: str) -> str:
+    """Corpus with synthetic PII injected into a deterministic subset
+    (the synthetic word-soup corpus contains none) — emails on
+    doc_id%10=0, phones on %10=1, SSNs on %10=2. Rendered per dialect
+    only for the int->string cast spelling."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    did = f"CAST(doc_id AS {s})"
+    pad4 = f"lpad(CAST(doc_id % 10000 AS {s}), 4, '0')"
+    return (
+        "SELECT doc_id, source, concat(text, CASE "
+        f"WHEN doc_id % 10 = 0 THEN concat(' reach me at user', {did}, '@example.com') "
+        f"WHEN doc_id % 10 = 1 THEN concat(' call 415-555-', {pad4}) "
+        f"WHEN doc_id % 10 = 2 THEN concat(' ssn 123-45-', {pad4}) "
+        "ELSE '' END) AS text"
+    )
+
+
+@_q(
+    "pii_scan",
+    f"WITH aug AS ({_pii_augmented_sql('duckdb')} FROM documents) "
+    "SELECT source, "
+    f"CAST(sum({TX.pii_count_sql('email')}) AS BIGINT) AS n_emails, "
+    f"CAST(sum({TX.pii_count_sql('phone')}) AS BIGINT) AS n_phones, "
+    f"CAST(sum({TX.pii_count_sql('ssn')}) AS BIGINT) AS n_ssns, "
+    f"CAST(sum(CASE WHEN {TX.redact_pii_sql('text')} <> text THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_docs_redacted, "
+    f"CAST(sum(length({TX.redact_pii_sql('text')})) AS BIGINT) AS redacted_len "
+    "FROM aug GROUP BY source",
+)
+def pii_scan(spark, sf_dir):
+    """PII detect + redact sweep (emails / phones / SSNs) over the
+    corpus with synthetic PII injected on a deterministic subset —
+    the standard pre-training scrub. Stateless regexp projections
+    (JVM codegen, no UDF) + one narrow groupBy(source); redaction
+    integrity asserted via changed-doc count and redacted lengths."""
+    aug = spark.sql(f"{_pii_augmented_sql('spark')} FROM {_pq(sf_dir, 'documents')}")
+    red = TX.redact_pii_expr("text")
+    return aug.groupBy("source").agg(
+        F.sum(TX.pii_count_expr("email", "text")).cast("bigint").alias("n_emails"),
+        F.sum(TX.pii_count_expr("phone", "text")).cast("bigint").alias("n_phones"),
+        F.sum(TX.pii_count_expr("ssn", "text")).cast("bigint").alias("n_ssns"),
+        F.sum(F.when(red != F.col("text"), 1).otherwise(0)).cast("bigint").alias("n_docs_redacted"),
+        F.sum(F.length(red)).cast("bigint").alias("redacted_len"),
+    )
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

@@ -214,6 +214,54 @@ def rolling_hash_sql(text: str = "text") -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+#: PII patterns shared verbatim between engines (Java regex and RE2
+#: both support these constructs — character classes, bounded repeats,
+#: \b word boundaries; no lookaround).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+#: redaction order matters: SSN before phone (a 3-2-4 digit group also
+#: matches no phone pattern, but scanning narrow-to-broad keeps each
+#: span claimed by exactly one category), email first (may contain
+#: digits that later patterns would split).
+_PII_ORDER = ("email", "ssn", "phone")
+
+
+def pii_count_expr(kind: str, text: str | Column = "text") -> Column:
+    """Match count for one PII category — pure regexp column math."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0))).cast("bigint")
+
+
+def pii_count_sql(kind: str, text: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all({text}, '{PII_PATTERNS[kind]}')) AS BIGINT)"
+
+
+def redact_pii_expr(text: str | Column = "text") -> Column:
+    """Replace every PII span with ``<CATEGORY>`` — the standard
+    pre-training scrub. Stateless projection; order pinned by
+    ``_PII_ORDER`` so both engines produce identical output."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def redact_pii_sql(text: str = "text") -> str:
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    s = text
+    for kind in _PII_ORDER:
+        s = f"regexp_replace({s}, '{PII_PATTERNS[kind]}', '<{kind.upper()}>', 'g')"
+    return s
+
+
 def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
     """Append the full stat column set in one projection (single scan,
     column-pruned to ``text``)."""

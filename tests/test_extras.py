@@ -290,3 +290,37 @@ def test_multimodal_frame_sampling(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+# ---------------------------------------------------------------------------
+# PII detect / redact
+# ---------------------------------------------------------------------------
+
+def test_pii_redaction_semantics(spark):
+    from mpes_spark.extras import text as TX
+
+    rows = [
+        ("mail bob.smith+x@corp.example.org now", 1, 0, 0),
+        ("call 415-555-0134 or 415-555-0199", 0, 2, 0),
+        ("ssn 123-45-6789 on file", 0, 0, 1),
+        ("plain text with 1234-5678", 0, 0, 0),
+        ("a@b.io and 000-11-2222 and 800-555-1000", 1, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "text string"
+    ).withColumns(
+        {
+            "e": TX.pii_count_expr("email", "text"),
+            "p": TX.pii_count_expr("phone", "text"),
+            "s": TX.pii_count_expr("ssn", "text"),
+            "red": TX.redact_pii_expr("text"),
+        }
+    )
+    got = df.collect()
+    for r, (txt, e, p, s) in zip(got, rows):
+        assert (r.e, r.p, r.s) == (e, p, s), txt
+        # redaction removes every detected span and only those
+        if e:
+            assert "@" not in r.red
+        for tag, n in (("<EMAIL>", e), ("<PHONE>", p), ("<SSN>", s)):
+            assert r.red.count(tag) == n, (txt, r.red)
