@@ -123,6 +123,55 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+def _gopher_query_sql() -> str:
+    metrics = ", ".join(
+        f"{fn('text')} AS {name}" for name, fn in TX.GOPHER_METRICS_SQL.items()
+    )
+    fl = TX.gopher_flags_sql()
+    fails = ", ".join(
+        f"CAST(sum(CASE WHEN {expr} THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_{rule}"
+        for rule, expr in fl.items()
+    )
+    pass_all = " AND ".join(fl.values())
+    return (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"{fails}, "
+        f"CAST(sum(CASE WHEN {pass_all} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all, "
+        "round(avg(m_dup2), 6) AS avg_dup2gram "
+        f"FROM (SELECT source, {metrics} FROM documents) m GROUP BY source"
+    )
+
+
+@_q("quality_gopher", _gopher_query_sql())
+def quality_gopher(spark, sf_dir):
+    """Gopher-style quality-rule audit (Rae et al. 2021 §A1.1): per-
+    source counts of docs failing each rule (word count, mean word
+    length, stopword presence, repeated-2-gram fraction) and passing
+    all. Each heavy metric (array n-gram math) is computed once in a
+    narrow projection; the flags read the metric columns, so the only
+    shuffle is the final groupBy(source)."""
+    m = _docs(spark, sf_dir).select(
+        "source",
+        *[fn("text").alias(name) for name, fn in TX.GOPHER_METRICS_EXPR.items()],
+    )
+    fl = TX.gopher_flags_expr(
+        F.col("m_ntok"), F.col("m_mwl"), F.col("m_stop"), F.col("m_dup2")
+    )
+    pass_all = None
+    for c in fl.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    aggs += [
+        F.sum(F.when(c, 0).otherwise(1)).cast("bigint").alias(f"n_fail_{rule}")
+        for rule, c in fl.items()
+    ]
+    aggs.append(
+        F.sum(F.when(pass_all, 1).otherwise(0)).cast("bigint").alias("n_pass_all")
+    )
+    aggs.append(F.round(F.avg("m_dup2"), 6).alias("avg_dup2gram"))
+    return m.groupBy("source").agg(*aggs)
+
+
 def _pii_augmented_sql(dialect: str) -> str:
     """Corpus with synthetic PII injected into a deterministic subset
     (the synthetic word-soup corpus contains none) — emails on

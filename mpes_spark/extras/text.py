@@ -215,6 +215,134 @@ def rolling_hash_sql(text: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
+# repetition + Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+def mean_word_length_expr(text: str | Column = "text") -> Column:
+    """Mean characters per whitespace token (whitespace stripped)."""
+    c = F.col(text) if isinstance(text, str) else text
+    nchars = F.length(F.regexp_replace(c, r"\s", ""))
+    return F.round(nchars / F.greatest(token_count_expr(c), F.lit(1)), 6)
+
+
+def mean_word_length_sql(text: str = "text") -> str:
+    return (
+        f"round(length(regexp_replace({text}, '\\s', '', 'g')) / "
+        f"greatest({token_count_sql(text)}, 1), 6)"
+    )
+
+
+def alpha_word_ratio_expr(text: str | Column = "text") -> Column:
+    """Fraction of tokens containing >= 1 alphabetic character
+    (Gopher's 80%-alphabetic rule)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return F.round(n_alpha / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def alpha_word_ratio_sql(text: str = "text") -> str:
+    return (
+        f"round(len(list_filter(string_split({text}, ' '), "
+        "t -> regexp_matches(t, '[A-Za-z]'))) / "
+        f"greatest(len(string_split({text}, ' ')), 1), 6)"
+    )
+
+
+def dup_ngram_fraction_expr(n: int = 2, text: str | Column = "text") -> Column:
+    """Fraction of a document's word ``n``-grams that are repeats of an
+    earlier n-gram in the same document (1 - distinct/total) — the
+    within-doc repetition signal behind Gopher's duplicate-n-gram
+    filters. Pure array column math (no explode, no shuffle): the
+    n-gram list never leaves the row."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    ntok = F.size(toks)
+    total = ntok - F.lit(n - 1)
+    # fold the n shifted slices with zip_with: one interpreted pass per
+    # shift instead of per-gram element_at lookups (measured 6x faster
+    # — higher-order functions run outside codegen, so per-call
+    # overhead dominates)
+    grams = F.slice(toks, 1, total)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, j + 1, total), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+    return F.when(ntok < F.lit(n), F.lit(0.0)).otherwise(F.round(frac, 6))
+
+
+def dup_ngram_fraction_sql(n: int = 2, text: str = "text") -> str:
+    toks = f"string_split({text}, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) < {n} THEN 0.0 ELSE "
+        f"round(1.0 - len(list_distinct(list_transform("
+        f"range(1, len({toks}) - {n - 2}), i -> {parts}))) "
+        f"/ (len({toks}) - {n - 1}), 6) END"
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: synthetic corpus's token range so both pass and fail are exercised)
+GOPHER_RULES: dict[str, tuple[float, float]] = {
+    "wordcount": (30.0, 100_000.0),   # tokens in [min, max]
+    "meanlen": (3.0, 10.0),           # mean word length in [min, max]
+    "stopword": (2.0, float("inf")),  # >= 2 stopword hits
+    "dup2gram": (0.0, 0.05),          # repeated-2-gram fraction <= max
+}
+
+
+#: the four per-doc metrics the rules read; each is computed ONCE in a
+#: narrow projection and the flags read the named columns — inlining
+#: the metric expressions into every rule would re-evaluate the heavy
+#: array math per rule and bloat the codegen tree (measured: 6.9 s ->
+#: ~1 s at sf0.1 for the audit query)
+GOPHER_METRICS_EXPR = {
+    "m_ntok": token_count_expr,
+    "m_mwl": mean_word_length_expr,
+    "m_stop": stopword_count_expr,
+    "m_dup2": lambda t: dup_ngram_fraction_expr(2, t),
+}
+
+GOPHER_METRICS_SQL = {
+    "m_ntok": token_count_sql,
+    "m_mwl": mean_word_length_sql,
+    "m_stop": stopword_count_sql,
+    "m_dup2": lambda t: dup_ngram_fraction_sql(2, t),
+}
+
+
+def gopher_flags_expr(
+    ntok: Column, mwl: Column, stop: Column, dup2: Column
+) -> dict[str, Column]:
+    """One boolean Column per Gopher rule (True = passes), over
+    precomputed metric columns."""
+    r = GOPHER_RULES
+    return {
+        "wordcount": (ntok >= r["wordcount"][0]) & (ntok <= r["wordcount"][1]),
+        "meanlen": (mwl >= r["meanlen"][0]) & (mwl <= r["meanlen"][1]),
+        "stopword": stop >= r["stopword"][0],
+        "dup2gram": dup2 <= r["dup2gram"][1],
+    }
+
+
+def gopher_flags_sql(
+    ntok: str = "m_ntok",
+    mwl: str = "m_mwl",
+    stop: str = "m_stop",
+    dup2: str = "m_dup2",
+) -> dict[str, str]:
+    r = GOPHER_RULES
+    return {
+        "wordcount": f"({ntok} >= {r['wordcount'][0]} AND {ntok} <= {r['wordcount'][1]})",
+        "meanlen": f"({mwl} >= {r['meanlen'][0]} AND {mwl} <= {r['meanlen'][1]})",
+        "stopword": f"({stop} >= {r['stopword'][0]})",
+        "dup2gram": f"({dup2} <= {r['dup2gram'][1]})",
+    }
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction
 # ---------------------------------------------------------------------------
 

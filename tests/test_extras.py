@@ -324,3 +324,19 @@ def test_pii_redaction_semantics(spark):
             assert "@" not in r.red
         for tag, n in (("<EMAIL>", e), ("<PHONE>", p), ("<SSN>", s)):
             assert r.red.count(tag) == n, (txt, r.red)
+
+
+def test_dup_ngram_fraction(spark):
+    from mpes_spark.extras import text as TX
+
+    rows = [
+        # "a b a b a" -> 2-grams: ab, ba, ab, ba -> 2 distinct of 4 -> 0.5
+        ("a b a b a", 0.5),
+        ("x y z", 0.0),          # all distinct
+        ("w w w w", 2.0 / 3.0),  # ww x3 -> 1 distinct of 3
+        ("solo", 0.0),           # fewer tokens than n
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = df.select(TX.dup_ngram_fraction_expr(2, "text").alias("f")).collect()
+    for r, (txt, want) in zip(got, rows):
+        assert abs(r.f - round(want, 6)) < 1e-9, txt
