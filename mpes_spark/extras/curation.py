@@ -160,6 +160,179 @@ def _m1(col: str) -> str:
     return f"{col} - 1"
 
 
+# ---------------------------------------------------------------------------
+# chunk-level corpus dedup (CC-Net paragraph dedup, chunks as paragraphs)
+# ---------------------------------------------------------------------------
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """CC-Net-style sub-document dedup with fixed token chunks standing
+    in for paragraphs: a chunk is *duplicated* when its hash occurs in
+    >= 2 distinct docs; per-doc survival stats (n_chunks, n_dup_chunks,
+    tokens_kept) for docs that lost at least one chunk.
+
+    Scale shape: chunk explode (stateless) -> groupBy(chunk_hash) with
+    map-side combine (16-byte keys, well distributed by construction)
+    -> equi-join back on the hash -> groupBy(doc). The duplicated-hash
+    relation is corpus-dependent (tiny on clean data, huge on template
+    spam), so no broadcast hint — AQE picks the join strategy from the
+    runtime size, exactly the verify_jaccard policy (VERDICT r2 #2).
+
+    ``min_tokens`` exempts short (ragged-tail) chunks from dup
+    detection — the CC-Net practice of not deduping trivial short
+    paragraphs ("home", boilerplate one-liners) that collide without
+    being meaningful duplication."""
+    ch = chunk_documents(df, chunk_tokens, text, id_col)
+    dup = (
+        ch.filter(F.col("n_tokens") >= min_tokens)
+        .groupBy("chunk_hash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_hash", F.lit(1).alias("is_dup"))
+    )
+    marked = ch.join(dup, "chunk_hash", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("is_dup") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("is_dup").isNull(), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+    )
+
+
+def chunk_dedup_stats_sql(
+    table: str,
+    chunk_tokens: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> str:
+    ch = chunk_documents_sql(table, chunk_tokens, text, id_col)
+    return f"""
+WITH ch AS ({ch}),
+dup AS (
+  SELECT chunk_hash FROM ch WHERE n_tokens >= {min_tokens}
+  GROUP BY chunk_hash
+  HAVING count(DISTINCT {id_col}) >= 2
+)
+SELECT ch.{id_col},
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN dup.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(sum(CASE WHEN dup.chunk_hash IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM ch LEFT JOIN dup ON ch.chunk_hash = dup.chunk_hash
+GROUP BY ch.{id_col}
+HAVING sum(CASE WHEN dup.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) > 0
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-then-chunk sample packing)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int = 512,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Concat-then-chunk sample packing (the GPT-style pretraining
+    layout): documents in id order are laid head-to-tail in one global
+    token stream; training sequence ``s`` owns tokens
+    ``[s*seq_tokens, (s+1)*seq_tokens)``. Emits per doc:
+    (id, n_tokens, start_tok, seq_first, seq_last).
+
+    The global running sum is computed in two phases — never a
+    single-partition window: docs are bucketed by deterministic id
+    ranges, each bucket computes its internal cumulative sum (window
+    partitioned BY BUCKET), bucket totals (one row per bucket) are
+    prefix-summed on the driver and broadcast back as offsets. At
+    100 TB this is a bounded ``buckets``-row collect plus one narrow
+    shuffle keyed on the bucket id; the DuckDB oracle is the plain
+    global window, asserting the two-phase decomposition is exact."""
+    d = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text), " ")).cast("bigint").alias("n_tokens"),
+    )
+    max_id = d.agg(F.max(id_col)).collect()[0][0]
+    if max_id is None:
+        return d.select(
+            id_col,
+            "n_tokens",
+            F.lit(None).cast("bigint").alias("start_tok"),
+            F.lit(None).cast("bigint").alias("seq_first"),
+            F.lit(None).cast("bigint").alias("seq_last"),
+        )
+    width = max(1, (int(max_id) + buckets) // buckets)
+    # integer div (not double /): ids can exceed the 2^53 double range
+    d = d.withColumn("bucket", F.expr(f"{id_col} div {width}"))
+    w = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("cum_in", F.sum("n_tokens").over(w))
+    totals = sorted(
+        (r.bucket, r.tot)
+        for r in d.groupBy("bucket").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    offsets, acc = [], 0
+    for b, tot in totals:
+        offsets.append((b, acc))
+        acc += tot
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, f"bucket bigint, offset bigint")
+    )
+    start = F.col("offset") + F.col("cum_in") - F.col("n_tokens")
+    return (
+        d.join(off, "bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            start.alias("start_tok"),
+            F.floor(start / seq_tokens).cast("bigint").alias("seq_first"),
+            F.floor((start + F.col("n_tokens") - 1) / seq_tokens)
+            .cast("bigint")
+            .alias("seq_last"),
+        )
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    seq_tokens: int = 512,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: the plain global running-sum window."""
+    return f"""
+WITH d AS (
+  SELECT {id_col}, CAST(len(string_split({text}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT {id_col}, n_tokens,
+         sum(n_tokens) OVER (ORDER BY {id_col}
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT {id_col}, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST((cum - n_tokens) // {seq_tokens} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {seq_tokens} AS BIGINT) AS seq_last
+FROM c
+""".strip()
+
+
 def chunk_documents_sql(
     table: str,
     chunk_tokens: int = 64,

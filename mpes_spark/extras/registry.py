@@ -422,6 +422,33 @@ def doc_chunking(spark, sf_dir):
 
 
 @_q(
+    "chunk_dedup",
+    CU.chunk_dedup_stats_sql(f"({_RECRAWL_SQL}) u", chunk_tokens=16),
+)
+def chunk_dedup(spark, sf_dir):
+    """CC-Net-style sub-document dedup on the re-crawl union: fixed
+    16-token chunks stand in for paragraphs; a chunk duplicated across
+    >= 2 docs is dropped from every holder, and the query reports
+    per-doc survival (docs that lost content). Hash groupBy + equi-join
+    back — AQE picks the join strategy (the dup relation is tiny on
+    clean corpora, huge on template spam)."""
+    return CU.chunk_dedup_stats(_recrawl(_docs(spark, sf_dir)), chunk_tokens=16)
+
+
+@_q(
+    "pack_sequences",
+    CU.pack_sequences_sql("documents", seq_tokens=128),
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sample packing into 128-token training
+    sequences — per-doc (start_tok, seq_first, seq_last) in the global
+    token stream. Two-phase cumulative sum (bucketed window + driver
+    prefix offsets, never a single-partition global window); the
+    oracle's plain global window asserts the decomposition is exact."""
+    return CU.pack_sequences(_docs(spark, sf_dir), seq_tokens=128, buckets=8)
+
+
+@_q(
     "vocab_topk",
     "SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM ("
     "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "

@@ -340,3 +340,57 @@ def test_dup_ngram_fraction(spark):
     got = df.select(TX.dup_ngram_fraction_expr(2, "text").alias("f")).collect()
     for r, (txt, want) in zip(got, rows):
         assert abs(r.f - round(want, 6)) < 1e-9, txt
+
+
+# ---------------------------------------------------------------------------
+# chunk dedup + sequence packing
+# ---------------------------------------------------------------------------
+
+def test_chunk_dedup_min_tokens_guard(spark):
+    """The synthetic corpus repeats phrases, so full chunks do collide
+    across docs; raising min_tokens past chunk size must exempt every
+    chunk (ragged tails included) and empty the result."""
+    from mpes_spark.extras import curation as CU
+
+    some = CU.chunk_dedup_stats(_docs(spark), chunk_tokens=16).count()
+    assert some > 0
+    none = CU.chunk_dedup_stats(
+        _docs(spark), chunk_tokens=16, min_tokens=17
+    ).count()
+    assert none == 0
+
+
+def test_chunk_dedup_full_copy_loses_everything(spark):
+    from mpes_spark.extras import curation as CU
+
+    d = _docs(spark).limit(20)
+    clone = d.filter(F.col("doc_id") == 3).withColumn("doc_id", F.lit(777))
+    out = CU.chunk_dedup_stats(d.unionByName(clone), chunk_tokens=16)
+    rows = {r.doc_id: r for r in out.collect()}
+    # the clone pair must be present and fully deduplicated; other docs
+    # may legitimately appear via naturally repeated phrases
+    assert {3, 777} <= set(rows)
+    for did in (3, 777):
+        r = rows[did]
+        assert r.n_dup_chunks == r.n_chunks and r.tokens_kept == 0
+    for r in rows.values():
+        assert 1 <= r.n_dup_chunks <= r.n_chunks
+        assert r.tokens_kept >= 0
+
+
+def test_pack_sequences_stream_is_contiguous(spark):
+    """Two-phase cumsum must tile the token stream exactly: doc i+1
+    starts where doc i ends, starting from 0, for any bucket count."""
+    from mpes_spark.extras import curation as CU
+
+    d = _docs(spark)
+    for buckets in (1, 7):
+        out = CU.pack_sequences(d, seq_tokens=64, buckets=buckets).orderBy(
+            "doc_id"
+        ).collect()
+        pos = 0
+        for r in out:
+            assert r.start_tok == pos
+            assert r.seq_first == pos // 64
+            assert r.seq_last == (pos + r.n_tokens - 1) // 64
+            pos += r.n_tokens
