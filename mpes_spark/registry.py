@@ -1175,6 +1175,62 @@ def session_scan_segments(spark, sf_dir):
     )
 
 
+# -- tumbling / sliding event-time windows (§2.7/§2.8: F.window is the
+#    grouping expression Structured Streaming uses; run here in batch
+#    mode with an epoch-arithmetic oracle) ----------------------------------
+_TUMBLE_US = 900_000_000  # 15 minutes
+
+
+@_q(
+    "tumbling_window_rate",
+    f"""
+SELECT (epoch_us(ts) // {_TUMBLE_US}) * {_TUMBLE_US} AS win_us,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY win_us
+""".strip(),
+)
+def tumbling_window_rate(spark, sf_dir):
+    """Event-time tumbling-window rate + measure rollup via
+    ``F.window`` — the identical expression drives
+    ``streaming/live.py:live_count_rate``; windows align to the epoch
+    origin, matching the oracle's integer floor-division."""
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.groupBy(F.window("event_time", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "cnt", "sum_value")
+    )
+
+
+@_q(
+    "sliding_window_rate",
+    f"""
+SELECT ((epoch_us(ts) // {_TUMBLE_US}) - k.k) * {_TUMBLE_US} AS win_us,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+GROUP BY win_us
+""".strip(),
+)
+def sliding_window_rate(spark, sf_dir):
+    """Sliding (hopping) window counts — 30-minute windows every
+    15 minutes, so each event lands in exactly 2 windows. The oracle
+    enumerates the window set per event (k = 0, 1 slide offsets);
+    Spark's ``F.window(size, slide)`` expands to the same assignment
+    internally (no shuffle beyond the final agg)."""
+    ev = t(spark, sf_dir, "events")
+    ev = ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.groupBy(F.window("event_time", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "cnt")
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -1196,7 +1252,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = extras_queries() | {q.name: q.spark for q in _REGISTRY}
     # hoist this round's new, still-driver-unproven queries ahead of
     # the long-green ones (same window rationale as extras-first)
-    prove_first = ["session_scan_segments", "dfield_pipeline_bin"]
+    prove_first = [
+        "session_scan_segments",
+        "dfield_pipeline_bin",
+        "tumbling_window_rate",
+        "sliding_window_rate",
+    ]
     return {n: base[n] for n in prove_first if n in base} | base
 
 
