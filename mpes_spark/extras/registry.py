@@ -422,6 +422,28 @@ def doc_chunking(spark, sf_dir):
 
 
 @_q(
+    "bpe_pair_counts",
+    "SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM ("
+    f"SELECT unnest({TX.word_ngrams_sql(2, 'text')}) AS pair FROM documents) p "
+    "GROUP BY pair ORDER BY freq DESC, pair LIMIT 50",
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Corpus-wide adjacent-pair frequencies, top-50 — the counting
+    step of a BPE merge iteration (here at word granularity; byte
+    granularity is the same plan over char 2-grams). Explode ->
+    partial+final count agg -> TakeOrderedAndProject: shuffle bounded
+    by distinct-pair cardinality, never a global sort."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(TX.word_ngrams_expr(2, "text")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(50)
+    )
+
+
+@_q(
     "chunk_dedup",
     CU.chunk_dedup_stats_sql(f"({_RECRAWL_SQL}) u", chunk_tokens=16),
 )

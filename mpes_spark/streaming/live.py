@@ -115,6 +115,41 @@ def scan_sessions(
     return out.select(*sel)
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key: str | None = None,
+    text: str = "text",
+    ts: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup (dedup-on-ingest): keep the first arrival
+    of each content fingerprint, drop every later copy — the streaming
+    twin of ``extras/dedup.exact_dedup`` for a live crawl feed.
+
+    State semantics: with no watermark the dedup is global and state
+    grows with distinct-key cardinality (16-byte digests — ~16 GB per
+    10⁹ distinct docs across the cluster, checkpointed; acceptable for
+    bounded backfills). For an unbounded feed pass ``ts`` +
+    ``watermark`` to use ``dropDuplicatesWithinWatermark`` — state is
+    then bounded by the watermark horizon, trading global dedup for
+    dedup-within-horizon (the standard ingest compromise; a periodic
+    batch ``exact_dedup`` compaction restores the global invariant).
+
+    ``key`` overrides the dedup key column; by default the md5
+    fingerprint of normalized ``text`` is computed in-stream."""
+    from mpes_spark.extras.text import fingerprint_expr
+
+    if key is None:
+        stream = stream.withColumn("fingerprint", fingerprint_expr(text))
+        key = "fingerprint"
+    if watermark is not None:
+        if ts is None:
+            raise ValueError("watermark requires a ts column")
+        ev = with_event_time(stream, ts).withWatermark("event_time", watermark)
+        return ev.dropDuplicatesWithinWatermark([key])
+    return stream.dropDuplicates([key])
+
+
 def densify_sink(
     axes: Sequence[BinAxis],
     on_update: Callable[[object, BinnedArray], None],

@@ -146,3 +146,37 @@ def test_with_event_time_long_and_timestamp(spark):
     ev2 = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint")))
     b = with_event_time(ev2).select("event_time").limit(5).collect()
     assert all(r.event_time is not None for r in b)
+
+
+def test_dedup_stream_keeps_one_per_fingerprint(spark, tmp_path):
+    """Dedup-on-ingest: a 2-file stream where file 2 re-delivers file
+    1's docs under new ids must emit exactly one row per distinct
+    fingerprint, matching the batch exact-dedup count."""
+    from mpes_spark.extras.dedup import exact_dedup
+    from mpes_spark.streaming.live import dedup_stream
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(40)
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.parquet(src)
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 50_000)
+    recrawl.coalesce(1).write.mode("append").parquet(src)
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_sink").toPandas()
+    want = exact_dedup(docs.unionByName(recrawl)).count()
+    assert len(got) == want == docs.count()
+    assert got.fingerprint.is_unique
