@@ -15,6 +15,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mpes_spark.binning.engine import bin_sparse, bin_sparse_sql
+from mpes_spark.binning.spec import BinAxis
 from mpes_spark.extras import curation as CU
 from mpes_spark.extras import dedup as DD
 from mpes_spark.extras import multimodal as MM
@@ -367,6 +369,38 @@ def embed_neardup_banded(spark, sf_dir):
     )
 
 
+@_q(
+    "semantic_dedup",
+    "WITH pairs AS ("
+    + SIM.embedding_neardup_banded_sql("embeddings", _BANDED_PLANES, bands=4, threshold=0.4)
+    + "), drops AS (SELECT DISTINCT id_b FROM pairs) "
+    "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped "
+    "FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.id_b GROUP BY label",
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: embedding near-dup pairs
+    (banded LSH buckets, exact-cosine verified) reduced by the
+    keep-lowest-id rule — any vector appearing as the higher id of a
+    pair is dropped, survivors stay. Per-label survival counts. The
+    drop set is an equi-anti-join (no broadcast hint; AQE sizes it),
+    and the pair generation reuses the bucketed plan — nothing is
+    all-pairs at any stage."""
+    e = _embs(spark, sf_dir)
+    pairs = SIM.embedding_neardup_banded(e, _BANDED_PLANES, bands=4, threshold=0.4)
+    drops = pairs.select(F.col("id_b").alias("drop_id")).distinct()
+    return (
+        e.join(drops, e.vec_id == F.col("drop_id"), "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("drop_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+
+
 @_q("ivf_ann_cosine", None)  # learned buckets (kmeans+UDF): rows-only
 def ivf_ann_cosine(spark, sf_dir):
     """IVF ANN: driver-trained coarse quantizer (k-means on a bounded
@@ -419,6 +453,28 @@ def doc_chunking(spark, sf_dir):
     return CU.chunk_documents(
         _docs(spark, sf_dir).filter(F.col("doc_id") < 300), chunk_tokens=64
     )
+
+
+_AX_SEQLEN = BinAxis("n_tokens", nbins=24, lo=0.0, hi=120.0)
+
+
+@_q(
+    "seqlen_hist",
+    bin_sparse_sql(
+        f"(SELECT CAST({TX.token_count_sql('text')} AS DOUBLE) AS n_tokens "
+        "FROM documents)",
+        [_AX_SEQLEN],
+    ),
+)
+def seqlen_hist(spark, sf_dir):
+    """Sequence-length distribution of the corpus through the SAME
+    binning engine that serves the event pipeline (`bin_sparse`) —
+    the packing/padding-efficiency diagnostic every pretraining run
+    needs. One pruned scan, one grid-bounded shuffle."""
+    d = _docs(spark, sf_dir).select(
+        TX.token_count_expr("text").cast("double").alias("n_tokens")
+    )
+    return bin_sparse(d, [_AX_SEQLEN])
 
 
 @_q(

@@ -109,3 +109,40 @@ def test_verify_jaccard_aqe_broadcasts_candidates(spark):
     assert "isFinalPlan=true" in plan
     # AQE converted the small candidate side to a runtime broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_no_forced_broadcast(spark):
+    """The duplicated-hash relation is corpus-dependent; the join back
+    must carry no static broadcast hint (AQE decides at runtime) —
+    same policy as verify_jaccard."""
+    from mpes_spark.extras.curation import chunk_dedup_stats
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = chunk_dedup_stats(d, chunk_tokens=16)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    """The global cumsum must never plan a single-partition window:
+    every window/sort in the plan is partitioned by the bucket key,
+    so no SinglePartition exchange appears."""
+    from mpes_spark.extras.curation import pack_sequences
+
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = pack_sequences(d, seq_tokens=64, buckets=7)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-bucket cumsum window is real
+
+
+def test_pii_scan_single_scan_pruned(spark):
+    """The PII audit reads one pruned scan of (doc_id, source, text) —
+    no joins, no extra exchanges beyond the final group agg."""
+    from mpes_spark.extras.registry import extras_queries
+
+    df = extras_queries()["pii_scan"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan or \
+        "ReadSchema: struct<doc_id:bigint,source:string,text:string>" in plan
