@@ -51,6 +51,69 @@ def cosine_expr(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(dot_expr(a, b) / (norm_expr(a) * norm_expr(b)), digits)
 
 
+def _seq_dots_np(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(n, dim) x (p, dim) -> (n, p) dot products with STRICT
+    left-to-right summation — ``np.add.accumulate`` is a sequential
+    fold by definition, so every sum is bit-identical to the
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` Column fold and to
+    DuckDB's ``list_dot_product``. (A plain ``@``/``einsum`` uses
+    pairwise summation: ~1e-16 relative differences that can flip a
+    hyperplane sign or a threshold comparison and desync the oracle.)"""
+    prods = vecs[:, None, :] * planes[None, :, :]  # exact elementwise
+    return np.add.accumulate(prods, axis=2)[:, :, -1]
+
+
+def signature_udf(planes: np.ndarray, bands: int):
+    """Arrow-vectorized banded SRP signature: embedding ->
+    array<bigint> of per-band bucket ids. The plane matrix rides in
+    the UDF closure (broadcast once per executor), so the PLAN stays
+    constant-size at any plane budget — production configs (w=20,
+    bands=32 -> 640 planes) would otherwise inflate a literal
+    expression tree to ~10^5 constants, and the per-plane relation
+    join costs one interpreted 64-element fold per (vector, plane)
+    row (measured: 3.1 s for 2000 x 24 at sf0.1 vs ~0.1 s here).
+    Bucket bits use fold-exact dots (see :func:`_seq_dots_np`)."""
+    import pandas as pd
+
+    nplanes = len(planes)
+    w = nplanes // bands
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(w, dtype=np.int64))
+
+    @F.pandas_udf("array<bigint>")
+    def sig(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in embs], dtype=np.float64
+        )
+        bits = _seq_dots_np(V, P) > 0  # (n, nplanes)
+        buckets = bits.reshape(len(V), bands, w) @ weights  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return sig
+
+
+def cosine_verify_udf():
+    """Arrow-vectorized pairwise cosine for candidate verification —
+    fold-exact (see :func:`_seq_dots_np`), so thresholding and
+    round(6) agree bit-for-bit with the Column/SQL rendering."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype=np.float64)
+        A = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+        dot = np.add.accumulate(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
+        return pd.Series(dot / (na * nb))
+
+    return cos
+
+
 def _lit_array(vals: np.ndarray) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
@@ -79,12 +142,13 @@ def topk_cosine(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec).alias("cv")
     )
+    cos = cosine_verify_udf()
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -165,19 +229,21 @@ def ann_lsh_cosine(
     bucket are scored. Join is equi-keyed on bucket id (shuffle-light);
     at 1e9 vectors the bucketed corpus would be written
     partitioned-by-bucket so probes prune to one partition."""
+    sig = signature_udf(planes, 1)
+    cos = cosine_verify_udf()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec).alias("cv")
-    ).withColumn("bucket", bucket_expr(F.col("cv"), planes))
+    ).withColumn("bucket", sig(F.col("cv")).getItem(0))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(vec).alias("qv")
-    ).withColumn("bucket", bucket_expr(F.col("qv"), planes))
+    ).withColumn("bucket", sig(F.col("qv")).getItem(0))
     scored = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -330,10 +396,11 @@ def ivf_topk_cosine(
         .withColumn("list_id", F.explode("probe"))
         .drop("probe")
     )
+    cos = cosine_verify_udf()
     scored = (
         c.join(F.broadcast(q), ["list_id"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "neighbor_id", F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -365,13 +432,12 @@ def embedding_neardup_pairs(
     the two: band width sets bucket granularity, band count restores
     recall. This single-bucket form is kept as the oracle-simplest
     variant."""
+    sig = signature_udf(planes, 1)
     c = corpus.select(
         F.col(id_col), as_double_array(vec).alias("v")
-    ).withColumn("bucket", bucket_expr(F.col("v"), planes))
+    ).withColumn("bucket", sig(F.col("v")).getItem(0))
     a, b = c.alias("a"), c.alias("b")
-    raw = dot_expr(F.col("a.v"), F.col("b.v")) / (
-        norm_expr(F.col("a.v")) * norm_expr(F.col("b.v"))
-    )
+    cos = cosine_verify_udf()
     return (
         a.join(
             b,
@@ -379,11 +445,12 @@ def embedding_neardup_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         # filter on the raw cosine (like the oracle), round only for output
-        .filter(raw >= threshold)
+        .withColumn("raw", cos(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("raw") >= threshold)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(raw, 6).alias("cosine"),
+            F.round("raw", 6).alias("cosine"),
         )
     )
 
@@ -447,40 +514,23 @@ def embedding_neardup_banded(
     all-pairs; the vector payload is NOT carried through the bucket
     explode (ids only), so the candidate shuffle stays narrow.
 
-    The planes are a broadcast RELATION, not plan literals: production
-    plane budgets (w=20, bands=32 -> 640 planes x dim doubles) would
-    inflate a literal expression tree to ~10^4-10^5 constants —
-    measured at just 24 planes, analysis+codegen of the literal form
-    already dominates the runtime. The (band, j, plane) relation keeps
-    the plan constant-size at any plane count; the sign arithmetic is
-    the same sequential ``aggregate(zip_with(...))`` fold, so buckets
-    are bit-identical to the literal/SQL rendering (asserted by the
-    oracle twin, which still renders literals for DuckDB)."""
+    Signatures and verify cosines are Arrow-vectorized pandas UDFs
+    with FOLD-EXACT summation (:func:`_seq_dots_np` — sequential
+    ``np.add.accumulate``, never pairwise), so bucket bits and
+    rounded cosines are bit-identical to the Column/SQL fold the
+    oracle twin renders for DuckDB. The plane matrix rides in the UDF
+    closure — the plan stays constant-size at production plane
+    budgets (w=20, bands=32 -> 640 planes), and the per-(vector,
+    plane) interpreted folds of the relation-join form (measured
+    3.1 s at just 2000 x 24) become one numpy batch op."""
     nplanes = len(planes)
     if nplanes % bands:
         raise ValueError(f"bands={bands} must divide nplanes={nplanes}")
-    w = nplanes // bands
-    spark = corpus.sparkSession
     c = corpus.select(F.col(id_col), as_double_array(vec).alias("v"))
-    prows = [
-        (b, j, [float(x) for x in planes[b * w + j]])
-        for b in range(bands)
-        for j in range(w)
-    ]
-    p = spark.createDataFrame(prows, "band int, j int, plane array<double>")
-    bits = c.join(F.broadcast(p)).select(
-        F.col(id_col),
-        F.col("band"),
-        F.when(
-            dot_expr(F.col("v"), F.col("plane")) > 0,
-            F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
-        )
-        .otherwise(F.lit(0).cast("bigint"))
-        .alias("bit"),
+    sig = signature_udf(planes, bands)
+    cb = c.select(
+        F.col(id_col), F.posexplode(sig("v")).alias("band", "bucket")
     )
-    # map-side partial agg collapses the w rows per (vector, band)
-    # before the shuffle; the exchange carries n x bands narrow rows
-    cb = bits.groupBy(id_col, "band").agg(F.sum("bit").alias("bucket"))
     a, b = cb.alias("a"), cb.alias("b")
     cand = (
         a.join(
@@ -496,14 +546,13 @@ def embedding_neardup_banded(
     )
     va = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    raw = dot_expr(F.col("va"), F.col("vb")) / (
-        norm_expr(F.col("va")) * norm_expr(F.col("vb"))
-    )
+    cos = cosine_verify_udf()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(raw >= threshold)
-        .select("id_a", "id_b", F.round(raw, 6).alias("cosine"))
+        .withColumn("raw", cos(F.col("va"), F.col("vb")))
+        .filter(F.col("raw") >= threshold)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cosine"))
     )
 
 
