@@ -161,6 +161,64 @@ def _m1(col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# token-budget (domain-mixing) sampling
+# ---------------------------------------------------------------------------
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixing sampler: per ``group``, admit documents (in
+    deterministic content-hash order) until the group's token budget
+    is spent — the mixture-weight materialization step of a
+    pretraining data recipe (each domain's weight becomes a token
+    budget). Docs are ranked by md5(text) so the 'random' order is
+    engine-portable and seedless; ties broken by id. A doc is kept
+    iff the running total THROUGH it stays within budget.
+
+    Scale: one window per group partition (same shape as
+    ``stratified_sample``); the running sum is per-group, so no
+    global ordering problem — a skewed mega-domain is AQE's to
+    handle, and the hash ordering avoids hot-column sorts."""
+    w = (
+        Window.partitionBy(group)
+        .orderBy(F.md5(F.col(text)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nt = F.size(F.split(F.col(text), " ")).cast("bigint")
+    return (
+        df.select(
+            F.col(group), F.col(id_col), nt.alias("n_tokens"), F.col(text)
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(group, id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(
+    table: str,
+    budget_tokens: int,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+SELECT {group}, {id_col}, n_tokens, cum_tokens FROM (
+  SELECT {group}, {id_col},
+         CAST(len(string_split({text}, ' ')) AS BIGINT) AS n_tokens,
+         sum(CAST(len(string_split({text}, ' ')) AS BIGINT))
+           OVER (PARTITION BY {group} ORDER BY md5({text}), {id_col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM {table}
+) s WHERE cum_tokens <= {budget_tokens}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # chunk-level corpus dedup (CC-Net paragraph dedup, chunks as paragraphs)
 # ---------------------------------------------------------------------------
 

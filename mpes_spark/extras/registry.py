@@ -441,6 +441,17 @@ def contamination_check(spark, sf_dir):
 
 
 @_q(
+    "token_budget_mix",
+    CU.token_budget_sample_sql("documents", budget_tokens=400),
+)
+def token_budget_mix(spark, sf_dir):
+    """Domain-mixing materialization: each source's mixture weight as
+    a 400-token budget, spent over docs in deterministic hash order —
+    one window per source partition, no global sort."""
+    return CU.token_budget_sample(_docs(spark, sf_dir), budget_tokens=400)
+
+
+@_q(
     "doc_chunking",
     "SELECT doc_id, chunk_idx, n_tokens, chunk_hash FROM ("
     + CU.chunk_documents_sql("documents", chunk_tokens=64)

@@ -150,6 +150,22 @@ def dedup_stream(
     return stream.dropDuplicates([key])
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a live event stream with a slowly
+    changing dimension table (calibration constants, channel maps,
+    user/domain metadata). The static side is broadcast — Spark
+    re-plans the join each micro-batch, so a refreshed dim table (a
+    re-read Delta/parquet snapshot) is picked up without restarting
+    the query. No state, no watermark interaction: each micro-batch
+    joins independently."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def densify_sink(
     axes: Sequence[BinAxis],
     on_update: Callable[[object, BinnedArray], None],

@@ -180,3 +180,39 @@ def test_dedup_stream_keeps_one_per_fingerprint(spark, tmp_path):
     want = exact_dedup(docs.unionByName(recrawl)).count()
     assert len(got) == want == docs.count()
     assert got.fingerprint.is_unique
+
+
+def test_enrich_stream_static_join(spark, stream_dir):
+    """Stream-static broadcast join: every streamed event picks up its
+    dimension row; totals match the batch join on the same data."""
+    from mpes_spark.streaming.live import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(t, 1.0 + i) for i, t in enumerate(["a", "b", "c", "d", "e"])],
+        "event_type string, gain double",
+    )
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    q = (
+        enrich_stream(stream, dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("gain"), 3).alias("g"))
+        .writeStream.format("memory")
+        .queryName("enrich_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: (r.cnt, r.g)
+        for r in spark.sql("SELECT * FROM enrich_sink").collect()
+    }
+    want = {
+        r.event_type: (r.cnt, r.g)
+        for r in t(spark, SF_SMALL, "events")
+        .join(dim, "event_type", "left")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("gain"), 3).alias("g"))
+        .collect()
+    }
+    assert got == want
