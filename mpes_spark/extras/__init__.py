@@ -10,5 +10,13 @@ Modules:
   hyperplane-LSH bucketed ANN.
 - :mod:`mpes_spark.extras.multimodal` — binary asset columns, Arrow
   batch feature extraction (codec calls stubbed; plumbing real).
+- :mod:`mpes_spark.extras.curation` — stratified/budget sampling,
+  decontamination, chunking, chunk-level dedup, sequence packing.
+- :mod:`mpes_spark.extras.pipeline` — :class:`CorpusPipeline`, the
+  fluent curation chain (the documents-side EventPipeline).
 - :mod:`mpes_spark.extras.registry` — driver-contract queries+oracles.
 """
+
+from mpes_spark.extras.pipeline import CorpusPipeline
+
+__all__ = ["CorpusPipeline"]

@@ -1,0 +1,144 @@
+"""CorpusPipeline — fluent curation chain for the training-data
+pillar, the documents-side sibling of
+:class:`mpes_spark.pipeline.EventPipeline`.
+
+A typical pretraining recipe reads top to bottom::
+
+    clean = (
+        CorpusPipeline(docs)
+        .with_stats()                      # tokens / quality / lang / fingerprint
+        .quality_filter()                  # Gopher-style rules
+        .redact_pii()
+        .dedup_exact()                     # corpus-wide keep-first
+        .dedup_chunks(chunk_tokens=64)     # CC-Net paragraph-level
+        .decontaminate(benchmark_docs)     # 8-gram collision scrub
+        .sample_budget(1_000_000)          # per-source mixture budget
+        .df
+    )
+    shards = CorpusPipeline(clean).chunk(chunk_tokens=512)
+
+Every step is a new immutable pipeline over a lazily planned
+DataFrame; projection-only steps (stats, PII, quality flags) fuse into
+a single scan, and the shuffling steps keep the plan shapes documented
+in SCALING.md §4 (hash-keyed dedup joins, per-source windows, AQE-
+decided join strategies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpes_spark.extras import curation as CU
+from mpes_spark.extras import dedup as DD
+from mpes_spark.extras import text as TX
+
+
+class CorpusPipeline:
+    """Fluent, immutable document-corpus curation pipeline."""
+
+    def __init__(self, df: DataFrame, text: str = "text", id_col: str = "doc_id"):
+        self.df = df
+        self.text = text
+        self.id_col = id_col
+
+    def _wrap(self, df: DataFrame) -> "CorpusPipeline":
+        return CorpusPipeline(df, self.text, self.id_col)
+
+    # -- per-doc annotation (single fused scan) ---------------------------
+
+    def with_stats(self) -> "CorpusPipeline":
+        """Append token/quality/language/fingerprint stat columns."""
+        return self._wrap(TX.with_text_stats(self.df, self.text))
+
+    def redact_pii(self) -> "CorpusPipeline":
+        """Replace email/phone/SSN spans with ``<CATEGORY>`` tags."""
+        return self._wrap(
+            self.df.withColumn(self.text, TX.redact_pii_expr(self.text))
+        )
+
+    # -- filtering --------------------------------------------------------
+
+    def quality_filter(self) -> "CorpusPipeline":
+        """Keep docs passing every Gopher-style rule (GOPHER_RULES)."""
+        m = {name: fn(self.text) for name, fn in TX.GOPHER_METRICS_EXPR.items()}
+        fl = TX.gopher_flags_expr(
+            m["m_ntok"], m["m_mwl"], m["m_stop"], m["m_dup2"]
+        )
+        keep = None
+        for c in fl.values():
+            keep = c if keep is None else (keep & c)
+        return self._wrap(self.df.filter(keep))
+
+    def lang_filter(self, *langs: str) -> "CorpusPipeline":
+        """Keep docs whose marker-word language guess is in ``langs``."""
+        return self._wrap(
+            self.df.filter(TX.lang_id_expr(self.text).isin(*langs))
+        )
+
+    # -- deduplication ----------------------------------------------------
+
+    def dedup_exact(self) -> "CorpusPipeline":
+        """Corpus-wide keep-first exact dedup on the content
+        fingerprint (16-byte-key shuffle)."""
+        return self._wrap(DD.exact_dedup(self.df, self.text, self.id_col))
+
+    def dedup_chunks(
+        self, chunk_tokens: int = 64, min_tokens: int = 1
+    ) -> "CorpusPipeline":
+        """Drop docs that lose ANY chunk to cross-doc duplication
+        (strict CC-Net-style variant; use
+        :func:`~mpes_spark.extras.curation.chunk_dedup_stats` directly
+        for partial-content salvage)."""
+        hit = CU.chunk_dedup_stats(
+            self.df, chunk_tokens, self.text, self.id_col, min_tokens
+        ).select(self.id_col)
+        return self._wrap(self.df.join(hit, self.id_col, "left_anti"))
+
+    def decontaminate(self, benchmark: DataFrame, n: int = 8) -> "CorpusPipeline":
+        """Remove docs sharing >= 1 word n-gram with the benchmark
+        set (GPT-3 appendix C shape; benchmark side broadcasts)."""
+        bad = CU.contaminated_docs(
+            self.df, benchmark, n, self.text, self.id_col
+        )
+        return self._wrap(self.df.join(bad, self.id_col, "left_anti"))
+
+    # -- sampling / sharding ----------------------------------------------
+
+    def sample_quota(self, quota: int, group: str = "source") -> "CorpusPipeline":
+        """Keep at most ``quota`` docs per group (hash-ranked)."""
+        ids = CU.stratified_sample(
+            self.df, quota, group, self.text, self.id_col
+        ).select(self.id_col)
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
+    def sample_budget(
+        self, budget_tokens: int, group: str = "source"
+    ) -> "CorpusPipeline":
+        """Keep docs within each group's token budget (mixture
+        weights as budgets, hash order)."""
+        ids = CU.token_budget_sample(
+            self.df, budget_tokens, group, self.text, self.id_col
+        ).select(self.id_col)
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
+    # -- terminal shapes ---------------------------------------------------
+
+    def chunk(self, chunk_tokens: int = 512) -> DataFrame:
+        """Pretokenization shard map (id, chunk_idx, n_tokens, hash)."""
+        return CU.chunk_documents(self.df, chunk_tokens, self.text, self.id_col)
+
+    def pack(self, seq_tokens: int = 512, buckets: int = 32) -> DataFrame:
+        """Concat-then-chunk packing layout (two-phase global cumsum)."""
+        return CU.pack_sequences(
+            self.df, seq_tokens, self.text, self.id_col, buckets
+        )
+
+    def count_tokens(self) -> int:
+        """Total whitespace tokens in the current corpus."""
+        return int(
+            self.df.agg(
+                F.sum(F.size(F.split(F.col(self.text), " "))).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )

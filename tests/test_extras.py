@@ -394,3 +394,67 @@ def test_pack_sequences_stream_is_contiguous(spark):
             assert r.seq_first == pos // 64
             assert r.seq_last == (pos + r.n_tokens - 1) // 64
             pos += r.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# CorpusPipeline facade
+# ---------------------------------------------------------------------------
+
+def test_corpus_pipeline_end_to_end(spark):
+    """The full curation recipe must run as one lazy chain and shrink
+    the corpus monotonically at each filtering step, with the final
+    shapes matching the underlying operators called directly."""
+    from mpes_spark.extras.curation import token_budget_sample
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    d = _docs(spark)
+    clone = d.filter(F.col("doc_id") % 9 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 40_000
+    )
+    corpus = d.unionByName(clone)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+
+    p0 = CorpusPipeline(corpus)
+    n0 = p0.df.count()
+    p1 = p0.quality_filter()
+    n1 = p1.df.count()
+    assert 0 < n1 < n0
+    p2 = p1.dedup_exact()
+    n2 = p2.df.count()
+    assert 0 < n2 <= n1
+    # no duplicate fingerprints survive
+    from mpes_spark.extras.text import fingerprint_expr
+    assert (
+        p2.df.groupBy(fingerprint_expr("text")).count().filter("count > 1").count()
+        == 0
+    )
+    p3 = p2.decontaminate(bench)
+    n3 = p3.df.count()
+    assert 0 < n3 <= n2
+    # benchmark docs themselves cannot survive decontamination
+    assert p3.df.join(bench, "doc_id", "left_semi").count() == 0
+    p4 = p3.sample_budget(400)
+    ids_direct = {
+        r.doc_id for r in token_budget_sample(p3.df, 400).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in p4.df.select("doc_id").collect()} == ids_direct
+    # terminal shapes
+    packed = p4.pack(seq_tokens=64, buckets=3).collect()
+    assert sum(r.n_tokens for r in packed) == p4.count_tokens()
+    chunks = p4.chunk(chunk_tokens=32)
+    assert chunks.select("doc_id").distinct().count() == len(
+        {r.doc_id for r in packed}
+    )
+
+
+def test_corpus_pipeline_redact_and_lang(spark):
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    d = _docs(spark).limit(30).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail me: a@b.co"))
+    )
+    p = CorpusPipeline(d).redact_pii()
+    assert p.df.filter(F.col("text").contains("@")).count() == 0
+    assert p.df.filter(F.col("text").contains("<EMAIL>")).count() == 30
+    en = CorpusPipeline(d).lang_filter("en").df.count()
+    assert 0 < en <= 30
