@@ -290,6 +290,126 @@ def minhash_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters: connected
+    components of the (id_a, id_b) edge list, labelling every node
+    with the minimum doc id of its component. This is the missing last
+    step of corpus dedup — pair emitters (MinHash LSH, SimHash,
+    blocked Jaccard, embedding LSH) give EDGES, but keep/drop
+    decisions need one canonical doc per transitive CLUSTER
+    (A~B, B~C must collapse A,B,C together even when A~C was never
+    emitted as a pair).
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (label <- label[label] each round), the DataFrame rendering of the
+    two-phase CC-in-MapReduce family (Kiveris et al. 2014). Each
+    iteration is two equi-joins + one groupBy — all shuffles keyed on
+    node/label ids, never all-pairs — and pointer jumping halves the
+    remaining chain depth, so convergence takes O(log diameter)
+    driver rounds (near-dup clusters are shallow: 2-4 rounds in
+    practice). ``localCheckpoint`` truncates the per-iteration lineage
+    so the plan does not grow unboundedly; the state is one
+    (node, label) row per distinct doc appearing in any pair — tiny
+    next to the corpus at any scale.
+
+    Returns (id_col, cluster_id) for every doc appearing in >= 1
+    pair; singleton docs are their own implicit cluster and are
+    deliberately not materialized.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    lab = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(lab.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "label"
+        )
+        prop = (
+            lab.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jump: follow the label's own label (labels are node
+        # ids, monotone non-increasing -> the jump only lowers them)
+        jumped = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("node").alias("label"), F.col("label").alias("_jump")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("_jump"), F.col("label")).alias("label"))
+        )
+        new = jumped.localCheckpoint()
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(lab, "node")
+            .filter(F.col("_new") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def cluster_summary(
+    components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-cluster rollup of a connected-components labelling:
+    (cluster_id, n_docs, max_id). cluster_id doubles as the canonical
+    keep id (it is the component's min doc id by construction)."""
+    return components.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max(id_col).alias("max_id"),
+    )
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle twin of pair-list connected components: a
+    recursive CTE materializing full reachability over the
+    symmetrized edge list (terminates because UNION dedups), then
+    ``min(reachable)`` as the cluster label — O(component^2) paths,
+    exact at oracle scale; the Spark side's log-rounds propagation is
+    the 100-TB rendering of the same fixpoint. Returns the
+    :func:`cluster_summary` shape."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(a, b) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_id
+FROM lab GROUP BY cluster_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -83,6 +83,28 @@ class CorpusPipeline:
         fingerprint (16-byte-key shuffle)."""
         return self._wrap(DD.exact_dedup(self.df, self.text, self.id_col))
 
+    def dedup_near(
+        self,
+        threshold: float = 0.5,
+        n: int = 3,
+        k: int = 32,
+        bands: int = 8,
+    ) -> "CorpusPipeline":
+        """MinHash-LSH near-dedup resolved to clusters: candidate
+        pairs (banded LSH, exact-Jaccard verified at ``threshold``)
+        -> connected components -> keep each cluster's min-id doc.
+        Transitive chains (A~B, B~C) collapse to one survivor even
+        when A~C never surfaced as a pair."""
+        pairs = DD.minhash_neardup_pairs(
+            self.df, self.text, self.id_col, n=n, k=k, bands=bands,
+            threshold=threshold,
+        )
+        cc = DD.connected_components(pairs, self.id_col)
+        drop = cc.filter(F.col(self.id_col) != F.col("cluster_id")).select(
+            self.id_col
+        )
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
+
     def dedup_chunks(
         self, chunk_tokens: int = 64, min_tokens: int = 1
     ) -> "CorpusPipeline":

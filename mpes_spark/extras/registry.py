@@ -305,6 +305,44 @@ def simhash_neardup(spark, sf_dir):
     )
 
 
+def _recrawl_table(table: str) -> str:
+    """Aliased re-crawl union as a table expression (both dialects)."""
+    return (
+        f"(SELECT * FROM {table} UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars "
+        f"FROM {table} WHERE doc_id % 7 = 0) rc"
+    )
+
+
+@_q(
+    "dedup_clusters",
+    DD.connected_components_sql(
+        DD.blocked_jaccard_sql(
+            _recrawl_table("documents"), "duckdb", n=3, block_tokens=2, threshold=0.2
+        )
+    ),
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution on the re-crawl union: near-dup
+    pairs (exact blocked Jaccard >= 0.2) -> connected components ->
+    per-cluster size and id range. Pairs only give edges; keep/drop
+    needs the transitive closure (A~B, B~C collapses all three even
+    when A~C was never emitted). Spark runs log-rounds min-label
+    propagation with pointer jumping (dedup.py:connected_components);
+    the oracle is the recursive-CTE reachability fixpoint — same
+    clusters, two renderings."""
+    pairs = spark.sql(
+        DD.blocked_jaccard_sql(
+            _recrawl_table(_pq(sf_dir, "documents")),
+            "spark",
+            n=3,
+            block_tokens=2,
+            threshold=0.2,
+        )
+    )
+    return DD.cluster_summary(DD.connected_components(pairs))
+
+
 # ===========================================================================
 # similarity search
 # ===========================================================================

@@ -458,3 +458,58 @@ def test_corpus_pipeline_redact_and_lang(spark):
     assert p.df.filter(F.col("text").contains("<EMAIL>")).count() == 30
     en = CorpusPipeline(d).lang_filter("en").df.count()
     assert 0 < en <= 30
+
+
+# ---------------------------------------------------------------------------
+# connected components / duplicate clusters
+# ---------------------------------------------------------------------------
+
+def test_connected_components_transitive_chain(spark):
+    """A 12-node path graph must collapse to ONE cluster labelled by
+    its min node (pointer jumping has to cross the whole chain), and
+    disjoint edges must stay separate clusters."""
+    chain = [(i, i + 1) for i in range(100, 111)]
+    other = [(500, 501), (501, 502), (900, 910)]
+    pairs = spark.createDataFrame(chain + other, ["id_a", "id_b"])
+    cc = {r.doc_id: r.cluster_id for r in DD.connected_components(pairs).collect()}
+    assert {cc[i] for i in range(100, 112)} == {100}
+    assert {cc[i] for i in (500, 501, 502)} == {500}
+    assert cc[900] == cc[910] == 900
+    summ = {
+        r.cluster_id: (r.n_docs, r.max_id)
+        for r in DD.cluster_summary(DD.connected_components(pairs)).collect()
+    }
+    assert summ == {100: (12, 111), 500: (3, 502), 900: (2, 910)}
+
+
+def test_connected_components_merges_bridged_clusters(spark):
+    """Two dense groups bridged by a single edge form one component."""
+    g1 = [(1, 2), (2, 3), (1, 3)]
+    g2 = [(10, 11), (11, 12)]
+    bridge = [(3, 10)]
+    pairs = spark.createDataFrame(g1 + g2 + bridge, ["id_a", "id_b"])
+    cc = DD.connected_components(pairs)
+    assert cc.select("cluster_id").distinct().collect()[0][0] == 1
+    assert cc.count() == 6
+
+
+def test_corpus_pipeline_dedup_near_transitive(spark):
+    """dedup_near keeps exactly one doc per near-dup cluster: a doc,
+    a light edit of it, and a light edit of the edit (A~B~C) leave one
+    survivor — the min id — even though A~C may be below threshold."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    base = _docs(spark).filter(F.col("doc_id") < 40)
+    edit1 = base.withColumn("doc_id", F.col("doc_id") + 1000)
+    edit2 = base.withColumn("doc_id", F.col("doc_id") + 2000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail token drift"))
+    )
+    corpus = base.unionByName(edit1).unionByName(edit2)
+    out = CorpusPipeline(corpus).dedup_near(threshold=0.3)
+    ids = {r.doc_id for r in out.df.select("doc_id").collect()}
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    # every edit chains to its base via A~B~C, so only base-range ids
+    # survive (possibly fewer, if base docs are themselves near-dups)
+    assert ids <= base_ids and len(ids) > 0
+    # survivors are mutually non-near-dup: re-running finds no pairs
+    assert DD.minhash_neardup_pairs(out.df, threshold=0.3).count() == 0
