@@ -289,6 +289,39 @@ def minhash_neardup_pairs(
     return verify_jaccard(cand, sh, threshold, id_col)
 
 
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    block_tokens: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DataFrame rendering of :func:`blocked_jaccard_sql` (same
+    semantics, value-identical output) with the shingle relation
+    persisted across its three consumers — the SQL template's CTE is
+    inlined per reference by Catalyst, so the corpus would be
+    re-scanned and re-exploded once per consumer (the same fix the
+    MinHash path got in round 2). Use this form when the pair list
+    feeds further computation (e.g. cluster resolution); the SQL twin
+    stays the oracle."""
+    sh = shingle_table(df, text, n, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    blocks = df.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col(text), " "), 1, block_tokens)
+        ).alias("bk"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    return verify_jaccard(cand, sh, threshold, id_col)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
@@ -323,11 +356,20 @@ def connected_components(
     pair; singleton docs are their own implicit cluster and are
     deliberately not materialized.
     """
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # symmetrize with ONE pass over the (possibly expensive) pair
+    # plan — a union of two selects would execute it twice
     sym = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     lab = (
         sym.select(F.col("src").alias("node"))
@@ -335,6 +377,9 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # labels are node ids and only ever decrease, so sum(label) is a
+    # strictly decreasing convergence witness — no compare-join needed
+    prev_sum = lab.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr = sym.join(lab.withColumnRenamed("node", "dst"), "dst").select(
             F.col("src").alias("node"), "label"
@@ -355,18 +400,11 @@ def connected_components(
             )
             .select("node", F.coalesce(F.col("_jump"), F.col("label")).alias("label"))
         )
-        new = jumped.localCheckpoint()
-        changed = (
-            new.withColumnRenamed("label", "_new")
-            .join(lab, "node")
-            .filter(F.col("_new") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        lab = new
-        if changed == 0:
+        lab = jumped.localCheckpoint()
+        new_sum = lab.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
-    sym.unpersist()
+        prev_sum = new_sum
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -20,6 +20,7 @@ from mpes_spark.binning.spec import BinAxis
 from mpes_spark.extras import curation as CU
 from mpes_spark.extras import dedup as DD
 from mpes_spark.extras import multimodal as MM
+from mpes_spark.extras import search as SR
 from mpes_spark.extras import similarity as SIM
 from mpes_spark.extras import text as TX
 
@@ -220,6 +221,31 @@ def pii_scan(spark, sf_dir):
     )
 
 
+@_q(
+    "bm25_search",
+    SR.bm25_topk_sql("documents", k=10),
+)
+def bm25_search(spark, sf_dir):
+    """BM25 top-10 keyword search for the default query bag — one
+    corpus scan (pivoted per-term tf in a single groupBy(doc)), a
+    1-row broadcast stats aggregate, TakeOrderedAndProject for the
+    ranked limit. The retrieval primitive of the text pillar."""
+    return SR.bm25_topk(_docs(spark, sf_dir), k=10)
+
+
+@_q(
+    "lm_perplexity",
+    SR.lm_perplexity_by_source_sql("documents", ppl_threshold=30.0),
+)
+def lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity profile per source (add-0.5 smoothing,
+    trained and applied in one job — the CC-Net-shape fluency
+    filter). Count tables are corpus groupBys joined back on the
+    n-gram key; threshold counts use rounded ppl for cross-engine
+    determinism."""
+    return SR.lm_perplexity_by_source(_docs(spark, sf_dir), ppl_threshold=30.0)
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================
@@ -331,15 +357,13 @@ def dedup_clusters(spark, sf_dir):
     propagation with pointer jumping (dedup.py:connected_components);
     the oracle is the recursive-CTE reachability fixpoint — same
     clusters, two renderings."""
-    pairs = spark.sql(
-        DD.blocked_jaccard_sql(
-            _recrawl_table(_pq(sf_dir, "documents")),
-            "spark",
-            n=3,
-            block_tokens=2,
-            threshold=0.2,
+    d = _docs(spark, sf_dir)
+    rc = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
         )
     )
+    pairs = DD.blocked_jaccard_pairs(rc, n=3, block_tokens=2, threshold=0.2)
     return DD.cluster_summary(DD.connected_components(pairs))
 
 

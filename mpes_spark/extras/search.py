@@ -1,0 +1,249 @@
+"""Relevance ranking and statistical-LM quality scoring over the
+documents table: BM25 keyword search and bigram-LM perplexity — the
+retrieval / CC-Net-style-filtering half of the text-analysis pillar.
+
+Scale shapes:
+- BM25 for a fixed query (a handful of terms) is ONE corpus scan: the
+  per-term tfs pivot into columns of a single groupBy(doc) aggregate,
+  corpus statistics (N, avgdl, per-term df) reduce to one broadcast
+  row, and the ranked top-k is a TakeOrderedAndProject — no global
+  sort, no inverted-index materialization. (For ad-hoc many-term
+  workloads you would materialize the (term, doc, tf) relation once,
+  bucketed by term — same math, relational shape.)
+- Perplexity scoring joins each doc's bigrams against corpus-wide
+  count tables. Here the LM is trained and applied in one job
+  (self-scoring, the oracle-checkable rendering); at 100 TB you train
+  the counts on a sample once, prune to the top-V vocabulary, and
+  broadcast the count tables — the scoring side is unchanged.
+
+Both operators are pure DataFrame/SQL column math (no UDFs) with
+DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_QUERY: tuple[str, ...] = ("scan", "window", "join", "merge")
+
+# ---------------------------------------------------------------------------
+# BM25 (Robertson/Sparck Jones; idf per the Lucene rendering
+# ln(1 + (N - df + 0.5)/(df + 0.5)), k1/b defaults 1.2/0.75)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str] = DEFAULT_QUERY,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs by BM25 score for a bag of query ``terms``.
+
+    Plan: explode tokens -> one groupBy(doc) computing doc length and
+    a pivoted tf column per query term (map-side combined, one
+    shuffle) -> one 1-row corpus-stats aggregate (N, avgdl, per-term
+    df) collected and inlined as literals -> score arithmetic over
+    the cached per-doc relation -> ordered limit
+    (TakeOrderedAndProject). Ties broken by (rounded score desc, id)
+    for cross-engine determinism.
+    """
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("t"))
+    # per_doc feeds BOTH the 1-row stats aggregate and the scoring
+    # join; persist the doc-sized relation so the token-stream explode
+    # + groupBy runs once, not once per consumer (per_doc is one row
+    # per doc — corpus-row-sized, far smaller than the token stream)
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).persist()
+    # the corpus statistics reduce to ONE row — collect it and inline
+    # the values as literals (bounded driver collect, like the config
+    # lookups elsewhere): halves the job count vs a broadcast
+    # crossJoin, and the scoring pass reads only the cached per_doc
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        n_docs, dfi = float(stats["n_docs"]), float(stats[f"df_{i}"])
+        idf = F.lit(math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5)))
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(stats["avgdl"]))
+        score = score + idf * tf * (k1 + 1.0) / denom
+    return (
+        per_doc.select(F.col(id_col), F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    terms: Sequence[str] = DEFAULT_QUERY,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical pivoted shape."""
+    tfs = ", ".join(
+        f"sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5)) "
+        f"* CAST(tf_{i} AS DOUBLE) * ({k1!r} + 1.0) "
+        f"/ (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split(text, ' ')) AS t FROM {table}
+),
+per_doc AS (
+  SELECT {id_col}, count(*) AS dl, {tfs} FROM toks GROUP BY {id_col}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl, {dfs} FROM per_doc
+)
+SELECT {id_col}, round({contribs}, 6) AS bm25
+FROM per_doc, stats
+WHERE round({contribs}, 6) > 0
+ORDER BY bm25 DESC, {id_col} LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity (add-alpha smoothing) — the CC-Net-shape
+# quality signal: low perplexity under a corpus LM ~ fluent text
+# ---------------------------------------------------------------------------
+
+
+def lm_perplexity_by_source(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    ppl_threshold: float = 100.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source bigram-LM perplexity profile. Each doc's perplexity
+    is ``exp(-avg ln P(w2|w1))`` with add-``alpha`` smoothed
+    ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)``; output is
+    (source, n_docs, avg/min/max ppl, n_above threshold).
+
+    The count tables are corpus-wide groupBys (train step); scoring
+    joins each doc bigram to its counts — both joins equi-keyed on
+    the n-gram, the count side orders of magnitude smaller than the
+    event side so AQE broadcasts it. Docs with < 2 tokens have no
+    bigrams and are excluded (matching the SQL twin's inner joins).
+    """
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("V"))
+    # project the token array ONCE — referencing split() inside the
+    # transform lambda re-evaluates it per element (no CSE across a
+    # lambda boundary). Guard size >= 2: Spark's sequence(0, -1)
+    # counts DOWN, so a 1-token doc would fabricate bigrams.
+    two = (
+        docs.select(
+            F.col(id_col), F.col("source"), F.split(F.col(text), " ").alias("ws")
+        )
+        .filter(F.size("ws") >= 2)
+        .select(
+            id_col,
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> struct(element_at(ws, i + 1) AS w1, "
+                    "concat_ws(' ', slice(ws, i + 1, 2)) AS pair))"
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "source", F.col("bg.w1").alias("w1"), F.col("bg.pair").alias("pair"))
+    )
+    bi = two.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    # fold both count tables into one pair-keyed stats relation, so
+    # the event-scale bigram stream pays ONE equi-join, not two
+    stats = bi.withColumn("w1", F.split(F.col("pair"), " ")[0]).join(uni, uni.w == F.col("w1")).select(
+        "pair", "c2", "c1"
+    )
+    ll = F.log(
+        (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("V"))
+    )
+    per_doc = (
+        two.drop("w1")
+        .join(stats, "pair")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col, "source")
+        .agg(F.exp(-F.avg(ll)).alias("ppl"))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        F.round(F.min("ppl"), 6).alias("min_ppl"),
+        F.round(F.max("ppl"), 6).alias("max_ppl"),
+        F.sum(F.when(F.round(F.col("ppl"), 6) > ppl_threshold, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+    )
+
+
+def lm_perplexity_by_source_sql(
+    table: str,
+    alpha: float = 0.5,
+    ppl_threshold: float = 100.0,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity_by_source`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split(text, ' ')) AS w FROM {table}
+),
+uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+vocab AS (SELECT count(DISTINCT w) AS V FROM toks),
+two AS (
+  SELECT {id_col}, source, ws[i + 1] AS w1,
+         array_to_string(ws[i + 1: i + 2], ' ') AS pair
+  FROM (SELECT {id_col}, source, string_split(text, ' ') AS ws FROM {table}) s,
+       unnest(range(len(ws) - 1)) AS r(i)
+),
+bi AS (SELECT pair, count(*) AS c2 FROM two GROUP BY pair),
+per_doc AS (
+  SELECT t.{id_col}, t.source,
+         exp(-avg(ln((bi.c2 + {alpha!r}) / (uni.c1 + {alpha!r} * vocab.V)))) AS ppl
+  FROM two t
+  JOIN bi ON bi.pair = t.pair
+  JOIN uni ON uni.w = t.w1
+  CROSS JOIN vocab
+  GROUP BY t.{id_col}, t.source
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ppl), 6) AS avg_ppl,
+       round(min(ppl), 6) AS min_ppl,
+       round(max(ppl), 6) AS max_ppl,
+       CAST(sum(CASE WHEN round(ppl, 6) > {ppl_threshold!r} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above
+FROM per_doc GROUP BY source
+""".strip()

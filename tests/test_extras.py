@@ -513,3 +513,50 @@ def test_corpus_pipeline_dedup_near_transitive(spark):
     assert ids <= base_ids and len(ids) > 0
     # survivors are mutually non-near-dup: re-running finds no pairs
     assert DD.minhash_neardup_pairs(out.df, threshold=0.3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25 search + LM perplexity
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranks_term_density(spark):
+    """A doc saturated with query terms outranks a doc with one hit;
+    docs with no query term never appear."""
+    from mpes_spark.extras import search as SR
+
+    rows = [
+        (1, "scan join window merge scan join scan", "en", "s", 0),
+        (2, "scan pencil orange grape apple lemon peach", "en", "s", 0),
+        (3, "pencil orange grape apple lemon peach plum", "en", "s", 0),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = SR.bm25_topk(d, terms=("scan", "join", "window", "merge"), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1 and 3 not in ids
+    assert out[0].bm25 > out[1].bm25 > 0
+
+
+def test_lm_perplexity_orders_fluency(spark):
+    """Docs made of one repeated (perfectly predictable) bigram score
+    far lower perplexity than docs of all-unique bigrams."""
+    from mpes_spark.extras import search as SR
+
+    fluent = [(i, "the cat " * 20 + "the cat", "en", "fluent", 0) for i in range(5)]
+    vocab = [chr(97 + a) + chr(97 + b) for a in range(26) for b in range(26)]
+    noisy = [
+        (100 + i, " ".join(vocab[i * 40 : (i + 1) * 40]), "en", "noisy", 0)
+        for i in range(5)
+    ]
+    d = spark.createDataFrame(fluent + noisy, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = {r.source: r for r in SR.lm_perplexity_by_source(d).collect()}
+    assert out["fluent"].avg_ppl < out["noisy"].avg_ppl / 3
+    assert out["fluent"].n_docs == out["noisy"].n_docs == 5
+
+
+def test_lm_perplexity_skips_single_token_docs(spark):
+    from mpes_spark.extras import search as SR
+
+    rows = [(1, "solo", "en", "s", 0), (2, "two tokens here", "en", "s", 0)]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = SR.lm_perplexity_by_source(d).collect()
+    assert len(out) == 1 and out[0].n_docs == 1
