@@ -475,6 +475,21 @@ def ivf_ann_cosine(spark, sf_dir):
     )
 
 
+@_q("pq_ann_cosine", None)  # learned codebooks (kmeans+UDF): rows-only
+def pq_ann_cosine(spark, sf_dir):
+    """Product-quantization ANN (Jégou 2011 IVFADC shape): driver-
+    trained codebooks (8 subspaces x 16 centroids on a seeded
+    sample), corpus encoded to 8 sub-codes via one Arrow pass, ADC
+    table-lookup scoring selects a 100-deep shortlist per query, and
+    the final top-3 is exact cosine over the shortlist only.
+    Recall-vs-brute-force asserted in tests/test_extras.py."""
+    e = _embs(spark, sf_dir)
+    books = SIM.train_pq_codebooks(e, m=8, ksub=16, sample_rows=2000, iters=8, seed=7)
+    return SIM.pq_topk_cosine(
+        e, e.filter(F.col("vec_id") < 8), books, k=3, rerank=100
+    )
+
+
 # ===========================================================================
 # corpus curation (sampling / decontamination / chunking)
 # ===========================================================================

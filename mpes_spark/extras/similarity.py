@@ -410,6 +410,208 @@ def ivf_topk_cosine(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) ANN — the compressed-domain scale path
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 7,
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011): split the vector into
+    ``m`` subspaces, run Lloyd k-means with ``ksub`` centroids in each
+    -> (m, ksub, dim/m) codebooks. Vectors are L2-normalized before
+    training so the asymmetric-distance scores approximate COSINE.
+
+    Driver-trains on a seeded uniform sample (bounded collect, never
+    the corpus) exactly like the IVF coarse quantizer; at 1e9 vectors
+    the same code trains on a 1e5-row sample. Codebook size is
+    m * ksub * dsub doubles — a few KB — trivially broadcastable."""
+    n = corpus.count()
+    if n > sample_rows:
+        frac = min(1.0, 2.0 * sample_rows / n)
+        sampled = corpus.select(vec).sample(fraction=frac, seed=seed).limit(sample_rows)
+    else:
+        sampled = corpus.select(vec)
+    X = np.stack(sampled.toPandas()[vec].to_numpy()).astype("float64")
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cent = S[rng.choice(len(S), size=ksub, replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = S[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """Encode each vector to ``m`` sub-codes (nearest codebook entry
+    per subspace of the L2-normalized vector) via one Arrow-batched
+    pandas UDF — 64x compression for dim=64/m=8 (8 bytes vs 512).
+    At corpus scale the encoded relation is what you persist; the
+    float vectors are only re-read for exact re-ranking."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.ascontiguousarray(codebooks, dtype="float64"))
+
+    @F.pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        B = bc.value  # (m, ksub, dsub)
+        m, _, dsub = B.shape
+        X = np.stack(vs.to_numpy()).astype("float64")
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        codes = np.empty((len(X), m), dtype="int32")
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out, _enc(F.col(vec)))
+
+
+def pq_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    rerank: int | None = None,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: each (normalized) query
+    precomputes an (m, ksub) table of sub-dot-products against the
+    codebooks on the driver; corpus side is scored by summing m table
+    lookups per encoded vector — approximate cosine without touching
+    the float vectors.
+
+    ``rerank=L`` adds the production second stage: the ADC scores
+    only SELECT an L-deep shortlist per query, and the final top-k is
+    exact cosine over the shortlist (an equi-join back to the float
+    vectors — L rows per query, not the corpus). On a near-isotropic
+    corpus 4-bit sub-codes cannot resolve the top-1 margin by
+    themselves (measured here: ADC-only top-3 recall ~1/8 at
+    dim=64/m=8/ksub=16, shortlist-100 re-rank 8/8), which is exactly
+    why every deployed PQ system re-ranks. Without ``rerank`` the raw
+    ADC ordering is returned (column ``adc_score``); with it, exact
+    ``cosine``.
+
+    Scale shape: the per-query tables (m * ksub doubles each) ride a
+    broadcast; the corpus pays one encode pass (or reads persisted
+    codes) and one scan per query batch. No shuffle of the corpus;
+    the top-k is a per-query window. Production stacks IVF for
+    pruning + PQ for in-list scoring (IVFADC) — both halves exist
+    here as composable operators."""
+    qpdf = queries.select(id_col, vec).toPandas()
+    B = np.ascontiguousarray(codebooks, dtype="float64")
+    m, ksub, dsub = B.shape
+    tables: dict[int, np.ndarray] = {}
+    for _, row in qpdf.iterrows():
+        q = np.asarray(row[vec], dtype="float64")
+        q = q / np.linalg.norm(q)
+        tables[int(row[id_col])] = np.stack(
+            [B[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )  # (m, ksub)
+
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(tables)
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series, qid: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype=np.float64)
+        T = bc.value
+        C = np.stack(codes.to_numpy())  # (batch, m)
+        out_v = np.empty(len(C))
+        sub = np.arange(C.shape[1])
+        for q in np.unique(qid.to_numpy()):
+            mask = (qid == q).to_numpy()
+            out_v[mask] = T[int(q)][sub[None, :], C[mask]].sum(axis=1)
+        return pd.Series(out_v)
+
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec), codebooks, vec
+    ).drop(vec)
+    qids = queries.select(F.col(id_col).alias("query_id"))
+    scored = enc.crossJoin(F.broadcast(qids)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_adc(F.col("codes"), F.col("query_id")), 6).alias("adc_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "adc_score",
+                F.col("rank").cast("bigint").alias("rank"),
+            )
+        )
+    shortlist = (
+        scored.withColumn("_arank", F.row_number().over(w))
+        .filter(F.col("_arank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec).alias("qv")
+    )
+    exact = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     planes: np.ndarray,

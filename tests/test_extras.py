@@ -560,3 +560,44 @@ def test_lm_perplexity_skips_single_token_docs(spark):
     d = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
     out = SR.lm_perplexity_by_source(d).collect()
     assert len(out) == 1 and out[0].n_docs == 1
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_recall_vs_brute_force(spark):
+    """PQ with shortlist re-rank must recover the exact top-1 for
+    most queries; the raw ADC stage alone is only a shortlist
+    generator on this near-isotropic corpus (by design — see the
+    pq_topk_cosine docstring)."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    books = SIM.train_pq_codebooks(e, m=8, ksub=16, sample_rows=2000, iters=8, seed=7)
+    exact = {r.query_id: r.neighbor_id for r in SIM.topk_cosine(e, q, k=1).collect()}
+    rer = SIM.pq_topk_cosine(e, q, books, k=3, rerank=100).collect()
+    top1 = {r.query_id: r.neighbor_id for r in rer if r.rank == 1}
+    hits1 = sum(top1.get(qq) == nn for qq, nn in exact.items())
+    assert hits1 >= len(exact) * 3 // 4
+    # re-ranked scores are EXACT cosines: they must match the brute-
+    # force cosine for the same (query, neighbor) pairs
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in SIM.topk_cosine(e, q, k=3).collect()
+    }
+    for r in rer:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(r.cosine - bf[(r.query_id, r.neighbor_id)]) < 1e-9
+    # ADC-only path still returns plausible bounded scores
+    adc = SIM.pq_topk_cosine(e, q, books, k=3).collect()
+    assert all(-1.1 <= r.adc_score <= 1.1 for r in adc)
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(50)
+    books = SIM.train_pq_codebooks(e, m=8, ksub=4, sample_rows=50, iters=4, seed=3)
+    assert books.shape == (8, 4, 8)
+    enc1 = {r.vec_id: list(r.codes) for r in SIM.pq_encode(e, books).collect()}
+    enc2 = {r.vec_id: list(r.codes) for r in SIM.pq_encode(e, books).collect()}
+    assert enc1 == enc2
+    assert all(len(c) == 8 and all(0 <= x < 4 for x in c) for c in enc1.values())
