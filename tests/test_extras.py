@@ -601,3 +601,47 @@ def test_pq_encode_shape_and_determinism(spark):
     enc2 = {r.vec_id: list(r.codes) for r in SIM.pq_encode(e, books).collect()}
     assert enc1 == enc2
     assert all(len(c) == 8 and all(0 <= x < 4 for x in c) for c in enc1.values())
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Randomized cross-check: on a seeded random graph (mixed dense
+    blobs, long chains, isolated edges) the distributed labelling must
+    equal a driver-side union-find exactly."""
+    import random
+
+    rng = random.Random(42)
+    edges = set()
+    # dense blobs
+    for blob in range(5):
+        nodes = [1000 * blob + i for i in range(rng.randint(3, 12))]
+        for _ in range(len(nodes) * 2):
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+    # long chains (stress pointer jumping)
+    for c in range(3):
+        start = 50_000 + 100 * c
+        for i in range(rng.randint(15, 30)):
+            edges.add((start + i, start + i + 1))
+    # random sparse edges across a wide id space
+    for _ in range(60):
+        a, b = rng.sample(range(100_000, 100_400), 2)
+        edges.add((min(a, b), max(a, b)))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id for r in DD.connected_components(pairs).collect()}
+    assert got == expected
