@@ -112,3 +112,56 @@ def test_params_roundtrip(tmp_path):
     np.testing.assert_allclose(back["coeffs"], params["coeffs"])
     np.testing.assert_allclose(back["nested"]["points"], params["nested"]["points"])
     assert back["E0"] == 1.5 and back["label"] == "ecal"
+
+
+def test_zorder_write_locality_and_roundtrip(spark, tmp_path):
+    """Z-order layout: (1) lossless — same rows back; (2) locality —
+    per-file bounding rectangles in (ts, value) space are much
+    smaller than under a single-column sort layout, which is what
+    lets parquet min/max stats prune files for 2-D crops."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.io.writers import zorder_write
+    from mpes_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    ev = t(spark, SF_SMALL, "events").select("event_id", "ts", "value")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(ev, zpath, ["ts", "value"], bits=12, n_files=16)
+    # baseline: same file count, sorted by ts only
+    (
+        ev.repartitionByRange(16, "ts")
+        .sortWithinPartitions("ts")
+        .write.parquet(spath)
+    )
+
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("event_id")).collect()[0][0] == ev.agg(
+        F.sum("event_id")
+    ).collect()[0][0]
+
+    def file_spans(path):
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("value").alias("v0"), F.max("value").alias("v1"))
+            .collect()
+        )
+
+    tot = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    vmin, vmax = tot[0], tot[1]
+    mid, band = (vmin + vmax) / 2, (vmax - vmin) * 0.02
+    lo, hi = mid - band, mid + band
+
+    def overlapping(path):
+        return sum(1 for r in file_spans(path) if r.v0 <= hi and r.v1 >= lo)
+
+    # the point of z-order vs a single-column sort: file min/max stats
+    # prune on the NON-leading dimension too. A ts-sorted layout keeps
+    # near-full value spans per file (every file overlaps a narrow
+    # value band); the Morton layout confines each file to a value
+    # sub-range (measured here: 3/16 files touched vs 13/16)
+    z_hit, s_hit = overlapping(zpath), overlapping(spath)
+    assert z_hit <= s_hit // 2
+    assert z_hit <= 6
