@@ -23,6 +23,7 @@ from mpes_spark.extras import multimodal as MM
 from mpes_spark.extras import search as SR
 from mpes_spark.extras import similarity as SIM
 from mpes_spark.extras import text as TX
+from mpes_spark.extras import tokenizer as TK
 
 
 @dataclass
@@ -612,6 +613,29 @@ def pack_sequences(spark, sf_dir):
     prefix offsets, never a single-partition global window); the
     oracle's plain global window asserts the decomposition is exact."""
     return CU.pack_sequences(_docs(spark, sf_dir), seq_tokens=128, buckets=8)
+
+
+@_q("bpe_tokenizer", None)  # iterative driver merge loop: rows-only
+def bpe_tokenizer(spark, sf_dir):
+    """Full BPE tokenizer lifecycle: train 60 merges from the corpus
+    word-frequency table (one Spark groupBy; driver loop over the
+    bounded vocab — the HF-trainer shape), then encode every doc with
+    the broadcast merge ranks and report per-source token counts and
+    compression. Merge determinism + subword generalization asserted
+    in tests/test_extras.py."""
+    d = _docs(spark, sf_dir)
+    merges = TK.train_bpe(d, n_merges=60, max_words=50_000)
+    st = TK.bpe_token_stats(d, merges)
+    return (
+        d.select("doc_id", "source")
+        .join(st, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("chars_per_token"), 6).alias("avg_chars_per_token"),
+        )
+    )
 
 
 @_q(

@@ -1,0 +1,155 @@
+"""Distributed BPE tokenizer training and application (Sennrich et
+al. 2016, the GPT-2/HF training recipe re-shaped for Spark).
+
+The scale insight every production BPE trainer uses: merges are a
+function of the WORD-FREQUENCY table, not the corpus. So the only
+corpus-scale step is one groupBy(word) count — everything after
+operates on the bounded vocabulary:
+
+1. ``word_freqs``     corpus -> (word, freq)           [Spark, 1 shuffle]
+2. ``train_bpe``      freq table -> ordered merge list  [driver, bounded]
+3. ``bpe_encode_udf`` docs -> token arrays              [broadcast merges,
+                                                         Arrow batches]
+
+At 100 TB step 1 shuffles one row per distinct word (map-side
+combined); the driver sees only the top-``max_words`` rows (~10^5-10^6
+— the same bound HF tokenizers train on), and application is an
+embarrassingly parallel scan with the merge ranks riding a broadcast.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_freqs(
+    docs: DataFrame, text: str = "text", max_words: int | None = None
+) -> DataFrame:
+    """Corpus word-frequency table — the one corpus-scale step of BPE
+    training. Optional ``max_words`` keeps the driver collect bounded
+    (TakeOrderedAndProject, no global sort)."""
+    wf = (
+        docs.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_words is not None:
+        wf = wf.orderBy(F.col("freq").desc(), "word").limit(max_words)
+    return wf
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 100,
+    text: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn an ordered BPE merge list from the corpus.
+
+    Classic frequency-table BPE: each word is a symbol sequence
+    (chars + ``</w>``); repeatedly count adjacent symbol pairs
+    weighted by word frequency, merge the most frequent pair
+    (ties broken lexicographically for determinism), stop after
+    ``n_merges`` or when no pair repeats. The loop runs on the
+    driver over the bounded freq table — the distributed work is the
+    single :func:`word_freqs` aggregation."""
+    rows = word_freqs(docs, text, max_words).collect()
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + (END_OF_WORD,): r["freq"] for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+        merges.append((a, b))
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word in learned-rank order (the standard
+    lowest-rank-first greedy loop)."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        pairs = [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+        ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def bpe_encode_udf(spark_context, merges: list[tuple[str, str]]):
+    """Arrow-batched encoder: text -> array<string> of BPE tokens.
+    The merge ranks ride a broadcast (vocab-sized, a few MB at
+    production merge counts); per-batch encoding memoizes by word, so
+    each distinct word in a batch is segmented once."""
+
+    bc = spark_context.broadcast({tuple(m): i for i, m in enumerate(merges)})
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        ranks = bc.value
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").split(" "):
+                if not w:
+                    continue
+                if w not in memo:
+                    memo[w] = _encode_word(w, ranks)
+                toks.extend(memo[w])
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc BPE tokenization stats: (id, n_tokens, n_chars,
+    compression) — the fertility/compression diagnostic a tokenizer
+    change needs over the whole corpus."""
+    enc = bpe_encode_udf(docs.sparkSession.sparkContext, merges)
+    toks = docs.select(
+        F.col(id_col),
+        F.length(F.col(text)).alias("n_chars"),
+        F.size(enc(F.col(text))).alias("n_tokens"),
+    )
+    return toks.withColumn(
+        "chars_per_token",
+        F.round(F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+    )

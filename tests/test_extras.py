@@ -645,3 +645,42 @@ def test_connected_components_random_graph_vs_union_find(spark):
     pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
     got = {r.doc_id: r.cluster_id for r in DD.connected_components(pairs).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer
+# ---------------------------------------------------------------------------
+
+def test_bpe_learns_sennrich_subwords(spark):
+    """Classic BPE corpus (low/lower/newest/widest): training must be
+    deterministic, learn 'est</w>' and 'low' as units, and encode the
+    UNSEEN word 'lowest' as low + est</w> — subword generalization."""
+    from mpes_spark.extras import tokenizer as TK
+
+    rows = [(0, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3))]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = TK.train_bpe(d, n_merges=12)
+    assert merges == TK.train_bpe(d, n_merges=12)  # deterministic
+    assert ("e", "st</w>") in merges and ("l", "ow") in merges
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert TK._encode_word("lowest", ranks) == ["low", "est</w>"]
+    assert TK._encode_word("newest", ranks) == ["newest</w>"]
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    """Token arrays must reassemble the original text exactly, and
+    more merges must never increase the token count."""
+    from mpes_spark.extras import tokenizer as TK
+
+    d = _docs(spark).limit(40)
+    m10 = TK.train_bpe(d, n_merges=10)
+    m80 = TK.train_bpe(d, n_merges=80)
+    assert m80[:10] == m10  # merge list is prefix-stable
+    enc = TK.bpe_encode_udf(spark.sparkContext, m80)
+    out = d.select("doc_id", "text", enc(F.col("text")).alias("toks")).collect()
+    for r in out:
+        rebuilt = "".join(r.toks).replace(TK.END_OF_WORD, " ").rstrip()
+        assert rebuilt == " ".join(w for w in r.text.split(" ") if w)
+    n10 = TK.bpe_token_stats(d, m10).agg(F.sum("n_tokens")).collect()[0][0]
+    n80 = TK.bpe_token_stats(d, m80).agg(F.sum("n_tokens")).collect()[0][0]
+    assert n80 < n10
