@@ -216,3 +216,50 @@ def test_enrich_stream_static_join(spark, stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_corpus_pipeline_stages_on_stream(spark, tmp_path):
+    """The CorpusPipeline's stateless stages (quality filter, PII
+    redaction, language filter, stats) are pure column projections —
+    they must run UNCHANGED on a Structured Streaming source and
+    produce exactly the batch result once the stream drains."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .limit(60)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" contact: a@b.co")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    src = str(tmp_path / "docs_stream_cp")
+    docs.repartition(3).write.parquet(src)
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def stages(df):
+        return CorpusPipeline(df).quality_filter().redact_pii().with_stats().df
+
+    q = (
+        stages(stream)
+        .writeStream.format("memory")
+        .queryName("cp_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cp_sink").toPandas().sort_values("doc_id")
+    want = stages(docs).toPandas().sort_values("doc_id")
+    assert list(got.columns) == list(want.columns)
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert not got.text.str.contains("@").any()
