@@ -476,6 +476,20 @@ def ivf_ann_cosine(spark, sf_dir):
     )
 
 
+@_q("ivfpq_ann_cosine", None)  # learned quantizers: rows-only
+def ivfpq_ann_cosine(spark, sf_dir):
+    """IVFADC — the composed production ANN stack: IVF prune (8
+    lists, nprobe=3) -> in-list PQ table-lookup scoring -> exact
+    re-rank of the 50-deep shortlist. Recall-vs-brute-force asserted
+    in tests/test_extras.py."""
+    e = _embs(spark, sf_dir)
+    cent = SIM.train_ivf_centroids(e, k=8, sample_rows=2000, iters=8, seed=7)
+    books = SIM.train_pq_codebooks(e, m=8, ksub=16, sample_rows=2000, iters=8, seed=7)
+    return SIM.ivfpq_topk_cosine(
+        e, e.filter(F.col("vec_id") < 8), cent, books, k=3, nprobe=3, rerank=50
+    )
+
+
 @_q("pq_ann_cosine", None)  # learned codebooks (kmeans+UDF): rows-only
 def pq_ann_cosine(spark, sf_dir):
     """Product-quantization ANN (Jégou 2011 IVFADC shape): driver-

@@ -352,6 +352,23 @@ def ivf_assign(
     return df.withColumn(out, _assign(F.col(vec)))
 
 
+def ivf_probe_udf(spark_context, centroids: np.ndarray, nprobe: int):
+    """Arrow-vectorized query-side probe: embedding -> the ids of its
+    ``nprobe`` nearest inverted lists (broadcast centroid matrix,
+    batch argsort)."""
+    bc = spark_context.broadcast(np.asarray(centroids, dtype="float64"))
+
+    @F.pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        cent = bc.value
+        X = np.stack(vs.to_numpy()).astype("float64")
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return _probe
+
+
 def ivf_topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -375,16 +392,7 @@ def ivf_topk_cosine(
         centroids, vec="_raw",
     ).drop("_raw")
 
-    sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast(np.asarray(centroids, dtype="float64"))
-
-    @F.pandas_udf("array<int>")
-    def _probe(vs: pd.Series) -> pd.Series:
-        cent = bc.value
-        X = np.stack(vs.to_numpy()).astype("float64")
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
-        return pd.Series(list(order))
+    _probe = ivf_probe_udf(corpus.sparkSession.sparkContext, centroids, nprobe)
 
     q = (
         queries.select(
@@ -590,6 +598,122 @@ def pq_topk_cosine(
     )
     exact = (
         shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def ivfpq_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 3,
+    nprobe: int = 2,
+    rerank: int = 50,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC — the full production ANN stack (Jégou 2011), composed
+    from the two halves implemented above:
+
+    1. IVF prune: corpus sharded into inverted lists by nearest
+       coarse centroid; each query probes its ``nprobe`` lists
+       (equi-join on list id — at 10^9 vectors the encoded corpus is
+       written ``partitionBy(list_id)``, so probing prunes
+       partitions).
+    2. ADC score: inside probed lists, PQ table-lookup scoring over
+       the 8-byte codes — no float vectors touched.
+    3. Exact re-rank: the ``rerank``-deep ADC shortlist joins back to
+       the float vectors for exact cosine top-k.
+
+    Every stage's data volume shrinks before the next: corpus ->
+    nprobe lists -> L shortlist -> k."""
+    enc = pq_encode(
+        ivf_assign(
+            corpus.select(F.col(id_col).alias("neighbor_id"), vec),
+            centroids,
+            vec=vec,
+        ),
+        codebooks,
+        vec=vec,
+    ).select("neighbor_id", "list_id", "codes")
+
+    sc = corpus.sparkSession.sparkContext
+    _probe = ivf_probe_udf(sc, centroids, nprobe)
+
+    qpdf = queries.select(id_col, vec).toPandas()
+    B = np.ascontiguousarray(codebooks, dtype="float64")
+    m, ksub, dsub = B.shape
+    tables: dict[int, np.ndarray] = {}
+    for _, row in qpdf.iterrows():
+        qv_np = np.asarray(row[vec], dtype="float64")
+        qv_np = qv_np / np.linalg.norm(qv_np)
+        tables[int(row[id_col])] = np.stack(
+            [B[j] @ qv_np[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+    bc = sc.broadcast(tables)
+
+    @F.pandas_udf("double")
+    def _adc(codes: pd.Series, qid: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype=np.float64)
+        T = bc.value
+        C = np.stack(codes.to_numpy())
+        out_v = np.empty(len(C))
+        sub = np.arange(C.shape[1])
+        for qq in np.unique(qid.to_numpy()):
+            mask = (qid == qq).to_numpy()
+            out_v[mask] = T[int(qq)][sub[None, :], C[mask]].sum(axis=1)
+        return pd.Series(out_v)
+
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec).alias("_qv"))
+        .withColumn("list_id", F.explode(_probe(F.col("_qv"))))
+        .drop("_qv")
+    )
+    shortlist = (
+        enc.join(F.broadcast(q), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc(F.col("codes"), F.col("query_id")).alias("adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        shortlist.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec).alias("qv")
+    )
+    exact = (
+        cand.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",

@@ -684,3 +684,29 @@ def test_bpe_encode_roundtrip_and_compression(spark):
     n10 = TK.bpe_token_stats(d, m10).agg(F.sum("n_tokens")).collect()[0][0]
     n80 = TK.bpe_token_stats(d, m80).agg(F.sum("n_tokens")).collect()[0][0]
     assert n80 < n10
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    """The composed IVFADC stack (IVF prune -> ADC shortlist -> exact
+    re-rank) must recover most true top-1 neighbors, and with
+    nprobe=all-lists + deep re-rank must equal brute force exactly."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6)
+    cent = SIM.train_ivf_centroids(e, k=4, sample_rows=2000, iters=6, seed=7)
+    books = SIM.train_pq_codebooks(e, m=8, ksub=16, sample_rows=2000, iters=8, seed=7)
+    exact = {r.query_id: r.neighbor_id for r in SIM.topk_cosine(e, q, k=1).collect()}
+    full = {
+        r.query_id: r.neighbor_id
+        for r in SIM.ivfpq_topk_cosine(
+            e, q, cent, books, k=1, nprobe=4, rerank=500
+        ).collect()
+    }
+    assert full == exact  # all lists + full-depth re-rank == brute force
+    pruned = {
+        r.query_id: r.neighbor_id
+        for r in SIM.ivfpq_topk_cosine(
+            e, q, cent, books, k=1, nprobe=2, rerank=100
+        ).collect()
+    }
+    hits = sum(pruned.get(qq) == nn for qq, nn in exact.items())
+    assert hits >= len(exact) // 2
