@@ -415,3 +415,65 @@ SELECT {id_col}, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        md5(array_to_string(toks[chunk_idx * {chunk_tokens} + 1 : chunk_idx * {chunk_tokens} + {chunk_tokens}], ' ')) AS chunk_hash
 FROM ch
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# adaptive (quantile-based) quality gating
+# ---------------------------------------------------------------------------
+
+def quality_quantile_filter(
+    df: DataFrame,
+    q: float = 0.25,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group adaptive quality floor: keep docs whose heuristic
+    quality score sits at or above the group's ``q``-quantile —
+    fixed thresholds over-prune clean sources and under-prune noisy
+    ones, so production filters calibrate per domain (CC-Net buckets
+    by perplexity tertile the same way).
+
+    Exact quantile via ``percent_rank`` over (score, id) inside each
+    group partition — one window per group (parallel across groups,
+    deterministic ties), identically expressible in the oracle
+    dialect, unlike ``percentile_approx``. Returns the surviving rows
+    with their (rounded) score and in-group percentile."""
+    from mpes_spark.extras.text import quality_score_expr
+
+    w = Window.partitionBy(group).orderBy(
+        quality_score_expr(text), F.col(id_col)
+    )
+    pr = F.percent_rank().over(w)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group),
+            F.round(quality_score_expr(text), 6).alias("quality"),
+            F.round(pr, 6).alias("pctile"),
+        )
+        .filter(F.col("pctile") >= q)
+    )
+
+
+def quality_quantile_filter_sql(
+    table: str,
+    q: float = 0.25,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`quality_quantile_filter`."""
+    from mpes_spark.extras.text import quality_score_sql
+
+    score = quality_score_sql(text)
+    return f"""
+SELECT {id_col}, {group}, round(qscore, 6) AS quality,
+       round(pr, 6) AS pctile
+FROM (
+  SELECT {id_col}, {group}, {score} AS qscore,
+         percent_rank() OVER (PARTITION BY {group}
+                              ORDER BY {score}, {id_col}) AS pr
+  FROM {table}
+) r WHERE round(pr, 6) >= {q!r}
+""".strip()

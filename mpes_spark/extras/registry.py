@@ -533,6 +533,23 @@ def contamination_check(spark, sf_dir):
 
 
 @_q(
+    "quality_quantile_gate",
+    "SELECT * FROM ("
+    + CU.quality_quantile_filter_sql("documents", q=0.25)
+    + ") g WHERE doc_id < 1000",
+)
+def quality_quantile_gate(spark, sf_dir):
+    """Per-source adaptive quality floor: keep docs at/above their
+    source's 25th quality percentile (exact percent_rank window per
+    group — the CC-Net-style per-domain calibration; fixed thresholds
+    over/under-prune across domains). Row-level oracle over the
+    deterministic (score, id) ordering."""
+    return CU.quality_quantile_filter(_docs(spark, sf_dir), q=0.25).filter(
+        F.col("doc_id") < 1000
+    )
+
+
+@_q(
     "token_budget_mix",
     CU.token_budget_sample_sql("documents", budget_tokens=400),
 )

@@ -150,6 +150,33 @@ def dedup_stream(
     return stream.dropDuplicates([key])
 
 
+def ingest_dedup_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """Incremental-crawl ingest dedup: drop streamed docs whose
+    content fingerprint already exists in the STATIC corpus (the data
+    lake being appended to), then dedup within the stream itself —
+    the two-level check every incremental crawl append needs
+    (:func:`dedup_stream` alone only sees the stream's own keys).
+
+    The corpus side is an anti-join against a fingerprint projection
+    (16 bytes/row); Spark re-plans the stream-static join each
+    micro-batch, so a corpus snapshot refreshed between batches (the
+    just-appended files) is picked up without restarting the query.
+    At 10⁹ corpus docs the fingerprint relation is the thing to keep
+    compacted/bucketed; the stream side is micro-batch-sized."""
+    from mpes_spark.extras.text import fingerprint_expr
+
+    seen = corpus.select(fingerprint_expr(text).alias("fingerprint")).distinct()
+    return (
+        stream.withColumn("fingerprint", fingerprint_expr(text))
+        .join(seen, "fingerprint", "left_anti")
+        .dropDuplicates(["fingerprint"])
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -263,3 +263,49 @@ def test_corpus_pipeline_stages_on_stream(spark, tmp_path):
     assert list(got.columns) == list(want.columns)
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
     assert not got.text.str.contains("@").any()
+
+
+def test_ingest_dedup_stream_vs_static_corpus(spark, tmp_path):
+    """Incremental-crawl append: streamed docs already present in the
+    static corpus (same text, new ids) must be dropped by the
+    stream-static anti-join; genuinely new docs survive exactly once
+    even when re-delivered across micro-batches."""
+    from mpes_spark.streaming.live import ingest_dedup_stream
+
+    all_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    corpus = all_docs.filter(F.col("doc_id") < 30)
+    fresh = all_docs.filter(F.col("doc_id") >= 30)
+
+    src = str(tmp_path / "crawl")
+    # batch 1: re-crawl of corpus docs (new ids) + half the fresh docs
+    (
+        corpus.withColumn("doc_id", F.col("doc_id") + 10_000)
+        .unionByName(fresh.filter(F.col("doc_id") < 45))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    # batch 2: re-delivers batch 1's fresh docs + the rest
+    fresh.withColumn(
+        "doc_id", F.col("doc_id") + 20_000
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ingest_dedup_stream(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("ingest_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ingest_sink").toPandas()
+    # exactly the 30 fresh fingerprints, none from the corpus re-crawl
+    assert len(got) == fresh.count()
+    assert got.fingerprint.is_unique
+    assert (got.doc_id % 10_000 >= 30).all()
