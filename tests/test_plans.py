@@ -146,3 +146,63 @@ def test_pii_scan_single_scan_pruned(spark):
     assert plan.count("Scan parquet") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan or \
         "ReadSchema: struct<doc_id:bigint,source:string,text:string>" in plan
+
+
+def test_bm25_plan_single_scan_and_ordered_limit(spark):
+    """BM25: the per-doc relation is computed once (persisted — one
+    InMemoryTableScan feeds the scoring), corpus stats arrive as
+    inlined literals (no join in the final plan), and the ranked
+    limit is a TakeOrderedAndProject, not a global sort."""
+    from mpes_spark.extras.search import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    df = bm25_topk(docs, k=10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # stats are literals, not a crossJoin
+    assert "InMemoryTableScan" in plan  # cached per-doc relation
+
+
+def test_lm_perplexity_single_stats_join(spark):
+    """The bigram stream must pay ONE equi-join against the folded
+    (pair, c2, c1) stats relation — not separate joins per count
+    table — and no cartesian product anywhere (the vocab scalar rides
+    a broadcast)."""
+    from mpes_spark.extras.search import lm_perplexity_by_source
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = _plan(lm_perplexity_by_source(docs))
+    assert "CartesianProduct" not in plan
+    # joins: bigrams->stats (1), stats-internal bi->uni (1), vocab
+    # broadcast (1) = 3 joins total; the round-1 shape had 4+
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 3
+
+
+def test_dedup_clusters_pairs_computed_once(spark):
+    """connected_components must materialize the (expensive) pair
+    plan exactly once: the symmetrized edge relation is built with
+    one explode pass over the pair plan, not a union that would
+    execute it twice."""
+    from mpes_spark.extras import dedup as DD
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(200)
+    pairs = DD.blocked_jaccard_pairs(docs, threshold=0.2)
+    # analyzed plan of the symmetrization used inside CC: one
+    # generate (explode) over a single pair subtree
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    opt = sym._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Generate explode") >= 1
+    assert opt.count("Union") == 0
