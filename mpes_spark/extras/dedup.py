@@ -289,6 +289,81 @@ def minhash_neardup_pairs(
     return verify_jaccard(cand, sh, threshold, id_col)
 
 
+def _md5_hash_sql(i: int, arg: str, dialect: str) -> str:
+    """Seeded 60-bit integer hash both engines compute identically:
+    the first 15 hex chars of md5(seed || '|' || s) as a BIGINT. md5
+    is the one hash function the two engines share bit-for-bit."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    inner = f"md5(concat(CAST({i} AS {s}), '|', {arg}))"
+    if dialect == "spark":
+        return f"CAST(conv(substring({inner}, 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr({inner}, 1, 15)) AS BIGINT)"
+
+
+def minhash_lsh_sql(
+    table: str,
+    dialect: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> str:
+    """Fully oracle-expressible MinHash + banded LSH + exact-Jaccard
+    verification — the SAME four-stage structure as the production
+    xxhash64 path (:func:`minhash_neardup_pairs`), rendered with the
+    engine-portable md5 hash family so DuckDB can replay every stage
+    bit-for-bit (xxhash64 has no DuckDB twin, which is why the
+    production query carries only a rows-only check; this variant
+    puts the full sketch->band->verify pipeline under the hash-match
+    gate). Band buckets join on the exact signature-slice tuple
+    (string key) — no second-level hash to diverge on. k stays small
+    (md5 costs ~4x xxhash64); at production scale you run the
+    xxhash64 rendering."""
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    r = k // bands
+    sh = _shingle_cte(table, n, dialect, id_col)
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    mins = ", ".join(
+        f"min({_md5_hash_sql(i, 'sh', dialect)}) AS mh_{i}" for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT {id}, {b} AS band, concat_ws('|', {cols}) AS bk FROM sigs".format(
+            id=id_col,
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * r + j} AS {s})" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH shingles AS ({sh}),
+sizes AS (SELECT {id_col}, count(*) AS nsh FROM shingles GROUP BY {id_col}),
+sigs AS (SELECT {id_col}, {mins} FROM shingles GROUP BY {id_col}),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bk = b.bk AND a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS icnt
+  FROM cand c
+  JOIN shingles sa ON sa.{id_col} = c.id_a
+  JOIN shingles sb ON sb.{id_col} = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.id_a
+JOIN sizes zb ON zb.{id_col} = i.id_b
+WHERE CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt) >= {threshold!r}
+""".strip()
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     text: str = "text",

@@ -308,6 +308,25 @@ def neardup_jaccard(spark, sf_dir):
     )
 
 
+@_q(
+    "minhash_lsh_oracle",
+    DD.minhash_lsh_sql("documents", "duckdb", n=3, k=8, bands=4, threshold=0.2),
+)
+def minhash_lsh_oracle(spark, sf_dir):
+    """MinHash + banded LSH + exact-Jaccard verify with the FULL
+    pipeline under the hash-match gate: md5-prefix integer hashes
+    (the one hash family both engines compute bit-for-bit) replace
+    xxhash64, so signatures, band buckets, candidates, and the
+    verified pairs are all oracle-replayed. The production query
+    (`minhash_lsh_pairs`) keeps the identical structure on the
+    ~4x-faster xxhash64."""
+    return spark.sql(
+        DD.minhash_lsh_sql(
+            _pq(sf_dir, "documents"), "spark", n=3, k=8, bands=4, threshold=0.2
+        )
+    )
+
+
 @_q("minhash_lsh_pairs", None)  # xxhash64 sketch: rows-only by design
 def minhash_lsh_pairs(spark, sf_dir):
     """MinHash (k=32) + banded LSH (8 bands x 4 rows) candidate pairs,
