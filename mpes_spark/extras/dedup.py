@@ -522,6 +522,74 @@ FROM lab GROUP BY cluster_id
 """.strip()
 
 
+def simhash_lsh_sql(
+    table: str,
+    dialect: str,
+    nbits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """Fully oracle-expressible SimHash near-dup (md5 hash family,
+    per-bit majority sums, pigeonhole banding, bit_count(xor)
+    verification) — the engine-portable twin of
+    :func:`simhash_neardup_pairs`, with every stage replayed by the
+    oracle. ``nbits`` stays small (one conditional sum per bit in
+    plain SQL; the production path packs 3 counters per accumulator),
+    and ``max_hamming < bands`` keeps the pigeonhole completeness
+    guarantee."""
+    if nbits % bands:
+        raise ValueError(f"bands={bands} must divide nbits={nbits}")
+    if max_hamming >= bands:
+        raise ValueError("completeness requires max_hamming < bands")
+    w = nbits // bands
+    mask = (1 << w) - 1
+    if dialect == "spark":
+        tok_src = (
+            f"SELECT {id_col}, explode(split(text, ' ')) AS tok FROM {table}"
+        )
+        def shr(x, n):
+            return f"shiftright({x}, {n})"
+        xor = "fa ^ fb"
+    elif dialect == "duckdb":
+        tok_src = (
+            f"SELECT {id_col}, unnest(string_split(text, ' ')) AS tok FROM {table}"
+        )
+        def shr(x, n):
+            return f"({x} >> {n})"
+        xor = "xor(fa, fb)"
+    else:
+        raise ValueError(dialect)
+    h = _md5_hash_sql(0, "tok", dialect)
+    csums = ", ".join(
+        f"sum({shr('h', b)} & 1) AS c{b}" for b in range(nbits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(nbits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, fp, {b} AS band, "
+        f"{shr('fp', b * w)} & {mask} AS slice FROM fps"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS ({tok_src}),
+hashes AS (SELECT {id_col}, {h} AS h FROM toks),
+sums AS (SELECT {id_col}, CAST(count(*) AS BIGINT) AS n, {csums}
+         FROM hashes GROUP BY {id_col}),
+fps AS (SELECT {id_col}, CAST({fp} AS BIGINT) AS fp FROM sums),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+         a.fp AS fa, b.fp AS fb
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.slice = b.slice AND a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, CAST(bit_count({xor}) AS BIGINT) AS hamming
+FROM cand WHERE bit_count({xor}) <= {max_hamming}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

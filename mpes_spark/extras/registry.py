@@ -1,10 +1,11 @@
 """Registry entries for the LLM-data-pipeline operators (extras/).
 
 Queries over the ``documents`` and ``embeddings`` tables, each paired
-with a DuckDB oracle where the operator is SQL-expressible; the
-xxhash64-based sketches (MinHash, SimHash) are inherently
-Spark-native and carry rows-only checks — their *verification* stage
-(exact Jaccard) is oracled separately by ``neardup_jaccard``.
+with a DuckDB oracle where the operator is SQL-expressible. The
+production sketches run on xxhash64 (no DuckDB twin -> rows-only
+checks), but each has a structurally identical md5-hash-family twin
+(`minhash_lsh_oracle`, `simhash_lsh_oracle`) that puts the FULL
+sketch -> band -> verify pipeline under the hash-match gate.
 """
 
 from __future__ import annotations
@@ -334,6 +335,24 @@ def minhash_lsh_pairs(spark, sf_dir):
     band buckets (no all-pairs)."""
     return DD.minhash_neardup_pairs(
         _docs(spark, sf_dir), n=3, k=32, bands=8, threshold=0.2
+    )
+
+
+@_q(
+    "simhash_lsh_oracle",
+    DD.simhash_lsh_sql("documents", "duckdb", nbits=32, bands=4, max_hamming=2),
+)
+def simhash_lsh_oracle(spark, sf_dir):
+    """SimHash near-dup with every stage oracle-replayed (md5 hash
+    family, 32-bit per-bit majority fingerprint, pigeonhole banding,
+    bit_count(xor) verify; 16 bits collides quadratically on a
+    random-text corpus — measured 2.1M pairs at sf0.1 vs 9k at 32
+    bits). The production path (`simhash_neardup`) keeps the
+    identical structure at 48 bits on packed xxhash64 counters."""
+    return spark.sql(
+        DD.simhash_lsh_sql(
+            _pq(sf_dir, "documents"), "spark", nbits=32, bands=4, max_hamming=2
+        )
     )
 
 
