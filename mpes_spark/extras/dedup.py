@@ -15,11 +15,16 @@ Operators:
   (same SQL shape runs on DuckDB).
 - MinHash signatures (k seeded xxhash64 mins) + banded LSH bucket join
   -> candidate pairs -> exact-Jaccard verification. xxhash64 is
-  Spark-native (no DuckDB twin) -> rows-only correctness check, with
-  the verification stage oracled separately via the blocked-Jaccard
-  query.
-- SimHash (64-bit sign-aggregated token hashes) + band bucketing +
-  hamming distance (bit_count(xor)).
+  Spark-native (no DuckDB twin) -> rows-only check on the production
+  query, but :func:`minhash_lsh_sql` renders the SAME four-stage
+  pipeline on the engine-portable md5 hash family, so the full
+  sketch -> band -> verify flow is also hash-matched by the oracle.
+- SimHash (sign-aggregated token hashes) + band bucketing + hamming
+  distance (bit_count(xor)); :func:`simhash_lsh_sql` is its
+  oracle-replayable md5 twin.
+- duplicate-cluster resolution: connected components over any pair
+  relation (min-label propagation + pointer jumping; recursive-CTE
+  oracle).
 
 All stages are DataFrame ops / Spark SQL — no Python UDFs anywhere.
 """

@@ -70,6 +70,17 @@ class CorpusPipeline:
             keep = c if keep is None else (keep & c)
         return self._wrap(self.df.filter(keep))
 
+    def quality_quantile(
+        self, q: float = 0.25, group: str = "source"
+    ) -> "CorpusPipeline":
+        """Adaptive per-group quality floor: drop docs below their
+        group's ``q`` quality quantile (exact percent_rank — the
+        per-domain calibration fixed thresholds can't do)."""
+        keep = CU.quality_quantile_filter(
+            self.df, q, group, self.text, self.id_col
+        ).select(self.id_col)
+        return self._wrap(self.df.join(keep, self.id_col, "left_semi"))
+
     def lang_filter(self, *langs: str) -> "CorpusPipeline":
         """Keep docs whose marker-word language guess is in ``langs``."""
         return self._wrap(

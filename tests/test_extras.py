@@ -710,3 +710,35 @@ def test_ivfpq_recall_vs_brute_force(spark):
     }
     hits = sum(pruned.get(qq) == nn for qq, nn in exact.items())
     assert hits >= len(exact) // 2
+
+
+def test_corpus_pipeline_quality_quantile(spark):
+    """The adaptive gate must keep ~(1-q) of each source and never a
+    doc scoring below a kept doc of the same source."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+    from mpes_spark.extras.text import quality_score_expr
+
+    d = _docs(spark)
+    out = CorpusPipeline(d).quality_quantile(q=0.5).df
+    per_src = {
+        r.source: (r.kept, r.total)
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(
+            d.groupBy("source").agg(F.count(F.lit(1)).alias("total")), "source"
+        )
+        .collect()
+    }
+    for src, (kept, total) in per_src.items():
+        assert total // 2 <= kept <= total // 2 + 2
+    # no kept doc scores below the max dropped score of its source
+    scored = d.select(
+        "doc_id", "source", quality_score_expr("text").alias("s")
+    )
+    kept_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    rows = scored.collect()
+    for src in per_src:
+        kept_s = [r.s for r in rows if r.source == src and r.doc_id in kept_ids]
+        drop_s = [r.s for r in rows if r.source == src and r.doc_id not in kept_ids]
+        if kept_s and drop_s:
+            assert min(kept_s) >= max(drop_s) - 1e-9
