@@ -477,3 +477,96 @@ FROM (
   FROM {table}
 ) r WHERE round(pr, 6) >= {q!r}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fasttext-like model filter)
+# ---------------------------------------------------------------------------
+
+_QC_NBUCKETS = 64
+_QC_SEED = 11
+
+
+def classifier_weights(nbuckets: int = _QC_NBUCKETS, seed: int = _QC_SEED):
+    """Deterministic synthetic checkpoint standing in for a trained
+    linear head (weights rounded to 6 decimals so both engines parse
+    the identical literals). In production the weights ARE an
+    artifact — trained offline on labeled quality data and shipped
+    with the pipeline — which is why applying them is a pure
+    projection here."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return np.round(rng.standard_normal(nbuckets), 6)
+
+
+def _qc_score_sql(dialect: str, text: str, nbuckets: int, weights) -> str:
+    """Hash-kernel linear score in either dialect: token -> seeded
+    60-bit md5 hash -> bucket (mod nbuckets) -> weight lookup -> left
+    fold sum. The md5 family and an explicit left-to-right fold keep
+    the double arithmetic bit-identical across engines."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    h = _md5_hash_sql(_QC_SEED, "t", dialect)
+    if dialect == "spark":
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in weights) + ")"
+        return (
+            f"aggregate(transform(split({text}, ' '), "
+            f"t -> element_at({arr}, CAST({h} % {nbuckets} AS INT) + 1)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    arr = "[" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in weights) + "]"
+    return (
+        f"list_sum(list_transform(string_split({text}, ' '), "
+        f"t -> list_extract({arr}, CAST({h} % {nbuckets} AS BIGINT) + 1)))"
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    nbuckets: int = _QC_NBUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filter — the third leg next to heuristic
+    rules (`gopher_flags_expr`) and per-source calibration
+    (`quality_quantile_filter`): score each doc with a pretrained
+    hashed-bag-of-words linear classifier (the fasttext/hash-kernel
+    shape: token -> hash bucket -> weight; Weinberger et al. 2009)
+    and keep docs with a non-negative mean weight (sigmoid is
+    monotone, so thresholding the raw mean at 0 IS thresholding the
+    probability at 0.5 — and skipping exp() keeps the oracle
+    bit-exact, since libm exp is not cross-engine reproducible).
+
+    Scale shape: a pure per-row projection — no shuffle, no join, no
+    UDF; whole-stage codegen over split/transform/aggregate. The
+    64-bucket literal array stands in for a real 2^20-bucket head,
+    which would ship as a broadcast map-type literal or a bucket ->
+    weight broadcast join, with identical plan shape."""
+    w = classifier_weights(nbuckets)
+    s = F.expr(_qc_score_sql("spark", text, nbuckets, w))
+    n = F.size(F.split(F.col(text), " "))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.round(s / n, 6).alias("score"),
+        (s >= 0).alias("keep"),
+    )
+
+
+def quality_classifier_sql(
+    table: str,
+    nbuckets: int = _QC_NBUCKETS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`quality_classifier`."""
+    w = classifier_weights(nbuckets)
+    s = _qc_score_sql("duckdb", text, nbuckets, w)
+    return f"""
+SELECT {id_col},
+       CAST(len(string_split({text}, ' ')) AS BIGINT) AS n_tokens,
+       round(({s}) / len(string_split({text}, ' ')), 6) AS score,
+       ({s}) >= 0 AS keep
+FROM {table}
+""".strip()

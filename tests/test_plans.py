@@ -206,3 +206,35 @@ def test_dedup_clusters_pairs_computed_once(spark):
     opt = sym._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("Generate explode") >= 1
     assert opt.count("Union") == 0
+
+
+def test_quality_classifier_pure_projection(spark):
+    """The hash-kernel classifier is a per-row projection: no shuffle,
+    no UDF — one codegen stage over the pruned (doc_id, text) scan."""
+    from mpes_spark.extras.curation import quality_classifier
+
+    df = quality_classifier(spark.read.parquet(f"{SF_SMALL}/documents.parquet"))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_winnow_fps_computed_once_and_no_forced_broadcast(spark):
+    """The fingerprint explode (the expensive md5 pass) must feed both
+    consumers from the persisted relation — one Generate, two
+    InMemoryTableScans — and the count-join carries no static
+    broadcast hint: AQE picks broadcast at runtime when the per-fp
+    count relation measures small, and degrades to a shuffled join on
+    a pathological corpus instead of OOMing."""
+    from mpes_spark.extras.dedup import winnow_dup_stats
+
+    df = winnow_dup_stats(
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(100), k=16, w=8
+    )
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert plan.count("InMemoryTableScan") >= 2  # both consumers hit the cache
+    assert "BroadcastHashJoin" in plan  # AQE runtime decision at this scale
