@@ -85,6 +85,35 @@ class FileCollection:
         return read_table(spark, self.files, **kw)
 
 
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Restore the repo-wide event-time contract: ``ts`` is an
+    epoch-NANOSECOND BIGINT.
+
+    The synthetic event tables have shipped as both TIMESTAMP(NANOS)
+    parquet (which Spark 4 reads as nanosecond longs under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+    TIMESTAMP(MICROS) parquet (which Spark reads as TimestampType
+    regardless of that flag). Every downstream time operator —
+    count-rate, elapsed-time, session/tumbling windows, as-of joins —
+    works on raw epoch-nanos integers, which is also what keeps the
+    DuckDB oracle comparison timezone-independent (``epoch_ns(ts)``
+    yields the same integers for either physical type). Converting at
+    the read seam is a pure column projection (no shuffle, survives
+    pushdown of predicates on other columns)."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "timestamp_ntz":
+        # wall-time arithmetic: timezone-independent (a cast to LTZ
+        # would shift the epoch under any non-UTC session timezone —
+        # including the driver's, which this library does not control)
+        micros = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        df = df.withColumn("ts", (micros * F.lit(1000)).cast("long"))
+    elif dt == "timestamp":
+        df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+    return df
+
+
 def read_table(
     spark: SparkSession,
     source: str | list[str],
@@ -109,7 +138,7 @@ def read_table(
         raise NotImplementedError(f"file type {ftype!r}")
     if with_file:
         df = df.withColumn("file", F.input_file_name())
-    return df
+    return normalize_event_time(df)
 
 
 def read_events_hdf5(spark: SparkSession, paths: list[str], **spec_kw) -> DataFrame:

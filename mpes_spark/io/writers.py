@@ -94,9 +94,20 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
 
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed BIGINT")
+
+    # project every clustering column to a double up front so the same
+    # code handles numeric, TIMESTAMP (-> fractional epoch seconds) and
+    # DATE (-> days since epoch) columns
+    dtypes = dict(df.dtypes)
+
+    def _numeric(c: str):
+        if dtypes[c] == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
     row = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cols],
+        *[F.min(_numeric(c)).alias(f"mn_{c}") for c in cols],
+        *[F.max(_numeric(c)).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     stats = {c: (float(row[f"mn_{c}"]), float(row[f"mx_{c}"])) for c in cols}
     nmax = (1 << bits) - 1
@@ -108,7 +119,7 @@ def zorder_expr(df: DataFrame, cols: list[str], bits: int = 12):
             F.lit(nmax),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col(c).cast("double") - mn) / span * nmax).cast("bigint"),
+                F.floor((_numeric(c) - mn) / span * nmax).cast("bigint"),
             ),
         )
         for b in range(bits):

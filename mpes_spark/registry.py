@@ -54,12 +54,13 @@ def heavy_expr_session(spark: SparkSession) -> SparkSession:
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # the synthetic events table stores TIMESTAMP(NANOS), which Spark 4
-    # only reads as nanosecond longs under this legacy flag; time
-    # queries therefore work on raw epoch-nanos integers (which is also
-    # what keeps the oracle comparison tz-independent).
+    # time queries work on raw epoch-nanos integers (tz-independent,
+    # and identical whether the parquet ships TIMESTAMP(NANOS) or
+    # TIMESTAMP(MICROS) — see io.readers.normalize_event_time).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from mpes_spark.io.readers import normalize_event_time
+
+    return normalize_event_time(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 @dataclass
@@ -1231,6 +1232,144 @@ def sliding_window_rate(spark, sf_dir):
     )
 
 
+# -- merge-join as-of (transforms/joins.py:asof_join): the scale plan
+#    for the reference's latest-config-before-event resolution
+#    (/root/reference/mpes/fprocessing.py:2604-2660) when BOTH sides
+#    are large. The oracle is DuckDB's native ASOF JOIN. The right side
+#    is pre-aggregated to one row per (user_id, ts) so the matched
+#    payload is deterministic in both engines. ------------------------------
+_ASOF_RIGHT_SQL = (
+    "(SELECT user_id, ts, CAST(max(floor(value)) AS BIGINT) AS click_fv "
+    "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c"
+)
+_ASOF_LEFT_SQL = (
+    "(SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'purchase') p"
+)
+
+
+def _asof_sides(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.floor("value")).cast("bigint").alias("click_fv"))
+    )
+    return p, c
+
+
+@_q(
+    "asof_join_value",
+    f"SELECT p.event_id, CAST(epoch_us(c.ts) AS BIGINT) AS click_us, c.click_fv "
+    f"FROM {_ASOF_LEFT_SQL} ASOF LEFT JOIN {_ASOF_RIGHT_SQL} "
+    "ON p.user_id = c.user_id AND p.ts >= c.ts",
+)
+def asof_join_value(spark, sf_dir):
+    """Backward as-of with payload gather — per purchase, the latest
+    prior click's value. One shuffle + sorted window pass (see
+    transforms/joins.py docstring for the plan contrast with the
+    join-then-max formulation)."""
+    from mpes_spark.transforms.joins import asof_join
+
+    p, c = _asof_sides(spark, sf_dir)
+    j = asof_join(p, c, on="user_id", direction="backward")
+    return j.select(
+        "event_id",
+        F.expr("matched_ts div 1000").alias("click_us"),
+        "click_fv",
+    )
+
+
+@_q(
+    "asof_join_forward",
+    f"SELECT p.event_id, CAST(epoch_us(c.ts) AS BIGINT) AS click_us, c.click_fv "
+    f"FROM {_ASOF_LEFT_SQL} ASOF LEFT JOIN {_ASOF_RIGHT_SQL} "
+    "ON p.user_id = c.user_id AND p.ts <= c.ts",
+)
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of: the next click at-or-after each purchase."""
+    from mpes_spark.transforms.joins import asof_join
+
+    p, c = _asof_sides(spark, sf_dir)
+    j = asof_join(p, c, on="user_id", direction="forward")
+    return j.select(
+        "event_id",
+        F.expr("matched_ts div 1000").alias("click_us"),
+        "click_fv",
+    )
+
+
+_ASOF_TOL_NS = 3_600_000_000_000  # 1 hour
+
+
+@_q(
+    "asof_join_nearest",
+    f"""
+SELECT event_id, click_us, click_fv FROM (
+  SELECT p.event_id, CAST(epoch_us(c.ts) AS BIGINT) AS click_us, c.click_fv,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_ns(c.ts) - epoch_ns(p.ts)), epoch_ns(c.ts)
+         ) AS rn
+  FROM {_ASOF_LEFT_SQL} LEFT JOIN {_ASOF_RIGHT_SQL}
+    ON c.user_id = p.user_id
+   AND abs(epoch_ns(c.ts) - epoch_ns(p.ts)) <= {_ASOF_TOL_NS}
+) WHERE rn = 1
+""".strip(),
+)
+def asof_join_nearest(spark, sf_dir):
+    """Nearest-in-time as-of with a 1-hour tolerance; equal-distance
+    ties resolve backward (matching the oracle's ORDER BY ts tiebreak)."""
+    from mpes_spark.transforms.joins import asof_join
+
+    p, c = _asof_sides(spark, sf_dir)
+    j = asof_join(
+        p, c, on="user_id", direction="nearest", tolerance=_ASOF_TOL_NS
+    )
+    return j.select(
+        "event_id",
+        F.expr("matched_ts div 1000").alias("click_us"),
+        "click_fv",
+    )
+
+
+# -- binned range join (transforms/joins.py:range_join_binned): the
+#    interval_lookup semantics without the broadcast-NLJ scale ceiling.
+#    200 overlapping intervals (width 7.5, stride 5 -> most points
+#    match 2 intervals) exercise the exactly-once bin-match guarantee. ------
+@_q(
+    "range_join_binned",
+    "SELECT iv.iv_id, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(floor(e.value)) AS BIGINT) AS sum_fv "
+    "FROM events e JOIN (SELECT range AS iv_id, range * 5.0 AS v0, "
+    "range * 5.0 + 7.5 AS v1 FROM range(0, 200)) iv "
+    "ON e.value >= iv.v0 AND e.value < iv.v1 GROUP BY iv.iv_id",
+)
+def range_join_binned_q(spark, sf_dir):
+    """Point-in-interval via quantized-bin equi-join (bin_width = the
+    5.0 interval stride -> each interval covers <= 3 bins). The plan is
+    a hash/sort-merge equi-join either side of a shuffle on the bin id
+    — never a nested-loop — so the same code survives a 100 GB
+    interval table (tests/test_joins.py asserts the no-NLJ plan with
+    broadcast disabled)."""
+    from mpes_spark.transforms.joins import range_join_binned
+
+    iv = spark.range(0, 200).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * F.lit(5.0)).alias("v0"),
+        (F.col("id") * F.lit(5.0) + F.lit(7.5)).alias("v1"),
+    )
+    ev = t(spark, sf_dir, "events")
+    j = range_join_binned(ev, iv, point="value", start="v0", end="v1", bin_width=5.0)
+    return j.groupBy("iv_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.floor("value")).cast("bigint").alias("sum_fv"),
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -1257,6 +1396,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfield_pipeline_bin",
         "tumbling_window_rate",
         "sliding_window_rate",
+        "asof_join_value",
+        "asof_join_forward",
+        "asof_join_nearest",
+        "range_join_binned",
     ]
     return {n: base[n] for n in prove_first if n in base} | base
 
