@@ -758,6 +758,28 @@ def vocab_topk(spark, sf_dir):
     )
 
 
+# -- exact heavy hitters with a Misra-Gries candidate pass
+#    (extras/frequent.py): same output as the naive GROUP BY ... HAVING
+#    (hence the plain SQL oracle), but the shuffle carries only
+#    candidate occurrences — the long-tail vocabulary never crosses an
+#    exchange. Completeness guaranteed by 1/(k+1) < min_frac. ---------------
+@_q(
+    "heavy_hitters",
+    "SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t "
+    "GROUP BY tok HAVING count(*) >= 0.002 * ("
+    "SELECT count(*) FROM (SELECT unnest(string_split(text, ' ')) AS x "
+    "FROM documents))",
+)
+def heavy_hitters(spark, sf_dir):
+    from mpes_spark.extras.frequent import frequent_items
+
+    tokens = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return frequent_items(tokens, "tok", min_frac=0.002, k=2000)
+
+
 # ===========================================================================
 # multimodal plumbing
 # ===========================================================================

@@ -1370,6 +1370,29 @@ def range_join_binned_q(spark, sf_dir):
     )
 
 
+# -- continuous-aggregate cascade (transforms/rollup.py): minute
+#    rollup -> re-aggregate to hours; mergeable stats (cnt/sum/min/max,
+#    avg derived at read time). Oracle computes hours directly from the
+#    raw events — proving the cascade never needs the raw scan. ------------
+@_q(
+    "rollup_cascade_1h",
+    "SELECT (epoch_ns(ts) // 3600000000000) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_m, "
+    "round(min(value), 6) AS min_m, round(max(value), 6) AS max_m, "
+    "round(sum(value) / count(*), 6) AS avg_m "
+    "FROM events GROUP BY bucket",
+)
+def rollup_cascade_1h(spark, sf_dir):
+    """Hourly stats derived from the minute-level rollup (never the
+    raw events): one full scan feeds every coarser resolution."""
+    from mpes_spark.transforms.rollup import coarsen, finalize_rollup, time_rollup
+
+    minutes = time_rollup(
+        t(spark, sf_dir, "events"), measure="value", bucket_ns=60_000_000_000
+    )
+    return finalize_rollup(coarsen(minutes, 60))
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================
@@ -1400,6 +1423,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward",
         "asof_join_nearest",
         "range_join_binned",
+        "rollup_cascade_1h",
     ]
     return {n: base[n] for n in prove_first if n in base} | base
 

@@ -1,0 +1,86 @@
+"""Multi-resolution time rollups (continuous-aggregate cascade).
+
+The reference downsamples time series by rebinning already-binned
+arrays (``/root/reference/mpes/utils.py:arraybin``; the hypertable /
+continuous-aggregate pattern in TimescaleDB terms). The distributed
+form: aggregate raw events ONCE into the finest bucket, persist that
+(it is grid-sized, orders of magnitude smaller than the event table),
+and derive every coarser resolution by re-aggregating the finer rollup
+— never rescanning the events.
+
+Correctness rests on the measures being mergeable: count and sum add,
+min/max compose, and avg is derived as sum/cnt at read time (an avg of
+avgs would be wrong under uneven buckets — hence avg is not carried,
+only derived). The registry query ``rollup_cascade_1h`` proves the
+cascade against a direct-from-raw oracle.
+
+At 100 TB this is the difference between one full scan per resolution
+and one full scan total: the 1-minute rollup of a year of nanosecond
+events is ~526k rows per series — re-aggregating that to hours/days is
+driver-trivial, and the cascade parallelizes as an ordinary groupBy on
+integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["time_rollup", "coarsen", "finalize_rollup"]
+
+_MEASURES = ("cnt", "sum_m", "min_m", "max_m")
+
+
+def time_rollup(
+    df: DataFrame,
+    *,
+    measure: str,
+    bucket_ns: int,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Finest-resolution rollup: per ``bucket`` (epoch-nanos ``ts``
+    integer-divided by ``bucket_ns``) and optional ``keys``, the
+    mergeable stats (cnt, sum, min, max) of ``measure``."""
+    keys = keys or []
+    # integer division: epoch-nanos (~1.7e18) exceed double's exact
+    # range, so a float divide+floor would misbucket boundary events
+    bucket = F.expr(f"`{ts_col}` div {int(bucket_ns)}").cast("long")
+    return df.groupBy(bucket.alias("bucket"), *keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(measure).alias("sum_m"),
+        F.min(measure).alias("min_m"),
+        F.max(measure).alias("max_m"),
+    )
+
+
+def coarsen(rollup: DataFrame, factor: int, keys: list[str] | None = None) -> DataFrame:
+    """Re-aggregate a rollup to buckets ``factor``x coarser — same
+    schema, no raw-event scan. Composable: coarsen(coarsen(r, 60), 24)
+    is minutes -> hours -> days."""
+    keys = keys or []
+    missing = [c for c in _MEASURES if c not in rollup.columns]
+    if missing:
+        raise ValueError(f"not a rollup frame (missing {missing})")
+    return rollup.groupBy(
+        F.expr(f"bucket div {int(factor)}").cast("long").alias("bucket"), *keys
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("sum_m").alias("sum_m"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+
+
+def finalize_rollup(rollup: DataFrame, *, sum_dp: int = 2, dp: int = 6) -> DataFrame:
+    """Read-time projection: derive avg from the mergeable stats and
+    round the float measures (identically to the SQL oracle) so the
+    order-insensitive value hash is stable across summation orders."""
+    return rollup.select(
+        "bucket",
+        "cnt",
+        F.round("sum_m", sum_dp).alias("sum_m"),
+        F.round("min_m", dp).alias("min_m"),
+        F.round("max_m", dp).alias("max_m"),
+        F.round(F.col("sum_m") / F.col("cnt"), dp).alias("avg_m"),
+    )
