@@ -177,6 +177,55 @@ def ingest_dedup_stream(
     )
 
 
+def interval_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with every right
+    event of the same key whose event time falls within
+    ``[left_time, left_time + horizon]`` — the click-to-purchase
+    attribution shape, and the streaming twin of
+    :func:`mpes_spark.transforms.joins.range_join_binned` with
+    event-derived intervals.
+
+    Both sides are watermarked and the join condition carries the
+    explicit time range, which is what lets Structured Streaming bound
+    the join state: buffered rows older than (watermark + horizon) are
+    evicted instead of accumulating forever — a stream-stream join
+    without the time bound is an unbounded-state plan Spark rejects in
+    append mode. State per key is O(events within the horizon), not
+    O(stream length).
+
+    Works identically on batch DataFrames (the same plan minus state
+    management), which is how the parity test pins its semantics.
+    """
+    lt, rt = "event_time", "event_time" + suffix
+    l_ = with_event_time(left, left_ts, out=lt).withWatermark(lt, watermark)
+    r_ = with_event_time(right, right_ts, out=rt).withWatermark(rt, watermark)
+    r_ = r_.select(
+        F.col(on).alias(on + suffix),
+        F.col(rt),
+        *[
+            F.col(c).alias(c + suffix)
+            for c in right.columns
+            if c not in (on, right_ts)
+        ],
+    )
+    cond = (
+        (F.col(on) == F.col(on + suffix))
+        & (F.col(rt) >= F.col(lt))
+        & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return l_.join(r_, cond, "inner")
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

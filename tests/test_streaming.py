@@ -309,3 +309,56 @@ def test_ingest_dedup_stream_vs_static_corpus(spark, tmp_path):
     assert len(got) == fresh.count()
     assert got.fingerprint.is_unique
     assert (got.doc_id % 10_000 >= 30).all()
+
+
+def test_interval_attribution_join_stream_matches_batch(spark, stream_dir):
+    """Stream-stream watermarked time-range join == the identical join
+    on the same data in batch (append mode; inner join emits exactly
+    the matched pairs)."""
+    from mpes_spark.streaming.live import interval_attribution_join
+
+    # stage the stream TIME-ORDERED (one contiguous span per file, the
+    # DAQ chunking pattern): with maxFilesPerTrigger=1 the watermark
+    # advances per micro-batch, and a round-robin staging would make
+    # later files arrive hours "late" and be (correctly) dropped
+    stream_dir = stream_dir + "_ranged"
+    t(spark, SF_SMALL, "events").repartitionByRange(3, "ts").write.parquet(
+        stream_dir
+    )
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return clicks, buys
+
+    s_clicks, s_buys = sides(read_event_stream(spark, stream_dir, _SCHEMA))
+    joined = interval_attribution_join(
+        s_clicks, s_buys, horizon="30 minutes", watermark="1 hour"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT event_id, event_id_r FROM attrib").collect()
+    }
+    b_clicks, b_buys = sides(spark.read.parquet(stream_dir))
+    batch = {
+        (r["event_id"], r["event_id_r"])
+        for r in interval_attribution_join(
+            b_clicks, b_buys, horizon="30 minutes", watermark="1 hour"
+        )
+        .select("event_id", "event_id_r")
+        .collect()
+    }
+    assert got == batch and len(batch) > 0
