@@ -494,7 +494,10 @@ def orders_before_cutoff(spark, sf_dir):
         ev.join(
             o,
             (o.o_custkey == ev.user_id)
-            & (o.o_orderdate < F.lit("2024-01-01").cast("timestamp")),
+            # cast the literal to the COLUMN's own timestamp flavor
+            # (NTZ or LTZ depending on the parquet vintage) instead of
+            # relying on implicit NTZ<->LTZ coercion semantics
+            & (o.o_orderdate < F.lit("2024-01-01").cast(dict(o.dtypes)["o_orderdate"])),
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_before"))

@@ -38,6 +38,13 @@ def with_event_time(
     if dt in ("bigint", "int"):
         # integer div, not double: epoch-nanos exceed 2^53
         return df.withColumn(out, F.timestamp_micros(F.expr(f"{ts} div 1000")))
+    if dt == "timestamp_ntz":
+        # tz-independent: an ntz -> ltz CAST would shift the epoch
+        # under any non-UTC session timezone
+        micros = F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts}`)"
+        )
+        return df.withColumn(out, F.timestamp_micros(micros))
     return df.withColumn(out, F.col(ts).cast("timestamp"))
 
 

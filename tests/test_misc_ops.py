@@ -95,3 +95,28 @@ def test_sorted_lookups():
     assert binarysearch(arr, -1.0) == -1
     assert searchinterp(arr, 2.5) == pytest.approx(1.5)
     assert searchinterp(arr, 100.0) == 3.0
+
+
+def test_time_queries_are_timezone_independent(spark):
+    """Every time-arithmetic query must return identical rows under a
+    non-UTC session timezone: the driver's correctness harness owns its
+    own SparkSession and this library cannot assume UTC. Asia/Kolkata
+    (+05:30) also catches half-hour shifts a whole-hour zone would
+    miss."""
+    from mpes_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    shifted = spark.newSession()
+    shifted.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    qs = all_queries()
+    for name in (
+        "orders_before_cutoff",
+        "asof_join_value",
+        "rollup_cascade_1h",
+        "tumbling_window_rate",
+        "session_scan_segments",
+        "count_rate",
+    ):
+        utc = sorted(map(tuple, qs[name](spark, SF_SMALL).collect()))
+        kol = sorted(map(tuple, qs[name](shifted, SF_SMALL).collect()))
+        assert utc == kol, f"{name} shifts under a non-UTC session timezone"
