@@ -570,3 +570,124 @@ SELECT {id_col},
        ({s}) >= 0 AS keep
 FROM {table}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection for target-domain match)
+# ---------------------------------------------------------------------------
+
+_DSIR_NBUCKETS = 64
+_DSIR_SEED = 23
+_DSIR_ALPHA = 1.0
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_pred: str = "lang = 'en'",
+    nbuckets: int = _DSIR_NBUCKETS,
+    alpha: float = _DSIR_ALPHA,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance weight for target-domain data selection
+    (the DSIR shape, Xie et al. 2023: hashed n-gram importance
+    resampling): estimate bucketed token distributions for the TARGET
+    slice and the full SOURCE corpus, then score each doc by the sum
+    of per-token log-likelihood ratios
+    ``ln(p_target(b)) - ln(p_source(b))`` (add-alpha smoothed).
+    High weight = looks like the target domain; downstream selection
+    samples/thresholds on it.
+
+    Unlike :func:`quality_classifier` (fixed pretrained weights, pure
+    projection), the bucket weights here are ESTIMATED FROM THE DATA
+    in the same job: two grid-sized aggregates (nbuckets rows), a
+    broadcast of the weight table back onto the token stream, and a
+    per-doc sum. Scale shape: explode -> map-side partial count for
+    both distributions, nbuckets-row broadcast join (never a shuffle
+    of the corpus by bucket), one equi-shuffle on doc_id for the
+    per-doc sum. Production hash-space (2^20 buckets) changes the
+    broadcast from KBs to ~10 MB — still a broadcast.
+
+    Weights and the final sum are rounded to 6 decimals so the DuckDB
+    twin (:func:`dsir_weights_sql`) hash-matches despite libm ln and
+    summation-order differences.
+    """
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    b_expr = F.expr(
+        f"CAST({_md5_hash_sql(_DSIR_SEED, 't', 'spark')} % {nbuckets} AS BIGINT)"
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.expr(target_pred).alias("__tgt"),
+        F.explode(F.split(F.col(text), " ")).alias("t"),
+    ).select(id_col, "__tgt", b_expr.alias("b"))
+
+    src = tok.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cs"))
+    tgt = (
+        tok.filter(F.col("__tgt"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    )
+    totals = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("ns"),
+        F.sum(F.col("__tgt").cast("double")).alias("nt"),
+    )
+    a, ab = F.lit(float(alpha)), F.lit(float(alpha * nbuckets))
+    weights = (
+        src.join(tgt, "b", "left")
+        .na.fill({"ct": 0.0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log((F.col("ct") + a) / (F.col("nt") + ab))
+                - F.log((F.col("cs") + a) / (F.col("ns") + ab)),
+                6,
+            ).alias("w"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("w"), 6).alias("weight"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    target_pred: str = "lang = 'en'",
+    nbuckets: int = _DSIR_NBUCKETS,
+    alpha: float = _DSIR_ALPHA,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`dsir_weights`."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    h = _md5_hash_sql(_DSIR_SEED, "t", "duckdb")
+    a, ab = float(alpha), float(alpha * nbuckets)
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, ({target_pred}) AS tgt_flag,
+         CAST({h} % {nbuckets} AS BIGINT) AS b
+  FROM (SELECT {id_col}, lang, unnest(string_split({text}, ' ')) AS t
+        FROM {table})
+),
+src AS (SELECT b, CAST(count(*) AS DOUBLE) cs FROM tok GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS DOUBLE) ct FROM tok WHERE tgt_flag GROUP BY b),
+tots AS (SELECT CAST(count(*) AS DOUBLE) ns,
+                CAST(count(*) FILTER (WHERE tgt_flag) AS DOUBLE) nt FROM tok),
+w AS (
+  SELECT src.b,
+         round(ln((coalesce(ct, 0.0) + {a!r}) / (nt + {ab!r}))
+             - ln((cs + {a!r}) / (ns + {ab!r})), 6) AS w
+  FROM src LEFT JOIN tgt ON src.b = tgt.b, tots
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(w), 6) AS weight
+FROM tok JOIN w USING (b) GROUP BY {id_col}
+""".strip()

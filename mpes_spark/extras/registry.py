@@ -758,6 +758,17 @@ def vocab_topk(spark, sf_dir):
     )
 
 
+# -- DSIR importance weights (extras/curation.py:dsir_weights):
+#    target-vs-source hashed-token log-likelihood ratio per doc — the
+#    data-SELECTION primitive next to the quality legs. ---------------------
+@_q(
+    "dsir_weights",
+    CU.dsir_weights_sql("documents"),
+)
+def dsir_weights_q(spark, sf_dir):
+    return CU.dsir_weights(_docs(spark, sf_dir))
+
+
 # -- exact heavy hitters with a Misra-Gries candidate pass
 #    (extras/frequent.py): same output as the naive GROUP BY ... HAVING
 #    (hence the plain SQL oracle), but the shuffle carries only

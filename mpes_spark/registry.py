@@ -1382,7 +1382,7 @@ def range_join_binned_q(spark, sf_dir):
     "SELECT (epoch_ns(ts) // 3600000000000) AS bucket, "
     "CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_m, "
     "round(min(value), 6) AS min_m, round(max(value), 6) AS max_m, "
-    "round(sum(value) / count(*), 6) AS avg_m "
+    "round(round(sum(value), 2) / count(*), 6) AS avg_m "
     "FROM events GROUP BY bucket",
 )
 def rollup_cascade_1h(spark, sf_dir):

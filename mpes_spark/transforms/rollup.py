@@ -75,12 +75,20 @@ def coarsen(rollup: DataFrame, factor: int, keys: list[str] | None = None) -> Da
 def finalize_rollup(rollup: DataFrame, *, sum_dp: int = 2, dp: int = 6) -> DataFrame:
     """Read-time projection: derive avg from the mergeable stats and
     round the float measures (identically to the SQL oracle) so the
-    order-insensitive value hash is stable across summation orders."""
+    order-insensitive value hash is stable across summation orders.
+
+    avg divides the ROUNDED sum: measures with fixed decimal
+    granularity make raw sums sit ~1e-12 from an exact multiple, so
+    two engines' summation orders agree after round(sum_dp) — and a
+    division of identical doubles is identical IEEE output — whereas
+    raw-sum/cnt lands on round(dp) half-way points and flips
+    (observed at sf0.1: 45.2771875 rounding either way)."""
+    avg = F.round(F.round("sum_m", sum_dp) / F.col("cnt"), dp)
     return rollup.select(
         "bucket",
         "cnt",
         F.round("sum_m", sum_dp).alias("sum_m"),
         F.round("min_m", dp).alias("min_m"),
         F.round("max_m", dp).alias("max_m"),
-        F.round(F.col("sum_m") / F.col("cnt"), dp).alias("avg_m"),
+        avg.alias("avg_m"),
     )

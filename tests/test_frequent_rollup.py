@@ -111,3 +111,27 @@ def test_cascade_composes(spark, ts_events):
 def test_coarsen_rejects_non_rollup(spark, ts_events):
     with pytest.raises(ValueError):
         coarsen(ts_events, 60)
+
+
+def test_dsir_ranks_target_like_docs_higher(spark):
+    """Docs written in the target slice's vocabulary must outscore
+    docs in the out-of-domain vocabulary, regardless of their own
+    slice label — the importance weight tracks content, not metadata."""
+    import pandas as pd
+
+    from mpes_spark.extras.curation import dsir_weights
+
+    tgt_text = "alpha beta gamma delta " * 10
+    src_text = "uno dos tres cuatro " * 10
+    rows = (
+        [(i, tgt_text.strip(), "en") for i in range(10)]
+        + [(100 + i, src_text.strip(), "de") for i in range(10)]
+        # held-out docs, one per vocabulary, both labeled out-of-target
+        + [(500, tgt_text.strip(), "de"), (501, src_text.strip(), "de")]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    w = {r["doc_id"]: r["weight"] for r in dsir_weights(df).collect()}
+    assert w[500] > w[501]  # target-vocabulary doc wins
+    assert w[0] > w[101]
