@@ -155,6 +155,24 @@ class CorpusPipeline:
         ).select(self.id_col)
         return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
 
+    def select_by_importance(
+        self,
+        target_pred: str = "lang = 'en'",
+        min_weight: float = 0.0,
+    ) -> "CorpusPipeline":
+        """Keep docs whose DSIR importance weight (target-vs-source
+        hashed-token log-likelihood ratio, ``curation.dsir_weights``)
+        is >= ``min_weight`` — selection toward a target domain by
+        content, not metadata."""
+        ids = (
+            CU.dsir_weights(
+                self.df, target_pred, text=self.text, id_col=self.id_col
+            )
+            .filter(F.col("weight") >= min_weight)
+            .select(self.id_col)
+        )
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
     # -- terminal shapes ---------------------------------------------------
 
     def chunk(self, chunk_tokens: int = 512) -> DataFrame:

@@ -798,3 +798,28 @@ def test_quality_classifier_matches_numpy(spark):
         assert got.n_tokens == len(toks)
         assert abs(got.score - round(mean, 6)) < 1e-9
         assert got.keep == (mean >= 0)
+
+
+def test_corpus_pipeline_importance_selection(spark):
+    """select_by_importance keeps the docs whose content matches the
+    target slice's vocabulary and drops out-of-domain content."""
+    import pandas as pd
+
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    tgt = "alpha beta gamma delta " * 8
+    oth = "uno dos tres cuatro " * 8
+    rows = (
+        [(i, tgt.strip(), "en", "s0") for i in range(8)]
+        + [(50 + i, oth.strip(), "de", "s0") for i in range(8)]
+        + [(900, tgt.strip(), "de", "s0")]  # target-like content, wrong label
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    )
+    kept = {
+        r["doc_id"]
+        for r in CorpusPipeline(df).select_by_importance().df.collect()
+    }
+    assert 900 in kept and 0 in kept
+    assert not any(50 <= d < 58 for d in kept)
