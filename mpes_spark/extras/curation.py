@@ -623,29 +623,25 @@ def dsir_weights(
         F.explode(F.split(F.col(text), " ")).alias("t"),
     ).select(id_col, "__tgt", b_expr.alias("b"))
 
-    src = tok.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cs"))
-    tgt = (
-        tok.filter(F.col("__tgt"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    # ONE aggregate pass over the token stream yields both
+    # distributions (cs, ct per bucket); the totals re-aggregate the
+    # nbuckets-row result, so the corpus is scanned exactly twice —
+    # once for the distributions, once to score — the DSIR minimum
+    stats = tok.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("cs"),
+        F.sum(F.col("__tgt").cast("double")).alias("ct"),
     )
-    totals = tok.agg(
-        F.count(F.lit(1)).cast("double").alias("ns"),
-        F.sum(F.col("__tgt").cast("double")).alias("nt"),
+    totals = stats.agg(
+        F.sum("cs").alias("ns"), F.sum("ct").alias("nt")
     )
     a, ab = F.lit(float(alpha)), F.lit(float(alpha * nbuckets))
-    weights = (
-        src.join(tgt, "b", "left")
-        .na.fill({"ct": 0.0})
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                F.log((F.col("ct") + a) / (F.col("nt") + ab))
-                - F.log((F.col("cs") + a) / (F.col("ns") + ab)),
-                6,
-            ).alias("w"),
-        )
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("ct") + a) / (F.col("nt") + ab))
+            - F.log((F.col("cs") + a) / (F.col("ns") + ab)),
+            6,
+        ).alias("w"),
     )
     return (
         tok.join(F.broadcast(weights), "b")

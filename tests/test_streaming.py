@@ -368,3 +368,63 @@ def test_interval_attribution_join_stream_matches_batch(spark, stream_dir):
         .collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_dedup_stream_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark path: a duplicate arriving within
+    the horizon is dropped; the same content re-arriving after the
+    watermark has passed its state's expiry is emitted again
+    (dedup-within-horizon, bounded state). The watermark advances at
+    micro-batch boundaries, so an intermediate batch moves it past the
+    first occurrence's expiry before the re-arrival batch. Files are
+    staged with distinct mtimes so the source processes them in
+    arrival order."""
+    import time as _time
+
+    from mpes_spark.streaming.live import dedup_stream
+
+    base = 1_700_000_000_000_000_000
+    day = 86_400_000_000_000
+    src = str(tmp_path / "wm_dedup")
+    batches = [
+        [
+            (1, "same text", base),
+            (2, "same text", base + 60_000_000_000),  # +1 min: dup, dropped
+            (3, "other text", base),
+        ],
+        # two filler batches: the watermark computed at a batch's END
+        # becomes effective the NEXT batch, and expired state is
+        # cleaned at batch end — so eviction of batch-1 state needs
+        # two intervening batches before the re-arrival
+        [(9, "filler text", base + 2 * day)],
+        [(10, "filler two", base + 3 * day)],
+        # re-arrival long after eviction: emitted again
+        [(4, "same text", base + 10 * day)],
+    ]
+    for i, rows in enumerate(batches):
+        if i:
+            _time.sleep(1.1)  # distinct mtime -> deterministic order
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, ts bigint"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_stream(stream, ts="ts", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("wm_dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM wm_dedup_sink").collect()
+    )
+    assert got == [1, 3, 4, 9, 10]
