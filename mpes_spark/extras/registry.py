@@ -518,6 +518,25 @@ def semantic_dedup(spark, sf_dir):
     )
 
 
+@_q(
+    "ivf_ann_fullprobe",
+    SIM.topk_cosine_sql("embeddings", "vec_id < 8", k=3),
+)
+def ivf_ann_fullprobe(spark, sf_dir):
+    """IVF at nprobe = nlist probes EVERY inverted list, which makes
+    it exactly brute force — so the whole IVF machinery (k-means
+    quantizer, list assignment, probe join, per-list scoring, global
+    re-rank) runs under the brute-force SQL oracle's hash gate. The
+    learned quantizer only decides WHICH lists are probed; at full
+    probe its output cannot affect the result, so the oracle is exact
+    by construction, not by luck."""
+    e = _embs(spark, sf_dir)
+    cent = SIM.train_ivf_centroids(e, k=8, sample_rows=2000, iters=8, seed=7)
+    return SIM.ivf_topk_cosine(
+        e, e.filter(F.col("vec_id") < 8), cent, k=3, nprobe=8
+    )
+
+
 @_q("ivf_ann_cosine", None)  # learned buckets (kmeans+UDF): rows-only
 def ivf_ann_cosine(spark, sf_dir):
     """IVF ANN: driver-trained coarse quantizer (k-means on a bounded
