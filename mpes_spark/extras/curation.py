@@ -631,15 +631,18 @@ def dsir_weights(
         F.count(F.lit(1)).cast("double").alias("cs"),
         F.sum(F.col("__tgt").cast("double")).alias("ct"),
     )
-    totals = stats.agg(
-        F.sum("cs").alias("ns"), F.sum("ct").alias("nt")
-    )
+    # totals via a global window OVER THE STATS (nbuckets rows, one
+    # partition — trivial): a separate stats.agg() branch would
+    # recompute the token aggregate from the raw scan (no exchange
+    # reuse across the two consumers), making it three corpus scans
+    tot = Window.partitionBy()
+    ns, nt = F.sum("cs").over(tot), F.sum("ct").over(tot)
     a, ab = F.lit(float(alpha)), F.lit(float(alpha * nbuckets))
-    weights = stats.crossJoin(F.broadcast(totals)).select(
+    weights = stats.select(
         "b",
         F.round(
-            F.log((F.col("ct") + a) / (F.col("nt") + ab))
-            - F.log((F.col("cs") + a) / (F.col("ns") + ab)),
+            F.log((F.col("ct") + a) / (nt + ab))
+            - F.log((F.col("cs") + a) / (ns + ab)),
             6,
         ).alias("w"),
     )

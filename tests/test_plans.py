@@ -238,3 +238,51 @@ def test_winnow_fps_computed_once_and_no_forced_broadcast(spark):
     assert "isFinalPlan=true" in plan
     assert plan.count("InMemoryTableScan") >= 2  # both consumers hit the cache
     assert "BroadcastHashJoin" in plan  # AQE runtime decision at this scale
+
+
+def test_rollup_cascade_single_raw_scan(spark):
+    """The minute->hour cascade re-aggregates the minute rollup: one
+    parquet scan total, never a second raw pass per resolution."""
+    from mpes_spark.transforms.rollup import coarsen, time_rollup
+
+    hours = coarsen(
+        time_rollup(
+            t(spark, SF_SMALL, "events"),
+            measure="value",
+            bucket_ns=60_000_000_000,
+        ),
+        60,
+    )
+    plan = _plan(hours)
+    assert plan.count("Scan parquet") == 1
+    # and the scan is pruned to the two referenced columns
+    assert "ReadSchema: struct<ts:timestamp_ntz,value:double>" in plan or (
+        "ReadSchema: struct<ts:bigint,value:double>" in plan
+    )
+
+
+def test_dsir_two_corpus_scans_and_broadcast_weights(spark):
+    """DSIR reads the corpus exactly twice (distribution estimate +
+    scoring); the nbuckets-row weight table is broadcast, never a
+    corpus shuffle keyed by bucket."""
+    from mpes_spark.extras.curation import dsir_weights
+
+    w = dsir_weights(spark.read.parquet(f"{SF_SMALL}/documents.parquet"))
+    plan = _plan(w)
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_frequent_items_single_candidate_scan(spark):
+    """Heavy hitters: candidate pass + exact pass + total = three
+    corpus scans of a pruned single column, with the candidate set on
+    the broadcast side."""
+    from mpes_spark.extras.frequent import frequent_items
+
+    toks = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    plan = _plan(frequent_items(toks, "tok", min_frac=0.01, k=200))
+    assert "BroadcastHashJoin" in plan
+    assert "ReadSchema: struct<text:string>" in plan
