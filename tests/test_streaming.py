@@ -42,7 +42,7 @@ def _run(q_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     return q
 
 
@@ -90,7 +90,7 @@ def test_densify_sink_callback(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     assert captured, "densify sink never fired"
     arr = next(iter(captured.values()))
     assert arr.data.shape == (_AX.nbins,)
@@ -134,7 +134,7 @@ def test_scan_sessions_batch_and_stream(spark, stream_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     tot = spark.sql("SELECT sum(n_events) s FROM sessions").collect()[0].s
     assert tot == spark.read.parquet(stream_dir).count()
 
@@ -175,7 +175,7 @@ def test_dedup_stream_keeps_one_per_fingerprint(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     got = spark.sql("SELECT * FROM dedup_sink").toPandas()
     want = exact_dedup(docs.unionByName(recrawl)).count()
     assert len(got) == want == docs.count()
@@ -202,7 +202,7 @@ def test_enrich_stream_static_join(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     got = {
         r.event_type: (r.cnt, r.g)
         for r in spark.sql("SELECT * FROM enrich_sink").collect()
@@ -257,7 +257,7 @@ def test_corpus_pipeline_stages_on_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     got = spark.sql("SELECT * FROM cp_sink").toPandas().sort_values("doc_id")
     want = stages(docs).toPandas().sort_values("doc_id")
     assert list(got.columns) == list(want.columns)
@@ -303,7 +303,7 @@ def test_ingest_dedup_stream_vs_static_corpus(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()  # availableNow terminates when drained
     got = spark.sql("SELECT * FROM ingest_sink").toPandas()
     # exactly the 30 fresh fingerprints, none from the corpus re-crawl
     assert len(got) == fresh.count()
