@@ -210,9 +210,10 @@ def token_budget_sample_sql(
 SELECT {group}, {id_col}, n_tokens, cum_tokens FROM (
   SELECT {group}, {id_col},
          CAST(len(string_split({text}, ' ')) AS BIGINT) AS n_tokens,
-         sum(CAST(len(string_split({text}, ' ')) AS BIGINT))
+         CAST(sum(CAST(len(string_split({text}, ' ')) AS BIGINT))
            OVER (PARTITION BY {group} ORDER BY md5({text}), {id_col}
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens
   FROM {table}
 ) s WHERE cum_tokens <= {budget_tokens}
 """.strip()
