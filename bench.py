@@ -10,9 +10,17 @@ Protocol (driver contract):
     $SPARK_GRAFT_REPS    repetitions (default 3; medians over reps)
     stdout last line: {"metric": ..., "value": total_sec, "unit": "sec",
                        "queries": {name: sec, ...}, "sf": N}
-    plus: "reps", per-query dispersion ("spread": {name: [min, max]}),
-    and round-over-round deltas vs the latest BENCH_r*.json
-    ("prev_total", "delta_total", "regressions").
+
+The driver records only the LAST ~2000 chars of stdout and parses the
+last line; a 98-query map with spreads and deltas is ~3.5 KB, which is
+how round 3 lost its per-query timings (`parsed: null`, truncated
+tail — VERDICT r3 #2/#3). So the COMPLETE document (queries at 4
+decimals, per-query [min, max] spread, prev-round deltas,
+regressions, failures) is written to a sidecar `bench_results.json`
+next to this script, and the final stdout line is kept under a 1900-
+char budget: full header + failures + regressions always, then the
+slowest queries (2-decimal medians) until the budget is spent, with
+`queries_omitted` counting the fast tail that only the sidecar holds.
 
 Each rep tears the SparkSession down and builds a new one (cold
 catalog/file-index/plan caches; the JVM itself is reused in-process —
@@ -53,11 +61,24 @@ def _prev_round_queries(sf: float) -> tuple[str | None, dict[str, float]]:
     try:
         with open(best[1]) as fh:
             doc = json.load(fh)
-        parsed = doc.get("parsed", doc)
-        if float(parsed.get("sf", -1)) != sf:
-            return None, {}
-        q = parsed.get("queries", {})
-        return os.path.basename(best[1]), {k: float(v) for k, v in q.items()}
+        parsed = doc.get("parsed", doc) or {}
+        if float(parsed.get("sf", -1)) == sf and not parsed.get(
+            "queries_omitted"
+        ):
+            q = parsed.get("queries", {})
+            return os.path.basename(best[1]), {
+                k: float(v) for k, v in q.items()
+            }
+        # compact-line rounds keep the full map only in the committed
+        # sidecar; use it when it matches the recorded total
+        side = os.path.join(here, "bench_results.json")
+        with open(side) as fh:
+            detail = json.load(fh)
+        if float(detail.get("sf", -1)) == sf:
+            return "bench_results.json", {
+                k: float(v) for k, v in detail.get("queries", {}).items()
+            }
+        return os.path.basename(best[1]), {}
     except Exception:  # noqa: BLE001 - deltas are best-effort decoration
         return os.path.basename(best[1]), {}
 
@@ -149,7 +170,34 @@ def main() -> None:
         }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_results.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=False)
+    print("# full results: bench_results.json", file=sys.stderr)
+
+    # Compact final stdout line, sized for the driver's 2000-char tail.
+    line: dict = {k: out[k] for k in ("metric", "value", "unit", "sf", "reps")}
+    line["n_queries"] = len(medians)
+    line["detail"] = "bench_results.json"
+    for k in ("failures", "regressions", "prev_total", "delta_total"):
+        if k in out and out[k]:
+            line[k] = out[k]
+    budget = 1900
+    slowest = sorted(medians, key=medians.get, reverse=True)
+    compact: dict[str, float] = {}
+    line["queries"] = compact
+    line["queries_omitted"] = len(medians)
+    for n in slowest:
+        compact[n] = round(medians[n], 2)
+        line["queries_omitted"] = len(medians) - len(compact)
+        if len(json.dumps(line, separators=(",", ":"))) > budget:
+            del compact[n]
+            line["queries_omitted"] = len(medians) - len(compact)
+            break
+    if not line["queries_omitted"]:
+        del line["queries_omitted"]
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -578,6 +578,26 @@ def pq_ann_cosine(spark, sf_dir):
     )
 
 
+@_q(
+    "pq_ann_fullcodebook",
+    SIM.pq_topk_cosine_fixed_sql(
+        "embeddings", "vec_id < 8", SIM.fixed_pq_codebooks(), k=3
+    ),
+)
+def pq_ann_fullcodebook(spark, sf_dir):
+    """PQ ADC scoring under the driver's hash gate: with FIXED
+    (non-learned) dyadic-rational codebooks the encode + table-lookup
+    scoring pipeline is oracle-expressible, so the raw ADC ordering
+    (``rerank=None`` — scores in the output, not just the shortlist)
+    hash-matches a DuckDB twin. The ivf_ann_fullprobe construction
+    applied to the PQ half; the learned-codebook path
+    (``pq_ann_cosine``) stays rows-only by design."""
+    e = _embs(spark, sf_dir)
+    return SIM.pq_topk_cosine(
+        e, e.filter(F.col("vec_id") < 8), SIM.fixed_pq_codebooks(), k=3
+    )
+
+
 # ===========================================================================
 # corpus curation (sampling / decontamination / chunking)
 # ===========================================================================

@@ -473,6 +473,81 @@ def train_pq_codebooks(
     return books
 
 
+def fixed_pq_codebooks(m: int = 8, ksub: int = 16, dsub: int = 8) -> np.ndarray:
+    """Deterministic, engine-portable PQ codebooks on a dyadic-rational
+    grid: entry ``(j, c, d)`` is ``(((j*31 + c*17 + d*7) % 23) - 11) /
+    16``. Every value is an exact binary fraction, so the Python float
+    and its SQL literal rendering are the SAME real number — which is
+    what lets the ADC scoring path run under a DuckDB hash gate
+    (``pq_topk_cosine_fixed_sql``). 17 is invertible mod 23 and
+    ksub <= 23, so the ``ksub`` centroids of a subspace are pairwise
+    distinct. Not a trained quantizer — a gate fixture; the learned
+    path (``train_pq_codebooks``) stays rows-only by design."""
+    j, c, d = np.ogrid[:m, :ksub, :dsub]
+    return (((j * 31 + c * 17 + d * 7) % 23) - 11) / 16.0
+
+
+def pq_topk_cosine_fixed_sql(
+    table: str,
+    query_pred: str,
+    codebooks: np.ndarray,
+    k: int = 3,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB oracle twin of ``pq_topk_cosine(rerank=None)`` for FIXED
+    codebooks passed as literals: encode = per-subspace argmin of
+    centroid distance on the L2-normalized vector (``list_distance`` is
+    monotone in the squared distance numpy argmins over), ADC score =
+    sum over subspaces of ``list_inner_product(chosen centroid,
+    normalized query sub-vector)``. This puts the whole compressed-
+    domain scoring pipeline — normalize, encode, table-lookup score,
+    rank — under the driver's value-hash, the same construction
+    ``ivf_ann_fullprobe`` uses for the IVF half."""
+    B = np.asarray(codebooks, dtype="float64")
+    m, ksub, dsub = B.shape
+
+    def _lst(a: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in a) + "]"
+
+    books_rows = ",\n  ".join(
+        f"({j}, [" + ", ".join(_lst(B[j, c]) for c in range(ksub)) + "])"
+        for j in range(m)
+    )
+    norm = (
+        f"list_transform({vec}::DOUBLE[], x -> x / "
+        f"sqrt(list_inner_product({vec}::DOUBLE[], {vec}::DOUBLE[])))"
+    )
+    sub = f"[{dsub}*j+1:{dsub}*j+{dsub}]"
+    dists = f"list_transform(cents, ce -> list_distance(nv{sub}, ce))"
+    return f"""
+WITH books(j, cents) AS (VALUES
+  {books_rows}),
+c AS (SELECT {id_col} AS neighbor_id, {norm} AS nv FROM {table}),
+q AS (SELECT {id_col} AS query_id, {norm} AS qv FROM {table} WHERE {query_pred}),
+enc AS (
+  SELECT neighbor_id, j,
+         cents[list_position({dists}, list_min({dists}))] AS cent
+  FROM c CROSS JOIN books
+),
+contrib AS (
+  SELECT query_id, neighbor_id,
+         list_inner_product(e.cent, q.qv{sub}) AS part
+  FROM enc e CROSS JOIN q
+  WHERE e.neighbor_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(sum(part), 6) AS adc_score
+  FROM contrib GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_score, rank FROM ranked WHERE rank <= {k}
+""".strip()
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
