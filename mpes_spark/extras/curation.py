@@ -668,13 +668,13 @@ def dsir_weights_sql(
     """DuckDB oracle twin of :func:`dsir_weights`."""
     from mpes_spark.extras.dedup import _md5_hash_sql
 
-    h = _md5_hash_sql(_DSIR_SEED, "t", "duckdb")
+    h = _md5_hash_sql(_DSIR_SEED, "__tok", "duckdb")
     a, ab = float(alpha), float(alpha * nbuckets)
     return f"""
 WITH tok AS (
   SELECT {id_col}, ({target_pred}) AS tgt_flag,
          CAST({h} % {nbuckets} AS BIGINT) AS b
-  FROM (SELECT {id_col}, lang, unnest(string_split({text}, ' ')) AS t
+  FROM (SELECT *, unnest(string_split({text}, ' ')) AS __tok
         FROM {table})
 ),
 src AS (SELECT b, CAST(count(*) AS DOUBLE) cs FROM tok GROUP BY b),

@@ -78,7 +78,10 @@ def frequent_items(
 
     candidates = (
         df.select(col)
-        .mapInPandas(mg_partition, schema=f"{col} string")
+        .mapInPandas(
+            mg_partition,
+            schema=f"{col} {df.schema[col].dataType.simpleString()}",
+        )
         .distinct()
     )
     total = df.agg(F.count(F.lit(1)).alias("__n"))

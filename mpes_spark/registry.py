@@ -1379,7 +1379,9 @@ def range_join_binned_q(spark, sf_dir):
 #    raw events — proving the cascade never needs the raw scan. ------------
 @_q(
     "rollup_cascade_1h",
-    "SELECT (epoch_ns(ts) // 3600000000000) AS bucket, "
+    # floor (not truncating) integer division, twin of rollup._floor_div
+    "SELECT ((epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000) + 3600000000000) % 3600000000000) "
+    "// 3600000000000) AS bucket, "
     "CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_m, "
     "round(min(value), 6) AS min_m, round(max(value), 6) AS max_m, "
     "round(round(sum(value), 2) / count(*), 6) AS avg_m "

@@ -214,6 +214,29 @@ def interval_attribution_join(
     management), which is how the parity test pins its semantics.
     """
     lt, rt = "event_time", "event_time" + suffix
+    # same guard as transforms.joins._ensure_disjoint: a left column
+    # already named like a suffixed right column (or either derived
+    # event-time name) would silently duplicate in the join output
+    r_out = [on + suffix, rt] + [
+        c + suffix for c in right.columns if c not in (on, right_ts)
+    ]
+    clash = (set(left.columns) | {lt}) & set(r_out)
+    if len(set(r_out)) != len(r_out):
+        dup = sorted({c for c in r_out if r_out.count(c) > 1})
+        raise ValueError(
+            f"suffixed right columns collide among themselves: {dup}; "
+            "rename before joining"
+        )
+    if clash:
+        raise ValueError(
+            f"right-side columns {sorted(clash)} collide with left "
+            f"columns (or derived event-time names); rename before joining"
+        )
+    if lt in left.columns and lt != left_ts:
+        raise ValueError(
+            f"left column {lt!r} would be overwritten by the derived "
+            "event-time column; rename it before joining"
+        )
     l_ = with_event_time(left, left_ts, out=lt).withWatermark(lt, watermark)
     r_ = with_event_time(right, right_ts, out=rt).withWatermark(rt, watermark)
     r_ = r_.select(

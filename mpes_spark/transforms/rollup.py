@@ -31,6 +31,19 @@ __all__ = ["time_rollup", "coarsen", "finalize_rollup"]
 _MEASURES = ("cnt", "sum_m", "min_m", "max_m")
 
 
+def _floor_div(expr: str, n: int):
+    """Integer FLOOR division as a Column: ``div`` truncates toward
+    zero, so pre-1970 (negative) epoch-nanos would land one bucket
+    high and the -1..0 bucket would absorb two bucket-widths; and a
+    float ``floor(a / b)`` is out because epoch-nanos (~1.7e18) exceed
+    double's exact range. ``(a - pmod(a, n)) div n`` is exact floor in
+    pure integer arithmetic (pmod is the non-negative remainder), and
+    keeps minute->hour->day cascades consistent with directly-bucketed
+    rollups on both sides of the epoch."""
+    n = int(n)
+    return F.expr(f"(({expr}) - pmod(({expr}), {n})) div {n}").cast("long")
+
+
 def time_rollup(
     df: DataFrame,
     *,
@@ -43,9 +56,7 @@ def time_rollup(
     integer-divided by ``bucket_ns``) and optional ``keys``, the
     mergeable stats (cnt, sum, min, max) of ``measure``."""
     keys = keys or []
-    # integer division: epoch-nanos (~1.7e18) exceed double's exact
-    # range, so a float divide+floor would misbucket boundary events
-    bucket = F.expr(f"`{ts_col}` div {int(bucket_ns)}").cast("long")
+    bucket = _floor_div(f"`{ts_col}`", bucket_ns)
     return df.groupBy(bucket.alias("bucket"), *keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.sum(measure).alias("sum_m"),
@@ -63,7 +74,7 @@ def coarsen(rollup: DataFrame, factor: int, keys: list[str] | None = None) -> Da
     if missing:
         raise ValueError(f"not a rollup frame (missing {missing})")
     return rollup.groupBy(
-        F.expr(f"bucket div {int(factor)}").cast("long").alias("bucket"), *keys
+        _floor_div("bucket", factor).alias("bucket"), *keys
     ).agg(
         F.sum("cnt").cast("bigint").alias("cnt"),
         F.sum("sum_m").alias("sum_m"),

@@ -135,3 +135,73 @@ def test_dsir_ranks_target_like_docs_higher(spark):
     w = {r["doc_id"]: r["weight"] for r in dsir_weights(df).collect()}
     assert w[500] > w[501]  # target-vocabulary doc wins
     assert w[0] > w[101]
+
+
+def test_rollup_floor_buckets_negative_ts(spark):
+    """Pre-1970 (negative) epoch-nanos bucket with FLOOR semantics:
+    truncating `div` would send -90s to minute -1 and let bucket 0
+    absorb two bucket-widths (ADVICE r3)."""
+    rows = [
+        (-90_000_000_000, 1.0),
+        (-30_000_000_000, 2.0),
+        (30_000_000_000, 4.0),
+        (90_000_000_000, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts long, value double")
+    minute = time_rollup(df, measure="value", bucket_ns=60_000_000_000)
+    assert {r["bucket"]: r["cnt"] for r in minute.collect()} == {
+        -2: 1,
+        -1: 1,
+        0: 1,
+        1: 1,
+    }
+    # cascade == direct across the epoch, same floor rule at both levels
+    direct = time_rollup(df, measure="value", bucket_ns=120_000_000_000)
+    via = coarsen(minute, 2)
+    want = {(-1, 2), (0, 2)}
+    assert {(r["bucket"], r["cnt"]) for r in via.collect()} == want
+    assert {(r["bucket"], r["cnt"]) for r in direct.collect()} == want
+
+
+def test_frequent_items_non_string_column(spark):
+    """The MG candidate pass must carry the input column's own type
+    (ADVICE r3): a string-typed candidate set would equi-join back via
+    implicit casts and can silently miss non-string items."""
+    rng = np.random.default_rng(11)
+    vals = [int(v) for v in rng.zipf(1.3, 20_000) % 1000]
+    df = spark.createDataFrame(pd.DataFrame({"item": vals})).repartition(5)
+    got = {
+        (r["item"], r["freq"])
+        for r in frequent_items(df, "item", min_frac=0.02).collect()
+    }
+    n = len(vals)
+    naive = pd.Series(vals).value_counts()
+    assert got == {
+        (int(i), int(c)) for i, c in naive.items() if c >= 0.02 * n
+    }
+    assert all(isinstance(i, int) for i, _ in got)
+
+
+def test_dsir_sql_twin_honors_custom_predicate(spark, duck):
+    """The oracle twin must project whatever columns target_pred
+    references (ADVICE r3): a predicate on `source` broke the old
+    hardcoded-`lang` inner projection."""
+    from tests.conftest import SF_ORACLE
+
+    from mpes_spark.extras.curation import dsir_weights, dsir_weights_sql
+    from mpes_spark.registry import t
+
+    pred = "source = 'src3'"
+    got = (
+        dsir_weights(t(spark, SF_ORACLE, "documents"), target_pred=pred)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = (
+        duck.execute(dsir_weights_sql("documents", target_pred=pred))
+        .df()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n_tokens"].to_numpy() == want["n_tokens"].to_numpy()).all()
+    assert (got["weight"].to_numpy() == want["weight"].to_numpy()).all()

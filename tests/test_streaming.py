@@ -428,3 +428,25 @@ def test_dedup_stream_watermark_bounds_state(spark, tmp_path):
         for r in spark.sql("SELECT doc_id FROM wm_dedup_sink").collect()
     )
     assert got == [1, 3, 4, 9, 10]
+
+
+def test_interval_attribution_join_rejects_collisions(spark):
+    """Suffixed right columns and the derived event-time names must be
+    disjoint from the left schema (ADVICE r3) — same contract as
+    transforms.joins._ensure_disjoint, checked before the join plan is
+    built so batch and streaming callers fail identically."""
+    from mpes_spark.streaming.live import interval_attribution_join
+
+    right = spark.createDataFrame(
+        [(1, 1500, 7.0)], "user_id long, ts long, amount double"
+    )
+    left_clash = spark.createDataFrame(
+        [(1, 1000, 5.0)], "user_id long, ts long, amount_r double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_attribution_join(left_clash, right)
+    left_et = spark.createDataFrame(
+        [(1, 1000, 5.0)], "user_id long, ts long, event_time double"
+    )
+    with pytest.raises(ValueError, match="event_time"):
+        interval_attribution_join(left_et, right)
