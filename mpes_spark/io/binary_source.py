@@ -309,6 +309,49 @@ class DictBackend:
         return dict(self.files[path].get("attrs", {}))
 
 
+@dataclass
+class SyntheticBackend:
+    """Compute-on-read backend: stream values are a deterministic
+    function of (file index, stream index, event index), so NOTHING
+    but this config dataclass is pickled into executor tasks — each
+    task materializes exactly its own [amin, amax) range. This is the
+    bench driver for the ingest seam (arbitrary volume, zero driver
+    payload) and the scale template for real bindings: at 100 TB the
+    backend object must be paths/config, never data. Paths look like
+    ``anything_<k>``; ``<k>`` seeds the per-file offset."""
+
+    events_per_file: int = 250_000
+    aliases: tuple[str, ...] = ("X", "Y", "t", "ADC")
+    ms_marker_step: int = 1_000
+
+    @staticmethod
+    def _fidx(path: str) -> int:
+        return int(path.rsplit("_", 1)[1])
+
+    def list_streams(self, path: str) -> list[tuple[str, str]]:
+        return [(f"Stream_{i}", a) for i, a in enumerate(self.aliases)]
+
+    def n_events(self, path: str) -> int:
+        return self.events_per_file
+
+    def read_stream(self, path: str, group: str, amin: int, amax: int) -> np.ndarray:
+        i = int(group.rsplit("_", 1)[1])
+        f = self._fidx(path)
+        idx = np.arange(amin, amax, dtype="float64")
+        # branch-free quasi-uniform sweep over [0, 1000), distinct per
+        # (file, stream): golden-ratio stride defeats periodic aliasing
+        return (idx * (0.61803398875 + 0.1 * i) + f * 1013.0) % 1000.0
+
+    def ms_markers(self, path: str) -> np.ndarray:
+        return np.arange(0, self.events_per_file, self.ms_marker_step)
+
+    def start_time(self, path: str) -> float:
+        return 1.7e9 + self._fidx(path) * 3600.0
+
+    def attributes(self, path: str) -> dict:
+        return {"format": "synthetic", "file_index": self._fidx(path)}
+
+
 def parse_first_event_timestamp(s: str) -> float:
     """FirstEventTimeStamp attribute parser
     (``%Y-%m-%dT%H:%M:%S.%f%z``, fprocessing.py:671-678)."""

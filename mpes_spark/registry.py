@@ -1398,6 +1398,51 @@ def rollup_cascade_1h(spark, sf_dir):
     return finalize_rollup(coarsen(minutes, 60))
 
 
+@_q("binary_ingest_hist", None)  # synthetic source: rows-only by design
+def binary_ingest_hist(spark, sf_dir):
+    """The binary ingest seam under the bench clock (VERDICT r3 #7):
+    chunk-plan -> mapInPandas assembly (float32 cast + timeStamps
+    reconstruction) from the compute-on-read SyntheticBackend ->
+    ``convert_to_parquet`` -> histogram over the converted columnar
+    output — the full ``hdf5Reader.convert`` + bin pipeline
+    (fprocessing.py:823-856) minus only the h5py binding. Volume
+    scales with sf (sf0.1 -> 8 files x 250k events = 2M events); no
+    DuckDB oracle because the source is a runtime-synthesized binary
+    stream, not a pre-registered view — numerics pinned by
+    tests/test_binary_source.py instead."""
+    import os
+    import tempfile
+
+    from mpes_spark.binning.engine import bin_sparse
+    from mpes_spark.binning.spec import BinAxis
+    from mpes_spark.io.binary_source import (
+        IngestSpec,
+        SyntheticBackend,
+        convert_to_parquet,
+    )
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    backend = SyntheticBackend(events_per_file=max(25_000, int(2_500_000 * sf)))
+    paths = [f"synth_{k}" for k in range(8)]
+    out = os.path.join(tempfile.gettempdir(), "mpes_spark_ingest_bench")
+    convert_to_parquet(
+        spark,
+        paths,
+        backend,
+        out,
+        IngestSpec(
+            aliases=["X", "Y", "t", "ADC"], timestamps=True, chunk_size=100_000
+        ),
+    )
+    ev = spark.read.parquet(out)
+    return bin_sparse(
+        ev, [BinAxis("X", 64, 0.0, 1000.0), BinAxis("t", 64, 0.0, 1000.0)]
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================

@@ -188,3 +188,38 @@ def test_hdf5_binding_gated_without_h5py(spark):
         pass
     with pytest.raises(NotImplementedError):
         read_events_hdf5(spark, ["/nonexistent.h5"])
+
+
+def test_synthetic_backend_ingest_exact(spark):
+    """SyntheticBackend (compute-on-read, zero pickled payload) must
+    assemble exactly the values its formula defines, chunk-split or
+    not — the determinism that makes binary_ingest_hist a stable
+    bench entry."""
+    import numpy as np
+
+    from mpes_spark.io.binary_source import (
+        IngestSpec,
+        SyntheticBackend,
+        read_events_binary,
+    )
+
+    backend = SyntheticBackend(events_per_file=1_000, ms_marker_step=100)
+    paths = ["synth_0", "synth_3"]
+    df = read_events_binary(
+        spark,
+        paths,
+        backend,
+        IngestSpec(aliases=["X", "t"], timestamps=True, with_file=True, chunk_size=256),
+    )
+    got = df.toPandas().sort_values(["file", "timeStamps", "X"], ignore_index=True)
+    assert len(got) == 2_000
+    for k, path in ((0, "synth_0"), (3, "synth_3")):
+        sub = got[got.file == path]
+        idx = np.arange(1_000, dtype="float64")
+        want_x = np.sort(((idx * 0.61803398875 + k * 1013.0) % 1000.0).astype("float32"))
+        assert np.array_equal(np.sort(sub.X.to_numpy()), want_x)
+        # timestamps: marker step 100 -> events [m*100, (m+1)*100) at
+        # start + m/1000, last marker tail at start + nmarkers/1000
+        assert sub.timeStamps.min() == backend.start_time(path)
+    # the chunk plan parallelizes: 1000/256 -> 4 chunks per file
+    assert df.rdd.getNumPartitions() == 8
