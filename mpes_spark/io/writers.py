@@ -182,6 +182,59 @@ def save_binned(arr: BinnedArray, path: str) -> None:
     np.savez_compressed(path, **payload)
 
 
+def save_binned_h5(arr: BinnedArray, path: str, mode: str = "w") -> None:
+    """``xarray_to_h5`` analog
+    (``/root/reference/mpes/fprocessing.py:3354-3416``): persist a
+    :class:`BinnedArray` as HDF5 — the ``binned/V3`` data matrix, one
+    ``axes/ax{i}`` dataset per dimension (dim name kept as an HDF5
+    attribute), and the attrs dict json-encoded under
+    ``metadata/attrs``, mirroring the reference's group layout.
+
+    The h5py binding is env-gated exactly like
+    ``io.readers.read_events_hdf5``: the engine's own persistence
+    format is the npz twin (:func:`save_binned`), which round-trips
+    without HDF5 anywhere in the runtime."""
+    try:
+        import h5py
+    except ImportError as exc:  # pragma: no cover - env without h5py
+        raise NotImplementedError(
+            "save_binned_h5 needs the optional h5py binding; "
+            "save_binned (npz) is the always-available twin"
+        ) from exc
+    with h5py.File(path, mode) as f:
+        f.create_dataset("binned/V3", data=arr.data, compression="gzip")
+        for i, d in enumerate(arr.dims):
+            ds = f.create_dataset(f"axes/ax{i}", data=np.asarray(arr.coords[d]))
+            ds.attrs["name"] = d
+        f.create_dataset(
+            "metadata/attrs",
+            data=np.frombuffer(json.dumps(arr.attrs).encode(), dtype=np.uint8),
+        )
+
+
+def load_binned_h5(path: str) -> BinnedArray:
+    """Reload a :func:`save_binned_h5` file (env-gated like the
+    writer)."""
+    try:
+        import h5py
+    except ImportError as exc:  # pragma: no cover - env without h5py
+        raise NotImplementedError(
+            "load_binned_h5 needs the optional h5py binding"
+        ) from exc
+    with h5py.File(path, "r") as f:
+        data = f["binned/V3"][()]
+        dims, coords = [], {}
+        for i in range(data.ndim):
+            ds = f[f"axes/ax{i}"]
+            name = ds.attrs["name"]
+            if isinstance(name, bytes):
+                name = name.decode()
+            dims.append(name)
+            coords[name] = ds[()]
+        attrs = json.loads(bytes(f["metadata/attrs"][()].tobytes()).decode())
+        return BinnedArray(data=data, dims=dims, coords=coords, attrs=attrs)
+
+
 def load_binned(path: str) -> BinnedArray:
     """Reload a :func:`save_binned` archive (``readBinnedhdf5``
     analog)."""
