@@ -691,3 +691,104 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
        round(sum(w), 6) AS weight
 FROM tok JOIN w USING (b) GROUP BY {id_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the crawl-curation first stage)
+# ---------------------------------------------------------------------------
+
+_TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref")
+
+
+def url_normalize_expr(url: str | Column) -> Column:
+    """Canonical form of a URL as a pure column expression — the
+    CCNet / RefinedWeb first-stage dedup key (URL-level dedup happens
+    before any content hashing because it needs no document bytes):
+
+    - fragment dropped; scheme and host lowercased; ``www.`` and
+      default ``:80``/``:443`` ports stripped; trailing path slashes
+      stripped;
+    - tracking query params removed (``utm_*`` and
+      ``fbclid/gclid/msclkid/ref``), the survivors SORTED so param
+      order does not defeat the key.
+
+    No UDF: split/filter/sort/join are all Catalyst array functions,
+    so the key computes inside whole-stage codegen at crawl scale.
+    """
+    u = F.trim(url if isinstance(url, Column) else F.col(url))
+    u = F.substring_index(u, "#", 1)
+    has_scheme = u.contains("://")
+    scheme = F.when(has_scheme, F.lower(F.substring_index(u, "://", 1))).otherwise(
+        F.lit("https")
+    )
+    rest = F.when(has_scheme, F.substring_index(u, "://", -1)).otherwise(u)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, "^www\\.", ""), ":(80|443)$", ""
+    )
+    # path+query = rest minus the hostport prefix
+    path_q = rest.substr(F.length(F.substring_index(rest, "/", 1)) + 1, F.lit(1 << 20))
+    path = F.regexp_replace(F.substring_index(path_q, "?", 1), "/+$", "")
+    query = F.when(
+        path_q.contains("?"), F.substring_index(path_q, "?", -1)
+    ).otherwise(F.lit(""))
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.substring_index(p, "=", 1).isin(*_TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+def url_normalize_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`url_normalize_expr` — identical steps so
+    the canonical key hash-matches."""
+    u = f"split_part(trim({url_expr}), '#', 1)"
+    has = f"contains({u}, '://')"
+    scheme = f"CASE WHEN {has} THEN lower(split_part({u}, '://', 1)) ELSE 'https' END"
+    rest = f"CASE WHEN {has} THEN split_part({u}, '://', 2) ELSE {u} END"
+    hostport = f"lower(split_part({rest}, '/', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({hostport}, '^www\\.', ''), ':(80|443)$', '')"
+    )
+    path_q = f"substring({rest}, length(split_part({rest}, '/', 1)) + 1)"
+    path = f"regexp_replace(split_part({path_q}, '?', 1), '/+$', '')"
+    query = f"CASE WHEN contains({path_q}, '?') THEN split_part({path_q}, '?', 2) ELSE '' END"
+    keep = (
+        f"list_filter(string_split({query}, '&'), p -> p <> '' "
+        f"AND NOT starts_with(p, 'utm_') "
+        f"AND NOT list_contains({list(_TRACKING_PARAMS)!r}, split_part(p, '=', 1)))"
+    )
+    # array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+    # array_join gives ''): coalesce to keep the twins aligned
+    qs = f"coalesce(array_to_string(list_sort({keep}), '&'), '')"
+    return (
+        f"concat({scheme}, '://', {host}, {path}, "
+        f"CASE WHEN {qs} = '' THEN '' ELSE concat('?', {qs}) END)"
+    )
+
+
+def url_dedup(
+    df: DataFrame, url: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup groups: per canonical URL with >= 2 docs, the
+    group size and the kept (minimum) doc id. One groupBy on the
+    canonical key — at crawl scale this runs before any content op
+    and its shuffle carries only (key, id), never document bytes."""
+    return (
+        df.select(url_normalize_expr(url).alias("canon_url"), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -642,6 +642,43 @@ def quality_quantile_gate(spark, sf_dir):
     )
 
 
+# Deterministic raw URL synthesized from the documents table (the
+# testdata carries no URL column): upper-cased scheme/host noise,
+# default port, tracking params in shuffled order, trailing-slash
+# variants — everything the canonicalizer must collapse. Spark and
+# DuckDB build the IDENTICAL string, so the canonical key is fully
+# hash-gated.
+_URL_RAW = (
+    "concat('HTTPS://WWW.', source, '.Example.COM:443/docs/', "
+    "CAST(doc_id % 40 AS {stype}), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1&fbclid=x' "
+    "WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '/' END)"
+)
+
+
+@_q(
+    "url_dedup",
+    "WITH d AS (SELECT doc_id, "
+    + CU.url_normalize_sql(_URL_RAW.format(stype="VARCHAR"))
+    + " AS canon_url FROM documents) "
+    "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs, "
+    "min(doc_id) AS keep_id FROM d GROUP BY canon_url "
+    "HAVING count(*) >= 2",
+)
+def url_dedup(spark, sf_dir):
+    """URL-level dedup — the crawl-curation FIRST stage (CC-Net /
+    RefinedWeb run it before any content op because it needs no
+    document bytes): canonicalize (case, www, default port, fragment,
+    trailing slash, tracking params stripped, params sorted) then
+    group on the canonical key, keeping the minimum doc id. The
+    canonicalizer is pure Catalyst array/string expressions — no UDF
+    — and the oracle replays every step."""
+    d = _docs(spark, sf_dir).withColumn(
+        "url", F.expr(_URL_RAW.format(stype="STRING"))
+    )
+    return CU.url_dedup(d)
+
+
 @_q(
     "quality_classifier",
     CU.quality_classifier_sql("documents"),

@@ -1477,6 +1477,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix",
         # new this round:
         "pq_ann_fullcodebook",
+        "url_dedup",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -823,3 +823,46 @@ def test_corpus_pipeline_importance_selection(spark):
     }
     assert 900 in kept and 0 in kept
     assert not any(50 <= d < 58 for d in kept)
+
+
+def test_url_normalize_canonicalizes(spark):
+    """URL canonical key: case/port/www/fragment/trailing-slash noise
+    and tracking params must all collapse; surviving params sort; the
+    transform is idempotent (normalizing a normal form is a no-op)."""
+    from mpes_spark.extras.curation import url_normalize_expr
+
+    cases = [
+        ("HTTPS://WWW.Site.COM:443/a/b/?b=2&utm_medium=x&a=1#frag",
+         "https://site.com/a/b?a=1&b=2"),
+        ("http://site.com:80/a", "http://site.com/a"),
+        ("site.com/path/", "https://site.com/path"),  # scheme defaulted
+        ("https://site.com/?fbclid=abc&ref=tw", "https://site.com"),
+        ("https://site.com", "https://site.com"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(url_normalize_expr("url").alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    # idempotence
+    df2 = spark.createDataFrame([(g,) for g in got], "url string")
+    again = [
+        r["c"]
+        for r in df2.select(url_normalize_expr("url").alias("c")).collect()
+    ]
+    assert again == got
+
+
+def test_url_dedup_groups(spark):
+    from mpes_spark.extras.curation import url_dedup
+
+    rows = [
+        (1, "https://a.com/x?utm_source=f"),
+        (2, "HTTPS://WWW.A.com/x/"),
+        (3, "https://a.com/x?q=1"),  # different canon (real param)
+        (4, "https://b.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["canon_url"]: (r["n_docs"], r["keep_id"]) for r in url_dedup(df).collect()}
+    assert got == {"https://a.com/x": (2, 1)}
