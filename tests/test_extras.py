@@ -866,3 +866,40 @@ def test_url_dedup_groups(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["canon_url"]: (r["n_docs"], r["keep_id"]) for r in url_dedup(df).collect()}
     assert got == {"https://a.com/x": (2, 1)}
+
+
+def test_url_normalize_fuzz_idempotent_and_parity(spark, duck):
+    """Property fuzz over structured random URLs: the Spark and DuckDB
+    canonicalizers agree exactly, and both are idempotent. Runs the
+    pair as data batches (one Spark job, one DuckDB query) instead of
+    hypothesis-per-example so the property holds over hundreds of
+    cases at test-suite cost."""
+    import random
+
+    from mpes_spark.extras.curation import url_normalize_expr, url_normalize_sql
+
+    rng = random.Random(7)
+    schemes = ["https://", "HTTP://", "", "hTTps://"]
+    hosts = ["WWW.Site.com", "site.com", "a.b.example.ORG:443", "x.io:80", "x.io:8080"]
+    paths = ["", "/", "/a", "/a/b/", "/a//b///"]
+    params = ["", "?a=1", "?b=2&a=1", "?utm_source=x&a=1", "?fbclid=1",
+              "?ref=tw&z=9&y=8", "?a=1&a=0"]
+    frags = ["", "#x", "#a/b?c=1"]
+    urls = [
+        rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        + rng.choice(params) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["c"] for r in df.select(url_normalize_expr("url").alias("c")).collect()]
+    vals = ", ".join(f"({u!r})" for u in urls)
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {url_normalize_sql('u')} FROM (VALUES {vals}) t(u)"
+        ).fetchall()
+    ]
+    assert got == want
+    df2 = spark.createDataFrame([(g,) for g in got], "url string")
+    again = [r["c"] for r in df2.select(url_normalize_expr("url").alias("c")).collect()]
+    assert again == got

@@ -286,3 +286,39 @@ def test_frequent_items_single_candidate_scan(spark):
     plan = _plan(frequent_items(toks, "tok", min_frac=0.01, k=200))
     assert "BroadcastHashJoin" in plan
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_url_dedup_single_shuffle_no_udf(spark):
+    """The URL canonical key computes as pure expressions (no
+    BatchEvalPython / ArrowEvalPython) and the dedup is one
+    partial+final hash agg — one Exchange keyed on the key."""
+    from mpes_spark.extras.curation import url_dedup
+
+    docs = t(spark, SF_SMALL, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+    plan = _plan(url_dedup(docs))
+    assert "EvalPython" not in plan  # no Python in the hot path
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pq_fullcodebook_broadcasts_query_side(spark):
+    """PQ ADC scoring: the corpus side is scanned once, the tiny query
+    relation rides a broadcast — no shuffle of the encoded corpus
+    before scoring."""
+    from mpes_spark.extras import similarity as SIM
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    df = SIM.pq_topk_cosine(
+        e, e.filter(F.col("vec_id") < 4), SIM.fixed_pq_codebooks(), k=3
+    )
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # exactly one pass over the embeddings relation feeds the encode;
+    # the second scan is the query side (pre-broadcast), never a third
+    assert plan.count("Scan parquet") <= 2
