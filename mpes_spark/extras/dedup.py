@@ -410,6 +410,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    driver_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """Resolve near-dup pairs into duplicate clusters: connected
     components of the (id_a, id_b) edge list, labelling every node
@@ -435,6 +436,16 @@ def connected_components(
     Returns (id_col, cluster_id) for every doc appearing in >= 1
     pair; singleton docs are their own implicit cluster and are
     deliberately not materialized.
+
+    Two-tier strategy (the broadcast-join pattern applied to CC): the
+    edge list is ALWAYS orders of magnitude smaller than the corpus —
+    it is the verified near-dup pairs — so when it fits comfortably
+    on the driver (``<= driver_edge_limit`` edges, ~16 MB at the
+    default) a single union-find pass replaces 2-4 distributed rounds
+    of 2 joins + groupBy each, identical output, none of the per-round
+    job latency. Beyond the limit the log-round distributed loop runs
+    unchanged; ``driver_edge_limit=0`` forces it (used by the tests
+    that pin the distributed algorithm).
     """
     # symmetrize with ONE pass over the (possibly expensive) pair
     # plan — a union of two selects would execute it twice
@@ -451,6 +462,29 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if sym.count() <= driver_edge_limit:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.toLocalIterator():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min root = min label
+        rows = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, f"{id_col} long, cluster_id long"
+        )
+
     lab = (
         sym.select(F.col("src").alias("node"))
         .distinct()

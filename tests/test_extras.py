@@ -471,7 +471,10 @@ def test_connected_components_transitive_chain(spark):
     chain = [(i, i + 1) for i in range(100, 111)]
     other = [(500, 501), (501, 502), (900, 910)]
     pairs = spark.createDataFrame(chain + other, ["id_a", "id_b"])
-    cc = {r.doc_id: r.cluster_id for r in DD.connected_components(pairs).collect()}
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in DD.connected_components(pairs, driver_edge_limit=0).collect()
+    }
     assert {cc[i] for i in range(100, 112)} == {100}
     assert {cc[i] for i in (500, 501, 502)} == {500}
     assert cc[900] == cc[910] == 900
@@ -488,7 +491,7 @@ def test_connected_components_merges_bridged_clusters(spark):
     g2 = [(10, 11), (11, 12)]
     bridge = [(3, 10)]
     pairs = spark.createDataFrame(g1 + g2 + bridge, ["id_a", "id_b"])
-    cc = DD.connected_components(pairs)
+    cc = DD.connected_components(pairs, driver_edge_limit=0)
     assert cc.select("cluster_id").distinct().collect()[0][0] == 1
     assert cc.count() == 6
 
@@ -643,8 +646,17 @@ def test_connected_components_random_graph_vs_union_find(spark):
     expected = {n: find(n) for n in parent}
 
     pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
-    got = {r.doc_id: r.cluster_id for r in DD.connected_components(pairs).collect()}
+    # force the DISTRIBUTED tier (the default would pick the driver
+    # union-find for a graph this small — that tier IS this oracle)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in DD.connected_components(pairs, driver_edge_limit=0).collect()
+    }
     assert got == expected
+    small = {
+        r.doc_id: r.cluster_id for r in DD.connected_components(pairs).collect()
+    }
+    assert small == expected
 
 
 # ---------------------------------------------------------------------------

@@ -72,7 +72,8 @@ def test_template_spam_survives_lsh_and_cc(spark):
         # a clique is depth-1: min-label propagation must resolve the
         # whole spam block to cluster 0 within 2 rounds (1 propagate
         # + 1 converged-check), nowhere near the max_iter=25 ceiling
-        cc = connected_components(pairs, max_iter=2)
+        # (driver_edge_limit=0 pins the DISTRIBUTED path under stress)
+        cc = connected_components(pairs, max_iter=2, driver_edge_limit=0)
         summary = cluster_summary(cc).collect()
         assert len(summary) == 1
         assert summary[0]["cluster_id"] == 0
@@ -90,6 +91,9 @@ def test_chain_converges_by_pointer_jumping(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
-    cc = connected_components(edges, max_iter=8)
+    cc = connected_components(edges, max_iter=8, driver_edge_limit=0)
     got = {r["doc_id"]: r["cluster_id"] for r in cc.collect()}
     assert got == {i: 0 for i in range(64)}
+    # the small-graph driver tier must agree exactly
+    tiny = connected_components(edges, max_iter=8)
+    assert {r["doc_id"]: r["cluster_id"] for r in tiny.collect()} == got
