@@ -94,6 +94,25 @@ class CorpusPipeline:
         fingerprint (16-byte-key shuffle)."""
         return self._wrap(DD.exact_dedup(self.df, self.text, self.id_col))
 
+    def dedup_url(self, url: str = "url") -> "CorpusPipeline":
+        """URL-level dedup — the crawl-curation FIRST stage (runs
+        before any content op because it needs no document bytes):
+        canonicalize ``url`` and keep each canonical key's min-id doc.
+        No-op for corpora without a ``url`` column."""
+        from mpes_spark.extras.curation import url_normalize_expr
+
+        if url not in self.df.columns:
+            return self
+        canon = self.df.withColumn("__canon", url_normalize_expr(url))
+        keep = canon.groupBy("__canon").agg(
+            F.min(self.id_col).alias(self.id_col)
+        )
+        return self._wrap(
+            canon.join(keep, [self.id_col, "__canon"], "left_semi").drop(
+                "__canon"
+            )
+        )
+
     def dedup_near(
         self,
         threshold: float = 0.5,

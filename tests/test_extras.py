@@ -915,3 +915,20 @@ def test_url_normalize_fuzz_idempotent_and_parity(spark, duck):
     df2 = spark.createDataFrame([(g,) for g in got], "url string")
     again = [r["c"] for r in df2.select(url_normalize_expr("url").alias("c")).collect()]
     assert again == got
+
+
+def test_corpus_pipeline_dedup_url(spark):
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    rows = [
+        (1, "a text", "https://a.com/x?utm_source=f"),
+        (2, "b text", "HTTPS://WWW.A.com/x/"),
+        (3, "c text", "https://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    out = CorpusPipeline(df).dedup_url()
+    assert {r.doc_id for r in out.df.collect()} == {1, 3}
+    assert set(out.df.columns) == {"doc_id", "text", "url"}
+    # corpora without a url column pass through untouched
+    no_url = CorpusPipeline(df.drop("url")).dedup_url()
+    assert no_url.df.count() == 3
