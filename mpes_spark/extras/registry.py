@@ -46,6 +46,15 @@ def _q(name: str, sql: str | None):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: the local corpus is one row group -> a 1-task scan. A
+    # repartition() here was tried and measured a NET LOSS at sf0.1
+    # (A/B over 25 doc/emb queries: 59.2 s with vs 37.7 s without):
+    # the extra exchange hides the scan's small size from AQE, which
+    # then demotes downstream broadcast joins to shuffle joins
+    # (embed_neardup_banded 1.9 -> 8.1 s), and adds a codegen stage
+    # per query. At 100 TB the input is thousands of row groups wide
+    # and the question doesn't arise. See SCALING.md "Single-file
+    # scan parallelism".
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
