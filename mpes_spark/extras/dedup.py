@@ -745,6 +745,7 @@ def winnow_dup_stats(
     min_docs: int = 2,
     text: str = "text",
     id_col: str = "doc_id",
+    spread: int | None = None,
 ) -> DataFrame:
     """Cross-document repeated-substring scan — the exact-substring
     dedup concern of Lee et al. 2022 ("Deduplicating Training Data
@@ -762,7 +763,17 @@ def winnow_dup_stats(
     exchange is reused — and re-aggregate per doc. The fingerprint
     relation feeds both consumers, hence the persist. A viral
     boilerplate fp collapses to one (fp, count) row in the agg and
-    only fans out on the instance join, which AQE skew-splits."""
+    only fans out on the instance join, which AQE skew-splits.
+
+    ``spread``: optional pre-repartition width for the fingerprint
+    projection. The gram-hash + sliding-min work happens BEFORE the
+    first shuffle, so its parallelism is the SCAN's task count — on a
+    single-row-group local file that is ONE task (measured 9.0 s vs
+    6.1 s end-to-end at sf0.1 with spread=32). On a wide production
+    input leave it None: the scan is already parallel and the extra
+    exchange is pure cost."""
+    if spread:
+        df = df.repartition(spread)
     fps = winnow_fingerprints(df, k, w, text, id_col).persist()
     # fps is per-doc distinct (array_distinct), so the plain count IS
     # the distinct-doc count — no distinct-aggregate expand needed.

@@ -427,8 +427,15 @@ def repeated_substrings(spark, sf_dir):
     other docs. Any cross-doc span >= 23 chars is caught wherever it
     sits — no stride-alignment caveat — and doc-level MinHash misses
     these when surrounding text differs. Key-partitioned agg +
-    same-key join (exchange reuse), never all-pairs."""
-    return DD.winnow_dup_stats(_docs(spark, sf_dir), k=16, w=8)
+    same-key join (exchange reuse), never all-pairs. spread= widens
+    the pre-shuffle fingerprint projection past the local corpus's
+    1-task scan; on a wide production input it stays None."""
+    return DD.winnow_dup_stats(
+        _docs(spark, sf_dir),
+        k=16,
+        w=8,
+        spread=spark.sparkContext.defaultParallelism,
+    )
 
 
 # ===========================================================================
