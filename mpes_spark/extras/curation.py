@@ -199,6 +199,34 @@ def token_budget_sample(
     )
 
 
+def token_budget_sample_grouped(
+    df: DataFrame,
+    budgets: DataFrame,
+    group: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`token_budget_sample` with a per-group budget relation
+    ``(group, budget_tokens)`` instead of one scalar — the
+    materialization step of a computed mixture (e.g.
+    :func:`temperature_mix_weights`). The budget side is
+    ngroups-sized, so the join broadcasts; everything else is the
+    same per-group hash-ordered cumulative window."""
+    w = (
+        Window.partitionBy(group)
+        .orderBy(F.md5(F.col(text)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nt = F.size(F.split(F.col(text), " ")).cast("bigint")
+    return (
+        df.select(F.col(group), F.col(id_col), nt.alias("n_tokens"), F.col(text))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets.select(group, "budget_tokens")), group)
+        .filter(F.col("cum_tokens") <= F.col("budget_tokens"))
+        .select(group, id_col, "n_tokens", "cum_tokens")
+    )
+
+
 def token_budget_sample_sql(
     table: str,
     budget_tokens: int,
@@ -792,3 +820,78 @@ def url_dedup(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixing (Lample & Conneau 2019 §3.1:
+# multinomial sampling with q_i ∝ p_i^alpha rebalances low-resource
+# sources; alpha=1 is proportional, alpha->0 approaches uniform)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    token_budget: int = 1_000_000,
+    group: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Per-``group`` temperature-scaled sampling weights: with
+    ``p_g`` the group's share of corpus tokens, the sampling weight
+    is ``q_g = p_g^alpha / sum(p^alpha)`` and the group's slice of
+    ``token_budget`` is ``round(q_g * budget)``. The
+    temperature-mixing counterpart of the hard per-group caps in
+    :func:`token_budget_sample` — production mixes (multilingual
+    pretraining, domain reweighting) sample by these weights instead
+    of truncating.
+
+    Scale shape: ONE corpus aggregate to nsources rows; the window
+    computing the two totals runs over that nsources-row relation
+    (unpartitioned by construction — it is already reduced), so
+    nothing corpus-sized ever re-shuffles."""
+    from mpes_spark.extras.text import token_count_expr
+
+    per = df.groupBy(group).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count_expr(text)).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    q = F.pow(p, F.lit(alpha)) / F.sum(F.pow(p, F.lit(alpha))).over(w)
+    return per.select(
+        group,
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("p_tokens"),
+        F.round(q, 6).alias("weight"),
+        F.round(q * F.lit(float(token_budget))).cast("bigint").alias("budget_tokens"),
+    )
+
+
+def temperature_mix_weights_sql(
+    table: str,
+    alpha: float = 0.3,
+    token_budget: int = 1_000_000,
+    group: str = "source",
+) -> str:
+    """DuckDB twin of :func:`temperature_mix_weights`."""
+    from mpes_spark.extras.text import token_count_sql
+
+    return f"""
+WITH per AS (
+  SELECT {group}, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({token_count_sql('text')}) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY {group}
+),
+tot AS (
+  SELECT *, n_tokens / sum(n_tokens) OVER () AS p,
+         pow(n_tokens / sum(n_tokens) OVER (), {alpha!r}) AS pa
+  FROM per
+)
+SELECT {group}, n_docs, n_tokens,
+       round(p, 6) AS p_tokens,
+       round(pa / sum(pa) OVER (), 6) AS weight,
+       CAST(round(pa / sum(pa) OVER () * {float(token_budget)!r}) AS BIGINT)
+         AS budget_tokens
+FROM tot
+""".strip()

@@ -174,6 +174,52 @@ class CorpusPipeline:
         ).select(self.id_col)
         return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
 
+    def perplexity_filter(
+        self,
+        keep_buckets: int = 2,
+        nbuckets: int = 3,
+        by: str = "lang",
+        alpha: float = 0.5,
+    ) -> "CorpusPipeline":
+        """CC-Net bucket filter (Wenzek et al. 2020): keep docs in the
+        ``keep_buckets`` most-fluent of ``nbuckets`` per-``by``
+        perplexity buckets (head+middle by default, dropping the
+        tail)."""
+        from mpes_spark.extras import search as SR
+        from pyspark.sql import Window
+
+        per = SR.lm_perplexity_per_doc(
+            self.df, alpha, self.text, self.id_col, keep=(by,)
+        )
+        w = Window.partitionBy(by).orderBy(
+            F.round(F.col("ppl"), 6), F.col(self.id_col)
+        )
+        ids = (
+            per.withColumn("bucket", F.ntile(nbuckets).over(w))
+            .filter(F.col("bucket") <= keep_buckets)
+            .select(self.id_col)
+        )
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
+    def sample_by_temperature(
+        self,
+        token_budget: int,
+        alpha: float = 0.3,
+        group: str = "source",
+    ) -> "CorpusPipeline":
+        """Temperature-scaled mixing (q ∝ p^alpha): compute each
+        group's slice of ``token_budget`` from
+        :func:`curation.temperature_mix_weights`, then keep docs
+        within that per-group budget (hash order, like
+        :meth:`sample_budget`)."""
+        budgets = CU.temperature_mix_weights(
+            self.df, alpha, token_budget, group, self.text
+        ).select(group, "budget_tokens")
+        ids = CU.token_budget_sample_grouped(
+            self.df, budgets, group, self.text, self.id_col
+        ).select(self.id_col)
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
     def select_by_importance(
         self,
         target_pred: str = "lang = 'en'",

@@ -257,6 +257,45 @@ def lm_perplexity(spark, sf_dir):
     return SR.lm_perplexity_by_source(_docs(spark, sf_dir), ppl_threshold=30.0)
 
 
+@_q(
+    "perplexity_buckets",
+    SR.perplexity_buckets_sql("documents", nbuckets=3),
+)
+def perplexity_buckets(spark, sf_dir):
+    """CC-Net head/middle/tail split (Wenzek et al. 2020): per-lang
+    ntile(3) over bigram-LM perplexity, aggregated per (lang,
+    bucket). The bucket id is the curation signal CC-Net filters on;
+    exact ntile is the oracle-checkable rendering (production splits
+    on sampled thresholds — same semantics, no per-lang sort)."""
+    return SR.perplexity_buckets(_docs(spark, sf_dir), nbuckets=3)
+
+
+@_q(
+    "tfidf_topterms",
+    SR.tfidf_topk_sql("documents", k=3),
+)
+def tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF terms per doc (smoothed sklearn idf): keyword
+    extraction over the corpus. df falls out of the distinct
+    (doc, term) relation; N is one broadcast row; per-doc top-k is a
+    doc-partitioned row_number — no global sort."""
+    return SR.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+@_q(
+    "temperature_mix",
+    CU.temperature_mix_weights_sql("documents", alpha=0.3, token_budget=500_000),
+)
+def temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain sampling weights (q ∝ p^0.3, Lample
+    & Conneau 2019) with a 500k-token budget split — the soft-mixing
+    counterpart of token_budget_mix's hard caps. One corpus agg to
+    nsources rows; windows run over the reduced relation only."""
+    return CU.temperature_mix_weights(
+        _docs(spark, sf_dir), alpha=0.3, token_budget=500_000
+    )
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

@@ -140,23 +140,23 @@ ORDER BY bm25 DESC, {id_col} LIMIT {k}
 # ---------------------------------------------------------------------------
 
 
-def lm_perplexity_by_source(
+def lm_perplexity_per_doc(
     docs: DataFrame,
     alpha: float = 0.5,
-    ppl_threshold: float = 100.0,
     text: str = "text",
     id_col: str = "doc_id",
+    keep: Sequence[str] = ("source",),
 ) -> DataFrame:
-    """Per-source bigram-LM perplexity profile. Each doc's perplexity
-    is ``exp(-avg ln P(w2|w1))`` with add-``alpha`` smoothed
-    ``P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)``; output is
-    (source, n_docs, avg/min/max ppl, n_above threshold).
+    """Per-document bigram-LM perplexity ``exp(-avg ln P(w2|w1))``
+    with add-``alpha`` smoothed ``P(w2|w1) = (c(w1 w2) + alpha) /
+    (c(w1) + alpha * V)``. Returns (id, *keep, ppl) — the shared core
+    of the per-source profile and the CC-Net bucket split.
 
     The count tables are corpus-wide groupBys (train step); scoring
     joins each doc bigram to its counts — both joins equi-keyed on
     the n-gram, the count side orders of magnitude smaller than the
     event side so AQE broadcasts it. Docs with < 2 tokens have no
-    bigrams and are excluded (matching the SQL twin's inner joins).
+    bigrams and are excluded (matching the SQL twins' inner joins).
     """
     toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
@@ -165,14 +165,15 @@ def lm_perplexity_by_source(
     # transform lambda re-evaluates it per element (no CSE across a
     # lambda boundary). Guard size >= 2: Spark's sequence(0, -1)
     # counts DOWN, so a 1-token doc would fabricate bigrams.
+    keep = list(keep)
     two = (
         docs.select(
-            F.col(id_col), F.col("source"), F.split(F.col(text), " ").alias("ws")
+            F.col(id_col), *[F.col(c) for c in keep], F.split(F.col(text), " ").alias("ws")
         )
         .filter(F.size("ws") >= 2)
         .select(
             id_col,
-            "source",
+            *keep,
             F.explode(
                 F.expr(
                     "transform(sequence(0, size(ws) - 2), "
@@ -181,7 +182,7 @@ def lm_perplexity_by_source(
                 )
             ).alias("bg"),
         )
-        .select(id_col, "source", F.col("bg.w1").alias("w1"), F.col("bg.pair").alias("pair"))
+        .select(id_col, *keep, F.col("bg.w1").alias("w1"), F.col("bg.pair").alias("pair"))
     )
     bi = two.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
     # fold both count tables into one pair-keyed stats relation, so
@@ -192,13 +193,26 @@ def lm_perplexity_by_source(
     ll = F.log(
         (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("V"))
     )
-    per_doc = (
+    return (
         two.drop("w1")
         .join(stats, "pair")
         .crossJoin(F.broadcast(vocab))
-        .groupBy(id_col, "source")
+        .groupBy(id_col, *keep)
         .agg(F.exp(-F.avg(ll)).alias("ppl"))
     )
+
+
+def lm_perplexity_by_source(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    ppl_threshold: float = 100.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source bigram-LM perplexity profile (see
+    :func:`lm_perplexity_per_doc` for the LM itself): (source,
+    n_docs, avg/min/max ppl, n_above threshold)."""
+    per_doc = lm_perplexity_per_doc(docs, alpha, text, id_col, keep=("source",))
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("ppl"), 6).alias("avg_ppl"),
@@ -246,4 +260,172 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN round(ppl, 6) > {ppl_threshold!r} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_above
 FROM per_doc GROUP BY source
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# CC-Net perplexity buckets (Wenzek et al. 2020: per-language
+# head/middle/tail split by LM perplexity)
+# ---------------------------------------------------------------------------
+
+
+def _lm_per_doc_cte(
+    table: str, alpha: float, by: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB CTE chain producing per_doc(id, {by}, ppl) — the oracle
+    twin of :func:`lm_perplexity_per_doc`."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split(text, ' ')) AS w FROM {table}
+),
+uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+vocab AS (SELECT count(DISTINCT w) AS V FROM toks),
+two AS (
+  SELECT {id_col}, {by}, ws[i + 1] AS w1,
+         array_to_string(ws[i + 1: i + 2], ' ') AS pair
+  FROM (SELECT {id_col}, {by}, string_split(text, ' ') AS ws FROM {table}) s,
+       unnest(range(len(ws) - 1)) AS r(i)
+),
+bi AS (SELECT pair, count(*) AS c2 FROM two GROUP BY pair),
+per_doc AS (
+  SELECT t.{id_col}, t.{by},
+         exp(-avg(ln((bi.c2 + {alpha!r}) / (uni.c1 + {alpha!r} * vocab.V)))) AS ppl
+  FROM two t
+  JOIN bi ON bi.pair = t.pair
+  JOIN uni ON uni.w = t.w1
+  CROSS JOIN vocab
+  GROUP BY t.{id_col}, t.{by}
+)""".strip()
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    nbuckets: int = 3,
+    alpha: float = 0.5,
+    by: str = "lang",
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CC-Net-style perplexity bucketing (Wenzek et al. 2020 §4.3):
+    within each language, rank documents by LM perplexity and cut
+    into ``nbuckets`` equal-frequency buckets — bucket 1 is the
+    "head" (most fluent), bucket ``nbuckets`` the "tail". CC-Net
+    keeps head+middle for LM pretraining; the bucket id is the
+    curation signal. Output: ({by}, bucket, n_docs, avg/min/max ppl).
+
+    The rank is ``ntile`` over (round(ppl, 6), id) inside each
+    language partition — parallel across languages, deterministic
+    ties, identically expressible in the oracle dialect. At 100 TB
+    an exact per-language sort of all docs is the textbook quantile
+    problem; production splits on sampled ppl thresholds instead
+    (same downstream semantics, no global sort) — the exact split is
+    the oracle-checkable rendering."""
+    from pyspark.sql import Window
+
+    per = lm_perplexity_per_doc(docs, alpha, text, id_col, keep=(by,))
+    w = Window.partitionBy(by).orderBy(F.round(F.col("ppl"), 6), F.col(id_col))
+    return (
+        per.withColumn("bucket", F.ntile(nbuckets).over(w).cast("int"))
+        .groupBy(by, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+        )
+    )
+
+
+def perplexity_buckets_sql(
+    table: str,
+    nbuckets: int = 3,
+    alpha: float = 0.5,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`perplexity_buckets`."""
+    return f"""
+{_lm_per_doc_cte(table, alpha, by, id_col)}
+SELECT {by}, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ppl), 6) AS avg_ppl,
+       round(min(ppl), 6) AS min_ppl,
+       round(max(ppl), 6) AS max_ppl
+FROM (
+  SELECT {by}, ppl,
+         ntile({nbuckets}) OVER (PARTITION BY {by}
+                                 ORDER BY round(ppl, 6), {id_col}) AS bucket
+  FROM per_doc
+) b GROUP BY {by}, bucket
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (Sparck Jones 1972; sklearn-style smooth
+# idf = ln((1 + N) / (1 + df)) + 1)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF — the corpus-analysis /
+    keyword-extraction staple. tf is the in-doc term count, idf the
+    smoothed ``ln((1 + N) / (1 + df)) + 1``; ties rank by term text.
+
+    Scale shape: one explode -> (doc, term) count agg; df falls out
+    of the SAME relation (every (doc, term) row is distinct by
+    construction) as a second small agg; N reduces to one broadcast
+    row. The per-doc top-k is a row_number window partitioned by doc
+    — millions of independent partitions, no global sort. The only
+    full-corpus shuffles are the two term aggs."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("N"))
+    score = F.col("tf") * (
+        F.log((F.lit(1.0) + F.col("N")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(score, 6).desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"), "score", "rank")
+    )
+
+
+def tfidf_topk_sql(table: str, k: int = 3, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`tfidf_topk`."""
+    return f"""
+WITH tf AS (
+  SELECT {id_col}, unnest(string_split(text, ' ')) AS term FROM {table}
+),
+tfc AS (SELECT {id_col}, term, count(*) AS tf FROM tf GROUP BY {id_col}, term),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+n AS (SELECT count(*) AS N FROM {table}),
+scored AS (
+  SELECT t.{id_col}, t.term, t.tf,
+         round(t.tf * (ln((1.0 + n.N) / (1.0 + d.df)) + 1.0), 6) AS score
+  FROM tfc t JOIN dfc d ON d.term = t.term CROSS JOIN n
+)
+SELECT {id_col}, term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY {id_col}
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+) r WHERE rank <= {k}
 """.strip()

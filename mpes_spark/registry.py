@@ -1484,6 +1484,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round:
         "pq_ann_fullcodebook",
         "url_dedup",
+        "perplexity_buckets",
+        "tfidf_topterms",
+        "temperature_mix",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -932,3 +932,78 @@ def test_corpus_pipeline_dedup_url(spark):
     # corpora without a url column pass through untouched
     no_url = CorpusPipeline(df.drop("url")).dedup_url()
     assert no_url.df.count() == 3
+
+
+def test_perplexity_buckets_equal_split(spark):
+    """ntile buckets are balanced per language (sizes differ by at
+    most 1) and bucket 1 (head) has the lowest average perplexity."""
+    from mpes_spark.extras import search as SR
+
+    out = SR.perplexity_buckets(_docs(spark), nbuckets=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = [r.n_docs for r in rows]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        ordered = sorted(rows, key=lambda r: r.bucket)
+        assert ordered[0].avg_ppl <= ordered[-1].avg_ppl
+
+
+def test_temperature_mix_limits(spark):
+    """alpha=1 reproduces proportional token shares; alpha=0 is
+    uniform; weights always sum to ~1."""
+    from mpes_spark.extras import curation as CU
+
+    d = _docs(spark)
+    prop = CU.temperature_mix_weights(d, alpha=1.0).collect()
+    for r in prop:
+        assert abs(r.weight - r.p_tokens) < 2e-6
+    uni = CU.temperature_mix_weights(d, alpha=0.0).collect()
+    assert max(abs(r.weight - 1.0 / len(uni)) for r in uni) < 2e-6
+    assert abs(sum(r.weight for r in uni) - 1.0) < 1e-4
+
+
+def test_tfidf_topk_rank_semantics(spark):
+    """Exactly k rows per doc (for docs with >= k distinct terms),
+    ranks 1..k, scores non-increasing within a doc."""
+    from mpes_spark.extras import search as SR
+
+    out = SR.tfidf_topk(_docs(spark).limit(30), k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append(r)
+    for doc, rows in per.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) <= 3
+
+
+def test_corpus_pipeline_perplexity_and_temperature(spark):
+    """perplexity_filter drops the per-lang tail bucket;
+    sample_by_temperature respects each group's computed budget."""
+    from mpes_spark.extras import curation as CU
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    d = _docs(spark)
+    n0 = d.count()
+    kept = CorpusPipeline(d).perplexity_filter(keep_buckets=2, nbuckets=3).df
+    nk = kept.count()
+    # ~2/3 survive (docs with < 2 tokens never get a ppl and drop too)
+    assert 0 < nk < n0
+    assert nk <= 2 * n0 // 3 + d.select("lang").distinct().count()
+
+    p = CorpusPipeline(d).sample_by_temperature(token_budget=5_000, alpha=0.3)
+    budgets = {
+        r.source: r.budget_tokens
+        for r in CU.temperature_mix_weights(d, 0.3, 5_000).collect()
+    }
+    got = (
+        p.df.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("toks"))
+        .collect()
+    )
+    for r in got:
+        assert r.toks <= budgets[r.source], (r.source, r.toks, budgets[r.source])
