@@ -895,3 +895,79 @@ SELECT {group}, n_docs, n_tokens,
          AS budget_tokens
 FROM tot
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis & Spirakis 2006)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    group: str = "source",
+    weight: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-``group`` weighted sampling WITHOUT replacement: keep ``k``
+    docs per group with inclusion probability proportional to
+    ``weight`` (Efraimidis & Spirakis 2006, algorithm A-ES): each row
+    draws a key ``u^(1/w)`` for uniform ``u`` and the k largest keys
+    win — equivalently rank on ``ln(u)/w``, computed here so one
+    ``exp`` per row is saved and the magnitudes stay well-scaled.
+
+    ``u`` is derived from the row id via the md5-prefix integer
+    (engine-portable, seedless, uniform on [0, 2^60)) so both engines
+    reproduce the draw bit-for-bit — the same determinism device as
+    :func:`stratified_sample`, upgraded from uniform to
+    weight-proportional. Rows with non-positive weight are excluded
+    (they have zero mass; ln(u)/w would flip sign).
+
+    Scale shape: one narrow projection computes the key (pure column
+    math, no UDF, no shuffle), then ONE shuffle on ``group`` for the
+    per-group row_number window — millions of independent group
+    partitions, no global sort. This is the sampling primitive behind
+    quality-weighted corpus mixing: weight by a quality or domain
+    score and the sample tilts toward it without a resampling pass.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.round(F.log(u) / F.col(weight), 9)
+    w = Window.partitionBy(group).orderBy(F.col("skey").desc(), F.col(id_col))
+    return (
+        df.filter(F.col(weight) > 0)
+        .select(
+            F.col(group),
+            F.col(id_col),
+            F.col(weight).cast("bigint").alias("weight"),
+            key.alias("skey"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    k: int,
+    group: str = "source",
+    weight: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (identical md5-prefix
+    draw, identical A-ES key)."""
+    h = f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    key = f"round(ln(({h} + 0.5) / {float(1 << 60)!r}) / {weight}, 9)"
+    return f"""
+SELECT {group}, {id_col}, weight, skey, rank FROM (
+  SELECT {group}, {id_col},
+         CAST({weight} AS BIGINT) AS weight,
+         {key} AS skey,
+         CAST(row_number() OVER (
+             PARTITION BY {group}
+             ORDER BY {key} DESC, {id_col}) AS INTEGER) AS rank
+  FROM {table} WHERE {weight} > 0
+) r WHERE rank <= {k}
+""".strip()

@@ -296,6 +296,32 @@ def temperature_mix(spark, sf_dir):
     )
 
 
+@_q(
+    "pmi_collocations",
+    SR.pmi_topk_sql("documents", k=30, min_count=5),
+)
+def pmi_collocations(spark, sf_dir):
+    """Top-30 adjacent word pairs by PMI (Church & Hanks 1990) with a
+    min-count-5 floor: collocation / phrase mining. Bigrams are built
+    row-local as an array column (no positional self-join); both count
+    aggs are vocab-bounded; the unigram relation broadcasts back; the
+    top-k is an ordered limit, never a global sort."""
+    return SR.pmi_topk(_docs(spark, sf_dir), k=30, min_count=5)
+
+
+@_q(
+    "weighted_sample",
+    CU.weighted_sample_sql("documents", k=8),
+)
+def weighted_sample(spark, sf_dir):
+    """Per-source weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES, 8 docs/source, weight = n_chars): the primitive
+    behind quality-weighted corpus mixing. The draw is the portable
+    md5-prefix uniform, so the oracle replays it bit-for-bit; one
+    group-partitioned window, no global sort."""
+    return CU.weighted_sample(_docs(spark, sf_dir), k=8)
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

@@ -429,3 +429,110 @@ FROM (
   FROM scored
 ) r WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (Church & Hanks 1990)
+# ---------------------------------------------------------------------------
+
+
+def pmi_topk(
+    docs: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` adjacent word pairs by pointwise mutual information —
+    the collocation / phrase-mining staple (Church & Hanks 1990):
+    ``pmi(x, y) = ln( p(x, y) / (p(x) p(y)) )`` with ``p(x, y)`` over
+    the corpus bigram stream and ``p(x)`` over the token stream.
+    Pairs below ``min_count`` are dropped (PMI's low-frequency bias).
+
+    Scale shape: bigrams are built ROW-LOCAL as an array column
+    (:func:`~mpes_spark.extras.text.word_ngrams_expr` — no
+    per-position shuffle, no self-join on token offsets), then one
+    explode -> groupBy(bigram) count and one explode -> groupBy(word)
+    count, each a single map-side-combined shuffle bounded by vocab
+    size, not corpus size. The unigram relation joins back twice and
+    is vocab-bounded -> broadcast; the two grand totals reduce to
+    one-row broadcasts. The final top-k is an ordered limit
+    (TakeOrderedAndProject), never a global sort. Ties rank by
+    (pmi desc, w1, w2) for cross-engine determinism.
+    """
+    from mpes_spark.extras.text import word_ngrams_expr
+
+    bic = (
+        docs.select(F.explode(word_ngrams_expr(2, text)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    unic = (
+        docs.select(F.explode(F.split(F.col(text), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_bi = bic.agg(F.sum("c_xy").alias("t_bi"))
+    t_uni = unic.agg(F.sum("c").alias("t_uni"))
+    parts = F.split(F.col("bigram"), " ")
+    pmi = F.log(
+        (F.col("c_xy") / F.col("t_bi"))
+        / ((F.col("c1") / F.col("t_uni")) * (F.col("c2") / F.col("t_uni")))
+    )
+    return (
+        bic.filter(F.col("c_xy") >= min_count)
+        .withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(unic.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(unic.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(t_bi))
+        .crossJoin(F.broadcast(t_uni))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def pmi_topk_sql(
+    table: str,
+    k: int = 30,
+    min_count: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`pmi_topk` (row-local bigram list via
+    the same :func:`~mpes_spark.extras.text.word_ngrams_sql` shape)."""
+    from mpes_spark.extras.text import word_ngrams_sql
+
+    grams = word_ngrams_sql(2, text)
+    return f"""
+WITH bic AS (
+  SELECT bigram, count(*) AS c_xy
+  FROM (SELECT unnest({grams}) AS bigram FROM {table})
+  GROUP BY bigram
+),
+unic AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split({text}, ' ')) AS w FROM {table})
+  GROUP BY w
+),
+tb AS (SELECT sum(c_xy) AS t_bi FROM bic),
+tu AS (SELECT sum(c) AS t_uni FROM unic)
+SELECT string_split(b.bigram, ' ')[1] AS w1,
+       string_split(b.bigram, ' ')[2] AS w2,
+       CAST(b.c_xy AS BIGINT) AS c_xy,
+       round(ln((b.c_xy / tb.t_bi)
+                / ((u1.c / tu.t_uni) * (u2.c / tu.t_uni))), 6) AS pmi
+FROM bic b
+JOIN unic u1 ON u1.w = string_split(b.bigram, ' ')[1]
+JOIN unic u2 ON u2.w = string_split(b.bigram, ' ')[2]
+CROSS JOIN tb CROSS JOIN tu
+WHERE b.c_xy >= {min_count}
+ORDER BY pmi DESC, w1, w2
+LIMIT {k}
+""".strip()

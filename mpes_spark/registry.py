@@ -1487,6 +1487,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets",
         "tfidf_topterms",
         "temperature_mix",
+        "pmi_collocations",
+        "weighted_sample",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

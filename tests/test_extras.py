@@ -1007,3 +1007,55 @@ def test_corpus_pipeline_perplexity_and_temperature(spark):
     )
     for r in got:
         assert r.toks <= budgets[r.source], (r.source, r.toks, budgets[r.source])
+
+
+def test_weighted_sample_quota_and_tilt(spark):
+    """A-ES keeps exactly min(k, group size) rows per group, and the
+    inclusion probability tilts toward the heavy weights: with one doc
+    carrying ~1000x the mass of 50 light docs, the heavy doc must be
+    sampled (P(miss) < 1e-10 under A-ES)."""
+    from mpes_spark.extras import curation as CU
+
+    rows = [(0, "s", 100_000)] + [(i, "s", 100) for i in range(1, 51)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = CU.weighted_sample(d, k=5).toPandas()
+    assert len(out) == 5
+    assert 0 in set(out["doc_id"])
+    assert sorted(out["rank"]) == [1, 2, 3, 4, 5]
+    # zero/negative weights carry no mass and never appear
+    d2 = spark.createDataFrame(
+        [(1, "s", 0), (2, "s", -5), (3, "s", 10)],
+        "doc_id long, source string, n_chars long",
+    )
+    out2 = CU.weighted_sample(d2, k=5).toPandas()
+    assert set(out2["doc_id"]) == {3}
+
+
+def test_pmi_ranks_planted_collocation(spark):
+    """A pair that ALWAYS co-occurs ("neural network") outranks pairs
+    of independently-shuffled filler words, and the PMI value matches
+    the closed form ln(c_xy * t_uni^2 / (t_bi * c_x * c_y))."""
+    import math
+
+    from mpes_spark.extras import search as SR
+
+    filler = ["the", "a", "of", "data", "table", "row"]
+    rows = []
+    for i in range(40):
+        words = [filler[(i + j) % len(filler)] for j in range(6)]
+        words[i % 5] = "neural"
+        words.insert(i % 5 + 1, "network")
+        rows.append((i, " ".join(words)))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SR.pmi_topk(d, k=5, min_count=5).toPandas()
+    assert list(out.iloc[0][["w1", "w2"]]) == ["neural", "network"]
+    toks = [w for _, t in rows for w in t.split(" ")]
+    bigrams = [
+        (a, b) for _, t in rows for a, b in zip(t.split(" "), t.split(" ")[1:])
+    ]
+    c_xy = bigrams.count(("neural", "network"))
+    expect = math.log(
+        (c_xy / len(bigrams))
+        / ((toks.count("neural") / len(toks)) * (toks.count("network") / len(toks)))
+    )
+    assert abs(out.iloc[0]["pmi"] - round(expect, 6)) < 1e-6
