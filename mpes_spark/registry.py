@@ -576,6 +576,111 @@ def lens_mode_match(spark, sf_dir):
     )
 
 
+# -- ordered event-sequence analytics over the events table: funnel
+#    conversion and cohort retention — the behavioral twins of the
+#    reference's time-ordered event selection (getCountRate /
+#    timestamped lookups); both reduce to user_id-keyed agg->join
+#    chains, never a global sort ------------------------------------------
+
+_STEP_NS = 86_400_000_000_000  # 24 h per funnel step
+_WEEK_NS = 604_800_000_000_000
+
+_FUNNEL_SQL = (
+    "WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events "
+    "  WHERE event_type = 'view' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e "
+    f"  JOIN v ON v.user_id = e.user_id WHERE e.event_type = 'click' "
+    f"  AND epoch_ns(e.ts) > v.t1 AND epoch_ns(e.ts) <= v.t1 + {_STEP_NS} "
+    "  GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e "
+    f"  JOIN c ON c.user_id = e.user_id WHERE e.event_type = 'purchase' "
+    f"  AND epoch_ns(e.ts) > c.t2 AND epoch_ns(e.ts) <= c.t2 + {_STEP_NS} "
+    "  GROUP BY e.user_id) "
+    "SELECT * FROM ("
+    "SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS users FROM v "
+    "UNION ALL "
+    "SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c "
+    "UNION ALL "
+    "SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)"
+)
+
+
+@_q("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel with a 24 h window per
+    step: users counted at stage k completed step k within 24 h of
+    their step-(k-1) time. Each stage is a user_id-keyed min-aggregate
+    equi-joined to the previous stage — the whole funnel stays
+    co-partitioned on user_id (one shuffle key end-to-end, AQE
+    broadcasts the shrinking stage relations), with the step-order
+    inequality pruning inside each key group. No per-user sort, no
+    window over a global ordering."""
+    ev = t(spark, sf_dir, "events")
+
+    def stage(etype, prev, prev_t, tcol):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        return (
+            e.join(prev.select("user_id", prev_t), "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + F.lit(_STEP_NS))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = stage("view", None, None, "t1")
+    c = stage("click", v, "t1", "t2")
+    p = stage("purchase", c, "t2", "t3")
+    rows = [(v, 1, "view"), (c, 2, "click"), (p, 3, "purchase")]
+    out = None
+    for rel, k, name in rows:
+        one = rel.agg(
+            F.lit(k).alias("stage"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+_RETENTION_SQL = (
+    f"WITH act AS (SELECT DISTINCT user_id, "
+    f"epoch_ns(ts) // {_WEEK_NS} AS wk FROM events), "
+    "first AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id) "
+    "SELECT f.cohort_wk AS cohort_week, a.wk - f.cohort_wk AS week_offset, "
+    "CAST(count(*) AS BIGINT) AS n_users "
+    "FROM act a JOIN first f ON f.user_id = a.user_id "
+    "GROUP BY cohort_week, week_offset"
+)
+
+
+@_q("cohort_retention", _RETENTION_SQL)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = epoch-week of a user's first
+    activity; cell (cohort, offset) counts users from that cohort
+    active offset weeks later. The distinct (user, week) activity
+    relation is built once (one shuffle, map-side combined), the
+    per-user cohort falls out of the SAME relation, and the join back
+    is user_id-co-partitioned; the final cell agg is bounded by
+    cohorts x offsets, not events."""
+    ev = t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.expr(f"ts div {_WEEK_NS}").alias("wk")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 # -- anti join (set difference at data scale — the FileCollection
 #    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
 #    to relations): customers with no orders ------------------------------
@@ -1489,6 +1594,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix",
         "pmi_collocations",
         "weighted_sample",
+        "funnel_conversion",
+        "cohort_retention",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -120,3 +120,54 @@ def test_time_queries_are_timezone_independent(spark):
         utc = sorted(map(tuple, qs[name](spark, SF_SMALL).collect()))
         kol = sorted(map(tuple, qs[name](shifted, SF_SMALL).collect()))
         assert utc == kol, f"{name} shifts under a non-UTC session timezone"
+
+
+def test_funnel_window_excludes_late_steps(spark, tmp_path):
+    """The 24 h per-step window is enforced: a click 25 h after the
+    first view does not advance the funnel, a click 1 h after does,
+    and a purchase BEFORE its click never counts (order matters)."""
+    from mpes_spark.registry import all_queries
+
+    h = 3_600_000_000_000  # 1 h in ns
+    rows = [
+        # user 1: view -> click(+1h) -> purchase(+2h): completes
+        (1, 1 * h, 1, "view"), (2, 2 * h, 1, "click"), (3, 3 * h, 1, "purchase"),
+        # user 2: view -> click(+25h): click outside the window
+        (4, 1 * h, 2, "view"), (5, 26 * h, 2, "click"),
+        # user 3: purchase BEFORE click: purchase must not count
+        (6, 1 * h, 3, "view"), (7, 2 * h, 3, "click"), (8, 1 * h, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, k, 1.0, "{}") for e, ts, u, k in rows],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["step"]: r["users"]
+        for r in all_queries()["funnel_conversion"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    """Cohort cells: a user active in weeks {w, w+2} lands in offsets
+    0 and 2 of cohort w; a later-joining user forms its own cohort."""
+    from mpes_spark.registry import all_queries
+
+    wk = 604_800_000_000_000
+    rows = [
+        (1, 0 * wk + 5, 1), (2, 2 * wk + 5, 1),   # cohort 0, offsets {0, 2}
+        (3, 1 * wk + 5, 2), (4, 1 * wk + 9, 2),   # cohort 1, offset {0}
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, "view", 1.0, "{}") for e, ts, u in rows],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in all_queries()["cohort_retention"](spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
