@@ -164,6 +164,18 @@ class CorpusPipeline:
         ).select(self.id_col)
         return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
 
+    def sample_weighted(
+        self, k: int, group: str = "source", weight: str = "n_chars"
+    ) -> "CorpusPipeline":
+        """Keep ``k`` docs per group, inclusion probability
+        proportional to ``weight`` (Efraimidis–Spirakis A-ES without
+        replacement) — weight by a quality score and the sample tilts
+        toward it without a resampling pass."""
+        ids = CU.weighted_sample(self.df, k, group, weight, self.id_col).select(
+            self.id_col
+        )
+        return self._wrap(self.df.join(ids, self.id_col, "left_semi"))
+
     def sample_budget(
         self, budget_tokens: int, group: str = "source"
     ) -> "CorpusPipeline":

@@ -1059,3 +1059,17 @@ def test_pmi_ranks_planted_collocation(spark):
         / ((toks.count("neural") / len(toks)) * (toks.count("network") / len(toks)))
     )
     assert abs(out.iloc[0]["pmi"] - round(expect, 6)) < 1e-6
+
+
+def test_corpus_pipeline_sample_weighted(spark):
+    """The facade's weighted step is a semi-join of exactly the ids
+    the underlying A-ES sampler picks, and respects the per-group k."""
+    from mpes_spark.extras import curation as CU
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    d = _docs(spark)
+    p = CorpusPipeline(d).sample_weighted(k=4)
+    ids_direct = {r.doc_id for r in CU.weighted_sample(d, 4).collect()}
+    assert {r.doc_id for r in p.df.select("doc_id").collect()} == ids_direct
+    per = p.df.groupBy("source").count().toPandas()
+    assert (per["count"] <= 4).all()

@@ -322,3 +322,31 @@ def test_pq_fullcodebook_broadcasts_query_side(spark):
     # exactly one pass over the embeddings relation feeds the encode;
     # the second scan is the query side (pre-broadcast), never a third
     assert plan.count("Scan parquet") <= 2
+
+
+def test_funnel_no_cartesian_and_single_join_key(spark):
+    """The funnel chain joins only on user_id equality — no
+    CartesianProduct / BroadcastNestedLoopJoin ever appears (the
+    step-window inequality stays a post-join filter inside each key
+    group), and no Python evaluation is involved."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["funnel_conversion"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cohort_retention_activity_computed_once(spark):
+    """The distinct (user, week) activity relation feeds both the
+    cohort derivation and the join back; the plan reuses one exchange
+    on user_id rather than re-scanning events per consumer."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["cohort_retention"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # events is scanned at most twice (activity + reused branch), and
+    # the distinct/agg pipeline is hash-based, never a global sort
+    assert plan.count("Scan parquet") <= 2
+    assert "EvalPython" not in plan
