@@ -134,6 +134,8 @@ def read_table(
         df = reader.json(source)
     elif ftype == "csv":
         df = reader.option("header", "true").option("inferSchema", "true").csv(source)
+    elif ftype == "orc":
+        df = reader.orc(*([source] if isinstance(source, str) else source))
     else:
         raise NotImplementedError(f"file type {ftype!r}")
     if with_file:

@@ -49,6 +49,8 @@ def write_table(
         w.json(path)
     elif form == "csv":
         w.option("header", "true").csv(path)
+    elif form == "orc":
+        w.orc(path)
     else:
         raise NotImplementedError(f"sink format {form!r}")
 

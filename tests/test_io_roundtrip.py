@@ -1,4 +1,4 @@
-"""Sink round-trip tests: event tables (parquet/json/csv), table
+"""Sink round-trip tests: event tables (parquet/json/csv/orc), table
 splitting, binned-histogram archives, calibration-parameter dicts."""
 
 from __future__ import annotations
@@ -18,18 +18,19 @@ from mpes_spark.io.writers import (
     split_table,
     write_table,
 )
+from mpes_spark.io.readers import read_table
 from mpes_spark.registry import t
 from tests.conftest import SF_SMALL
 
 
-@pytest.mark.parametrize("form", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("form", ["parquet", "json", "csv", "orc"])
 def test_event_table_roundtrip(spark, tmp_path, form):
     ev = t(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
     out = str(tmp_path / f"ev_{form}")
     write_table(ev, out, form=form)
     back = (
-        spark.read.parquet(out)
-        if form == "parquet"
+        read_table(spark, out, ftype=form)
+        if form in ("parquet", "orc")
         else spark.read.option("header", "true").option("inferSchema", "true").format(form).load(out)
     )
     assert back.count() == ev.count()
