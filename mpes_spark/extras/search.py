@@ -441,7 +441,6 @@ def pmi_topk(
     k: int = 30,
     min_count: int = 5,
     text: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-``k`` adjacent word pairs by pointwise mutual information —
     the collocation / phrase-mining staple (Church & Hanks 1990):
@@ -503,7 +502,6 @@ def pmi_topk_sql(
     k: int = 30,
     min_count: int = 5,
     text: str = "text",
-    id_col: str = "doc_id",
 ) -> str:
     """DuckDB twin of :func:`pmi_topk` (row-local bigram list via
     the same :func:`~mpes_spark.extras.text.word_ngrams_sql` shape)."""

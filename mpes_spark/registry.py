@@ -665,7 +665,12 @@ def cohort_retention(spark, sf_dir):
     relation is built once (one shuffle, map-side combined), the
     per-user cohort falls out of the SAME relation, and the join back
     is user_id-co-partitioned; the final cell agg is bounded by
-    cohorts x offsets, not events."""
+    cohorts x offsets, not events.
+
+    Week bucketing uses Spark ``div`` / DuckDB ``//`` — BOTH truncate
+    toward zero, so parity holds for any ts sign; an operator needing
+    true floor semantics across the epoch uses
+    ``transforms.rollup._floor_div`` instead."""
     ev = t(spark, sf_dir, "events")
     act = ev.select(
         "user_id", F.expr(f"ts div {_WEEK_NS}").alias("wk")
