@@ -297,6 +297,20 @@ def temperature_mix(spark, sf_dir):
 
 
 @_q(
+    "hybrid_search_rrf",
+    SR.hybrid_rrf_sql("documents", "embeddings", k=10, depth=20),
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval: BM25 top-20 and embedding-
+    cosine top-20 (query = vec 0) fused by reciprocal rank fusion
+    (1/(60+rank), Cormack et al. 2009). Each arm keeps its own scaled
+    plan; the fusion join runs over depth-bounded relations only."""
+    return SR.hybrid_rrf(
+        _docs(spark, sf_dir), _embs(spark, sf_dir), k=10, depth=20
+    )
+
+
+@_q(
     "pmi_collocations",
     SR.pmi_topk_sql("documents", k=30, min_count=5),
 )

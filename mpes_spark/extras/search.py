@@ -534,3 +534,105 @@ WHERE b.c_xy >= {min_count}
 ORDER BY pmi DESC, w1, w2
 LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion (Cormack et al. 2009)
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embs: DataFrame,
+    terms: Sequence[str] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval: fuse the BM25 top-``depth``
+    list and the embedding-cosine top-``depth`` list with reciprocal
+    rank fusion, ``rrf = sum over lists of 1 / (rrf_k + rank)``
+    (Cormack et al. 2009; ``rrf_k = 60`` per the paper). A doc absent
+    from one list contributes 0 from it — the standard outer-union
+    semantics.
+
+    Scale shape: each arm is its own already-scaled plan (pivoted
+    single-scan BM25; broadcast-query brute cosine — swap in the
+    IVF/PQ path for billion-vector corpora). The fusion then operates
+    on two DEPTH-bounded relations (depth ~ 10^2), so the rank
+    windows and the full-outer join are constant-size tails — the
+    single-partition window here is bounded by ``depth``, never by
+    the corpus."""
+    from pyspark.sql import Window
+
+    from mpes_spark.extras.similarity import topk_cosine
+
+    b = bm25_topk(docs, terms, k=depth, id_col=id_col)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col(id_col))
+    b = b.select(
+        F.col(id_col), F.row_number().over(wb).cast("bigint").alias("rank_b")
+    )
+    c = topk_cosine(
+        embs, embs.filter(F.col(vec_id_col) == query_vec_id), k=depth,
+        id_col=vec_id_col,
+    ).select(F.col("neighbor_id").alias(id_col), F.col("rank").alias("rank_c"))
+    fused = (
+        b.join(c, id_col, "full_outer")
+        .select(
+            id_col,
+            "rank_b",
+            "rank_c",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_b")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_c")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )
+    return fused
+
+
+def hybrid_rrf_sql(
+    doc_table: str,
+    emb_table: str,
+    terms: Sequence[str] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    k: int = 10,
+    depth: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf` — composes the two arm
+    oracles (:func:`bm25_topk_sql`,
+    :func:`~mpes_spark.extras.similarity.topk_cosine_sql`) and fuses
+    identically."""
+    from mpes_spark.extras.similarity import topk_cosine_sql
+
+    bm = bm25_topk_sql(doc_table, terms, k=depth, id_col=id_col)
+    cos = topk_cosine_sql(
+        emb_table, f"{vec_id_col} = {query_vec_id}", k=depth, id_col=vec_id_col
+    )
+    return f"""
+WITH b AS (
+  SELECT {id_col},
+         CAST(row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS BIGINT) AS rank_b
+  FROM ({bm})
+),
+c AS (
+  SELECT neighbor_id AS {id_col}, rank AS rank_c FROM ({cos})
+)
+SELECT COALESCE(b.{id_col}, c.{id_col}) AS {id_col}, b.rank_b, c.rank_c,
+       round(COALESCE(1.0 / ({rrf_k} + b.rank_b), 0.0)
+             + COALESCE(1.0 / ({rrf_k} + c.rank_c), 0.0), 6) AS rrf
+FROM b FULL OUTER JOIN c ON c.{id_col} = b.{id_col}
+ORDER BY rrf DESC, COALESCE(b.{id_col}, c.{id_col})
+LIMIT {k}
+""".strip()

@@ -1601,6 +1601,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample",
         "funnel_conversion",
         "cohort_retention",
+        "hybrid_search_rrf",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

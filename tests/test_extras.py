@@ -1073,3 +1073,32 @@ def test_corpus_pipeline_sample_weighted(spark):
     assert {r.doc_id for r in p.df.select("doc_id").collect()} == ids_direct
     per = p.df.groupBy("source").count().toPandas()
     assert (per["count"] <= 4).all()
+
+
+def test_hybrid_rrf_composes_both_arms(spark):
+    """RRF output equals the hand-fused combination of the two arm
+    operators run directly: 1/(60+rank_bm25) + 1/(60+rank_cos), docs
+    missing from one list contributing zero from it."""
+    from mpes_spark.extras import search as SR
+    from mpes_spark.extras import similarity as SIM
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    depth = 15
+    b = SR.bm25_topk(docs, k=depth).toPandas()
+    b = b.sort_values(["bm25", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    rank_b = {r.doc_id: i + 1 for i, r in b.iterrows()}
+    c = SIM.topk_cosine(embs, embs.filter("vec_id = 0"), k=depth).toPandas()
+    rank_c = dict(zip(c["neighbor_id"], c["rank"]))
+    want = {
+        d: round(
+            (1.0 / (60 + rank_b[d]) if d in rank_b else 0.0)
+            + (1.0 / (60 + rank_c[d]) if d in rank_c else 0.0),
+            6,
+        )
+        for d in set(rank_b) | set(rank_c)
+    }
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    got = SR.hybrid_rrf(docs, embs, k=8, depth=depth).toPandas()
+    assert [(r.doc_id, r.rrf) for r in got.itertuples()] == top
