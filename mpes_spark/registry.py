@@ -686,6 +686,90 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+_TRANSITIONS_SQL = (
+    "SELECT event_type AS from_type, next_type AS to_type, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM ("
+    "  SELECT event_type, lead(event_type) OVER ("
+    "    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_type "
+    "  FROM events) t WHERE next_type IS NOT NULL "
+    "GROUP BY from_type, to_type"
+)
+
+
+@_q("event_transitions", _TRANSITIONS_SQL)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition counts between consecutive
+    event types per user (path analysis): one shuffle on user_id, a
+    per-user sorted lead() — per-partition state is one row — and a
+    final agg bounded by |types|^2, not events. Ties at equal ts
+    break on event_id for cross-engine determinism."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+_RFM_SQL = (
+    "WITH per_user AS ("
+    "  SELECT user_id, max(epoch_ns(ts)) AS recency, "
+    "         CAST(count(*) AS BIGINT) AS frequency, "
+    "         round(sum(CASE WHEN event_type = 'purchase' THEN value "
+    "                        ELSE 0 END), 2) AS monetary "
+    "  FROM events GROUP BY user_id) "
+    "SELECT user_id, recency, frequency, monetary, "
+    "  CAST(ntile(4) OVER (ORDER BY recency, user_id) AS INTEGER) AS r_q, "
+    "  CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f_q, "
+    "  CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS INTEGER) AS m_q "
+    "FROM per_user"
+)
+
+
+@_q("rfm_segments", _RFM_SQL)
+def rfm_segments(spark, sf_dir):
+    """RFM user segmentation: per-user recency (last activity),
+    frequency (event count), monetary (purchase value sum, rounded
+    before ranking so both engines order identical doubles), each cut
+    into exact quartiles. The event scan reduces to ONE user-bounded
+    relation first; the ntile windows then sort users, not events —
+    the perplexity_buckets trade (exact ntile as the oracle-checkable
+    rendering; production cuts on sampled thresholds, same
+    semantics, no global sort). Ties break on user_id."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("monetary"),
+    )
+    return per_user.select(
+        "user_id",
+        "recency",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency", "user_id")).cast("int").alias("r_q"),
+        F.ntile(4).over(W.orderBy("frequency", "user_id")).cast("int").alias("f_q"),
+        F.ntile(4).over(W.orderBy("monetary", "user_id")).cast("int").alias("m_q"),
+    )
+
+
 # -- anti join (set difference at data scale — the FileCollection
 #    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
 #    to relations): customers with no orders ------------------------------
@@ -1602,6 +1686,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion",
         "cohort_retention",
         "hybrid_search_rrf",
+        "event_transitions",
+        "rfm_segments",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -171,3 +171,53 @@ def test_cohort_retention_offsets(spark, tmp_path):
         for r in all_queries()["cohort_retention"](spark, str(tmp_path)).collect()
     }
     assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_event_transitions_counts_planted_path(spark, tmp_path):
+    """view->click->purchase for one user yields exactly the two
+    transitions in order; a second user's single event yields none;
+    equal-ts events order by event_id."""
+    from mpes_spark.registry import all_queries
+
+    rows = [
+        (1, 100, 1, "view"), (2, 200, 1, "click"), (3, 300, 1, "purchase"),
+        (4, 100, 2, "view"),
+        (5, 500, 3, "view"), (6, 500, 3, "click"),  # tie -> event_id order
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, k, 1.0, "{}") for e, ts, u, k in rows],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.from_type, r.to_type): r.cnt
+        for r in all_queries()["event_transitions"](spark, str(tmp_path)).collect()
+    }
+    assert got == {("view", "click"): 2, ("click", "purchase"): 1}
+
+
+def test_rfm_quartiles_order_users(spark, tmp_path):
+    """With 4 users of strictly increasing frequency, f_q is exactly
+    their frequency order; monetary counts only purchase values."""
+    from mpes_spark.registry import all_queries
+
+    rows = []
+    eid = 0
+    for u in range(1, 5):
+        for j in range(u):  # user u has u events
+            eid += 1
+            rows.append((eid, 100 * eid, u, "purchase", float(10 * u), "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.user_id: r
+        for r in all_queries()["rfm_segments"](spark, str(tmp_path)).collect()
+    }
+    assert [out[u].f_q for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert out[3].monetary == 90.0  # 3 purchases x 30
+    assert out[4].r_q == 4  # latest activity
