@@ -770,6 +770,112 @@ def rfm_segments(spark, sf_dir):
     )
 
 
+# -- classic decision-support shapes on the star schema: the Q1-like
+#    pricing summary (one-pass grouped agg over the fact table) and
+#    the Q3-like shipping priority (dim-filter -> broadcast ->
+#    co-keyed fact join -> grouped top-k) -------------------------------
+
+_PRICING_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) "
+    "  AS sum_charge, "
+    # deterministic avg: divide the ROUNDED sum (cf. rollup.py) so
+    # both engines divide identical doubles
+    "round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty, "
+    "round(round(sum(l_extendedprice), 2) / count(*), 6) AS avg_price, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@_q("pricing_summary", _PRICING_SQL)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: ONE scan of the fact table
+    with the ship-date predicate pushed to parquet, a grouped agg
+    whose output is bounded by |returnflag| x |linestatus| (6 rows at
+    any scale), partial/final combine doing all the reduction
+    map-side. The canonical sum/avg battery of a columnar engine."""
+    li = t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast(dict(li.dtypes)["l_shipdate"])
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(
+                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+_SHIPPING_SQL = (
+    "SELECT l.l_orderkey, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+    "o.o_orderpriority "
+    "FROM customer c "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l.l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l.l_orderkey, o.o_orderpriority "
+    "ORDER BY revenue DESC, l.l_orderkey LIMIT 10"
+)
+
+
+@_q("shipping_priority", _SHIPPING_SQL)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: the filtered customer dim
+    broadcasts into orders (AQE sees the segment filter shrink it),
+    the orders->lineitem join is the one real shuffle (both sides
+    keyed on orderkey), the group agg is bounded by qualifying
+    orders, and the top-10 is TakeOrderedAndProject — no global
+    sort. Both date predicates push to the parquet scans."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = t(spark, sf_dir, "orders")
+    o = o.filter(
+        F.col("o_orderdate")
+        < F.lit("1998-01-01").cast(dict(o.dtypes)["o_orderdate"])
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        F.col("l_shipdate")
+        > F.lit("1998-01-01").cast(dict(li.dtypes)["l_shipdate"])
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 # -- anti join (set difference at data scale — the FileCollection
 #    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
 #    to relations): customers with no orders ------------------------------
@@ -1688,6 +1794,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf",
         "event_transitions",
         "rfm_segments",
+        "pricing_summary",
+        "shipping_priority",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

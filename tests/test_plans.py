@@ -350,3 +350,28 @@ def test_cohort_retention_activity_computed_once(spark):
     # the distinct/agg pipeline is hash-based, never a global sort
     assert plan.count("Scan parquet") <= 2
     assert "EvalPython" not in plan
+
+
+def test_pricing_summary_pushes_date_filter(spark):
+    """Q1 shape: the ship-date predicate reaches the parquet scan
+    (PushedFilters), the scan reads only the 7 referenced columns,
+    and reduction happens in a partial+final hash agg pair."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["pricing_summary"](spark, SF_SMALL))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_shipping_priority_broadcasts_dim_no_cartesian(spark):
+    """Q3 shape: the filtered customer dim rides a broadcast, both
+    date predicates push to their scans, the top-10 is
+    TakeOrderedAndProject — never a global sort of the aggregate."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["shipping_priority"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
