@@ -770,6 +770,50 @@ def rfm_segments(spark, sf_dir):
     )
 
 
+_TWAP_SQL = (
+    "WITH iv AS ("
+    "  SELECT user_id, value, "
+    "    (lead(epoch_ns(ts)) OVER (PARTITION BY user_id "
+    "       ORDER BY epoch_ns(ts), event_id) - epoch_ns(ts)) / 1e9 AS dt_s "
+    "  FROM events) "
+    "SELECT user_id, "
+    "  round(round(sum(value * dt_s), 2) / round(sum(dt_s), 2), 6) AS twap, "
+    "  CAST(count(*) AS BIGINT) AS n_intervals "
+    "FROM iv WHERE dt_s IS NOT NULL AND dt_s > 0 "
+    "GROUP BY user_id"
+)
+
+
+@_q("time_weighted_avg", _TWAP_SQL)
+def time_weighted_avg(spark, sf_dir):
+    """Per-user TIME-weighted average of ``value`` (each observation
+    weighted by how long it was the latest one — the TWAP/telemetry
+    semantics a plain avg gets wrong under irregular sampling): one
+    shuffle on user_id, a sorted lead() for the holding interval,
+    then a bounded per-user agg. Both engines divide identical
+    pre-rounded sums (the rollup.py determinism rule); zero-length
+    intervals (duplicate timestamps) carry zero weight and are
+    excluded on both sides identically."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_s = (F.lead("ts").over(w) - F.col("ts")) / F.lit(1e9)
+    iv = ev.select("user_id", "value", "ts", "event_id").withColumn("dt_s", dt_s)
+    return (
+        iv.filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("value") * F.col("dt_s")), 2)
+                / F.round(F.sum("dt_s"), 2),
+                6,
+            ).alias("twap"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+    )
+
+
 # -- classic decision-support shapes on the star schema: the Q1-like
 #    pricing summary (one-pass grouped agg over the fact table) and
 #    the Q3-like shipping priority (dim-filter -> broadcast ->
@@ -1796,6 +1840,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments",
         "pricing_summary",
         "shipping_priority",
+        "time_weighted_avg",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -221,3 +221,26 @@ def test_rfm_quartiles_order_users(spark, tmp_path):
     assert [out[u].f_q for u in (1, 2, 3, 4)] == [1, 2, 3, 4]
     assert out[3].monetary == 90.0  # 3 purchases x 30
     assert out[4].r_q == 4  # latest activity
+
+
+def test_twap_weights_by_holding_time(spark, tmp_path):
+    """value 10 held for 9 s then value 100 held for 1 s -> TWAP 19
+    (a plain avg would say 55); the final observation has no interval
+    and carries no weight."""
+    from mpes_spark.registry import all_queries
+
+    s = 1_000_000_000
+    rows = [
+        (1, 0 * s, 1, "view", 10.0),
+        (2, 9 * s, 1, "view", 100.0),
+        (3, 10 * s, 1, "view", 999.0),  # last point: weightless
+    ]
+    df = spark.createDataFrame(
+        [(e, ts, u, k, v, "{}") for e, ts, u, k, v in rows],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = all_queries()["time_weighted_avg"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0]["twap"] == 19.0 and out[0]["n_intervals"] == 2
