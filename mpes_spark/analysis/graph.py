@@ -1,0 +1,155 @@
+"""Iterative graph analytics on edge DataFrames.
+
+The reference pipeline has no graph surface; this module exists for
+the training-data side of the house, where link/citation/similarity
+graphs drive corpus weighting (e.g. quality propagation over a link
+graph, the OPIC/Common-Crawl shape). The one primitive everything
+reduces to is power iteration over a sparse edge relation —
+implemented here as fixed-iteration PageRank, the same join+groupBy
+step the distributed connected-components resolver
+(:func:`mpes_spark.extras.dedup.connected_components`) already uses,
+but with a dense rank vector instead of min-label propagation.
+
+Scale shape (100 TB of edges):
+- the edge relation is hash-partitioned on ``src`` ONCE (pass
+  ``partitions=``) and persisted; every iteration's rank join then
+  co-locates with it and the only per-iteration shuffle is the
+  ``groupBy(dst)`` contribution sum (map-side combined).
+- the rank relation stays node-sized, never edge-sized; the dangling
+  mass is a ONE-row aggregate cross-joined back in (no driver
+  action, no collect).
+- iterations unroll into one lazy plan; past ~8 iterations the
+  lineage itself becomes the cost, so production callers should
+  ``localCheckpoint()`` every few rounds (``checkpoint_every``).
+
+Fixed iteration count (rather than convergence testing) keeps the
+whole computation a deterministic, oracle-replayable plan: the DuckDB
+twin (:func:`pagerank_sql`) textually unrolls the same k steps as
+chained CTEs. Cross-engine float drift is only the per-group summation
+order (~1e-16 relative); ranks are compared normalized (mean 1.0) and
+rounded to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    partitions: int | None = None,
+    checkpoint_every: int | None = None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list.
+
+    Returns ``(node, rank)`` with ranks summing to 1, or — with
+    ``normalize=True`` — ``(node, rank_norm)`` where ranks are scaled
+    by the node count (mean exactly 1.0, the scale at which a
+    6-decimal round is meaningful regardless of graph size).
+
+    Dangling nodes (no out-edges) redistribute their mass uniformly,
+    the standard correction, via a 1-row aggregate — never a driver
+    round-trip.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if partitions:
+        e = e.repartition(partitions, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    one_minus_d = 1.0 - damping
+
+    rank = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for i in range(iters):
+        rd = rank.join(deg, "node", "left")
+        contrib = (
+            e.join(
+                rd.filter(F.col("outdeg").isNotNull()),
+                e.src == rd.node,
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
+        )
+        dang = rd.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    F.lit(one_minus_d) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("r"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            rank = rank.localCheckpoint(eager=False)
+    if normalize:
+        return rank.crossJoin(F.broadcast(n1)).select(
+            "node", (F.col("r") * F.col("n")).alias("rank_norm")
+        )
+    return rank.select("node", F.col("r").alias("rank"))
+
+
+def pagerank_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -> str:
+    """DuckDB oracle twin: the SAME k power-iteration steps as
+    :func:`pagerank` (normalized output), textually unrolled into
+    chained CTEs — no recursive CTE, because the recursive term may
+    not aggregate over its own reference. Arithmetic is written in
+    the exact expression shape the Spark side evaluates, with the
+    Python-precomputed ``1 - damping`` literal inlined, so the only
+    cross-engine drift is per-group float summation order."""
+    one_minus_d = 1.0 - damping
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(p.r / deg.outdeg) AS c"
+            f" FROM e JOIN {p} p ON e.src = p.node"
+            f" JOIN deg ON deg.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM {p} p"
+            f" LEFT JOIN deg ON deg.node = p.node WHERE deg.outdeg IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" {one_minus_d!r} / nn.n + {damping!r} *"
+            f" (coalesce(c{i}.c, 0.0) + d{i}.dm / nn.n) AS r"
+            f" FROM nodes CROSS JOIN nn CROSS JOIN d{i}"
+            f" LEFT JOIN c{i} ON c{i}.node = nodes.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_norm"
+        f" FROM r{iters}"
+    )

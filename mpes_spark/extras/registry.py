@@ -22,6 +22,7 @@ from mpes_spark.extras import curation as CU
 from mpes_spark.extras import dedup as DD
 from mpes_spark.extras import multimodal as MM
 from mpes_spark.extras import search as SR
+from mpes_spark.extras import sketches as SK
 from mpes_spark.extras import similarity as SIM
 from mpes_spark.extras import text as TX
 from mpes_spark.extras import tokenizer as TK
@@ -976,6 +977,41 @@ def multimodal_meta(spark, sf_dir):
     """Metadata-only rollup of the multimodal asset table (payload
     column untouched — pruned from the scan)."""
     return MM.modality_stats(MM.assets_from_documents(_docs(spark, sf_dir)))
+
+
+# ===========================================================================
+# portable sketches (extras/sketches.py) — HLL + count-min with every
+# stage (registers, integer-domain harmonic sum, cells, min-over-rows)
+# under the hash-match gate, the minhash_lsh_oracle treatment
+# ===========================================================================
+
+@_q("hll_estimate_oracle", SK.hll_estimate_sql("events", "user_id", "duckdb"))
+def hll_estimate_oracle(spark, sf_dir):
+    """HyperLogLog distinct-user estimate with the registers, the
+    EXACT integer harmonic sum (sum of 2^(53-rho) as BIGINT — order-
+    independent, unlike a float sum), the bias constant, and the
+    linear-counting branch all oracle-replayed. The production
+    distinct-count path stays Spark's own HLL++
+    (`hll_distinct_users`, rows-only by design)."""
+    return spark.sql(
+        SK.hll_estimate_sql(_pq(sf_dir, "events"), "user_id", "spark")
+    )
+
+
+@_q(
+    "cms_topk_estimate",
+    SK.cms_topk_estimate_sql("documents", "duckdb", width=32),
+)
+def cms_topk_estimate(spark, sf_dir):
+    """Count-min sketch (4 x 32 cells — width chosen so the synthetic
+    vocab actually collides and the one-sided error is visible) over
+    the token stream, read back for the top-50 tokens next to exact
+    counts: cms_est >= exact_cnt always, equality when no collision.
+    Build is one scan combined map-side into bounded cells; the probe
+    side is topk*depth rows."""
+    return spark.sql(
+        SK.cms_topk_estimate_sql(_pq(sf_dir, "documents"), "spark", width=32)
+    )
 
 
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,151 @@
+"""Distinct-count and frequency sketches under the oracle gate.
+
+Production Spark already ships sketch aggregates (`approx_count_distinct`
+is a HyperLogLog++, exercised by the rows-only `hll_distinct_users`
+query), but their register layouts are engine-private, so nothing a
+DuckDB oracle can replay. This module implements the two classic
+sketches — HyperLogLog [Flajolet 2007] and count-min [Cormode &
+Muthukrishnan 2005] — on the portable md5-prefix hash family
+(:func:`mpes_spark.extras.dedup._md5_hash_sql`), with every stage
+(bucketing, rho/register max, integer-domain harmonic sum, CMS cell
+counts, min-over-rows estimate) expressible identically in Spark SQL
+and DuckDB, so the FULL sketch pipeline sits under the driver's
+hash-match gate the same way `minhash_lsh_oracle` does for MinHash.
+
+Cross-engine float determinism: the HLL harmonic mean is accumulated
+in the INTEGER domain — sum(2^(53 - rho)) as BIGINT is exact and
+order-independent, unlike a float sum of 2^-rho — and only divided
+once at the end; the sole libm call (ln, linear-counting branch) is
+rounded to 6 decimals. CMS is integer-only throughout.
+
+Scale shapes (100 TB):
+- HLL: one scan, map-side partial max per (bucket), final state is m
+  rows (m = 256 here, 2^p in general) — the shuffle carries registers,
+  never values. This is exactly the partial/final agg Spark's own
+  `approx_count_distinct` runs; the point of this variant is oracle
+  replayability, not speed.
+- CMS: one scan + map-side combine into depth*width bounded cells
+  (4 * 1024 here); the estimate side joins a top-k-sized probe relation
+  (broadcast) against the bounded sketch. The long tail of tokens never
+  shuffles individually — only their hashed cell counts do.
+"""
+
+from __future__ import annotations
+
+from mpes_spark.extras.dedup import _md5_hash_sql
+
+
+def _seeded_hash(seed_expr: str, arg: str, dialect: str) -> str:
+    """Like :func:`_md5_hash_sql` but with a COLUMN seed (the CMS row
+    index), not a literal one."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    inner = f"md5(concat(CAST({seed_expr} AS {s}), '|', {arg}))"
+    if dialect == "spark":
+        return f"CAST(conv(substring({inner}, 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr({inner}, 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (p register-index bits out of the 60-bit md5-prefix hash)
+# ---------------------------------------------------------------------------
+
+def hll_estimate_sql(table: str, col: str, dialect: str, p: int = 8) -> str:
+    """One-row HLL distinct-count estimate with the registers, the
+    harmonic sum, the bias constant, and the linear-counting branch
+    all computed in-query, identically in both dialects.
+
+    Layout: h is the 60-bit md5-prefix integer; the LOW ``p`` bits
+    pick the register, the remaining ``w_bits = 60 - p`` form the
+    suffix whose leading-zero run (+1) is rho. ``bin()`` returns the
+    minimal binary string in BOTH engines, so
+    ``rho = w_bits + 1 - length(bin(w))`` exactly, with the w = 0
+    convention rho = w_bits + 1. The harmonic sum is kept exact as
+    BIGINT: sum(2^(maxrho - rho)) with maxrho = w_bits + 1 <= 53,
+    so each term is an exactly-representable power of two and the
+    256-term sum fits 2^61.
+    """
+    m = 1 << p
+    w_bits = 60 - p
+    maxrho = w_bits + 1
+    h = _md5_hash_sql(0, f"CAST({col} AS {'STRING' if dialect == 'spark' else 'VARCHAR'})", dialect)
+    div = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        buckets = f"SELECT id AS bucket FROM range({m})"
+    else:
+        buckets = f"SELECT range AS bucket FROM range({m})"
+    # alpha_m for m >= 128; evaluated from the same literals in both
+    # engines -> bit-identical doubles.
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    two53 = float(1 << maxrho)  # 2^53, exactly representable
+    raw = f"({alpha} * {m}.0 * {m}.0 * {two53!r} / s.hsum)"
+    return f"""
+WITH h AS (SELECT {h} AS h FROM {table} WHERE {col} IS NOT NULL),
+r AS (SELECT h % {m} AS bucket,
+             CASE WHEN (h {div} {m}) = 0 THEN {maxrho}
+                  ELSE {maxrho} - length(bin(h {div} {m})) END AS rho
+      FROM h),
+reg AS (SELECT b.bucket, coalesce(max(r.rho), 0) AS rho
+        FROM ({buckets}) b LEFT JOIN r ON b.bucket = r.bucket
+        GROUP BY b.bucket),
+s AS (SELECT CAST(sum(CAST(power(2.0, {maxrho} - rho) AS BIGINT)) AS BIGINT)
+             AS hsum,
+             CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+      FROM reg),
+x AS (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+      FROM {table} WHERE {col} IS NOT NULL)
+SELECT CAST({m} AS BIGINT) AS m, s.n_zero,
+       CAST(round(CASE WHEN {raw} <= 2.5 * {m}.0 AND s.n_zero > 0
+                       THEN {m}.0 * ln({m}.0 / s.n_zero)
+                       ELSE {raw} END, 6) AS DOUBLE) AS est_distinct,
+       x.exact_distinct
+FROM s CROSS JOIN x
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch over the whitespace token stream
+# ---------------------------------------------------------------------------
+
+def cms_topk_estimate_sql(
+    table: str,
+    dialect: str,
+    text: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    topk: int = 50,
+) -> str:
+    """Build a depth x width count-min sketch over the token stream
+    and read back the estimates for the ``topk`` most frequent tokens
+    next to their exact counts: (token, exact_cnt, cms_est) with
+    cms_est >= exact_cnt guaranteed (one-sided error). Integer-only,
+    so hash-exact across engines.
+
+    The sketch build is one token scan crossed with the depth-row
+    relation, combined map-side into depth*width cells; the probe side
+    is topk*depth rows (broadcast-sized at any corpus scale).
+    """
+    if dialect == "spark":
+        tok = f"SELECT explode(split({text}, ' ')) AS token FROM {table}"
+        depths = f"SELECT id AS r FROM range({depth})"
+    else:
+        tok = f"SELECT unnest(string_split({text}, ' ')) AS token FROM {table}"
+        depths = f"SELECT range AS r FROM range({depth})"
+    h = _seeded_hash("d.r", "t.token", dialect)
+    hp = _seeded_hash("d.r", "t.token", dialect)
+    return f"""
+WITH tok AS ({tok}),
+exact AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM tok GROUP BY token),
+top AS (SELECT token, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, token LIMIT {topk}),
+cell AS (SELECT d.r AS r, {h} % {width} AS c,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM tok t CROSS JOIN ({depths}) d
+         GROUP BY d.r, {h} % {width}),
+probe AS (SELECT t.token, t.exact_cnt, d.r AS r, {hp} % {width} AS c
+          FROM top t CROSS JOIN ({depths}) d)
+SELECT p.token, p.exact_cnt, min(cell.cnt) AS cms_est
+FROM probe p JOIN cell ON cell.r = p.r AND cell.c = p.c
+GROUP BY p.token, p.exact_cnt
+""".strip()

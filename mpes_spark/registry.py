@@ -920,6 +920,114 @@ def shipping_priority(spark, sf_dir):
     )
 
 
+_LOCAL_SUPPLIER_SQL = (
+    "SELECT n.n_name, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "  AND s.s_nationkey = c.c_nationkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "JOIN region r ON r.r_regionkey = n.n_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n.n_name"
+)
+
+
+@_q("local_supplier_volume", _LOCAL_SUPPLIER_SQL)
+def local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped local supplier volume: the 6-way star join
+    where revenue counts only when customer and supplier share a
+    nation. Plan shape: region -> nation -> supplier chain collapses
+    to one broadcast dim (25 nations x suppliers), customer joins
+    orders on custkey (the first fact shuffle), lineitem joins on
+    orderkey (the second), and the supplier broadcast applies the
+    same-nation predicate WITHOUT a shuffle — the c_nationkey =
+    s_nationkey filter rides the suppkey equi-join. Output bounded
+    by |nation|."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = t(spark, sf_dir, "orders")
+    dt = dict(o.dtypes)["o_orderdate"]
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dt))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast(dt))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            o.join(c, o.o_custkey == c.c_custkey).select(
+                "o_orderkey", "c_nationkey"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# -- fixed-iteration PageRank over the customer<->supplier trade graph
+#    (analysis/graph.py; the iterative join+groupBy power-iteration
+#    shape, oracle-replayed by textually unrolled CTEs) -------------------
+
+_PR_EDGES_SQL = (
+    "SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "UNION "
+    "SELECT 's' || CAST(l_suppkey AS VARCHAR), "
+    "'c' || CAST(o_custkey AS VARCHAR) "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+)
+
+
+from mpes_spark.analysis.graph import pagerank_sql as _pagerank_sql
+
+
+@_q("pagerank_custsupp", _pagerank_sql(_PR_EDGES_SQL, iters=3, damping=0.85))
+def pagerank_custsupp(spark, sf_dir):
+    """PageRank (3 power iterations, damping 0.85) over the
+    bidirectional customer<->supplier graph induced by who traded
+    with whom (orders x lineitem, deduplicated pairs). Per
+    iteration: one co-partitioned rank-edge join + one groupBy(dst)
+    shuffle; rank stays node-sized; dangling mass is a 1-row
+    broadcast agg. Normalized ranks (mean 1.0) rounded to 6 — see
+    analysis/graph.py for the 100-TB notes."""
+    from mpes_spark.analysis.graph import pagerank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank(edges, iters=3, damping=0.85, normalize=True)
+    return pr.select("node", F.round("rank_norm", 6).alias("rank_norm"))
+
+
 # -- anti join (set difference at data scale — the FileCollection
 #    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
 #    to relations): customers with no orders ------------------------------
@@ -1841,6 +1949,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary",
         "shipping_priority",
         "time_weighted_avg",
+        "local_supplier_volume",
+        "pagerank_custsupp",
+        "hll_estimate_oracle",
+        "cms_topk_estimate",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]
