@@ -1,0 +1,89 @@
+"""Data-distribution diagnostics that inform physical-plan choices.
+
+At 100 TB the difference between a clean run and a dead executor is
+usually one skewed join key; the remedies (salting —
+:func:`mpes_spark.transforms.columns.salted_agg` — AQE skew-join
+splitting, broadcast thresholds) all start from the same question:
+HOW skewed is this key, exactly? This module answers it with one
+bounded aggregation pass — per-key counts collapse map-side, every
+derived statistic is computed over the key-count relation (n_keys
+rows), never the data — so profiling a join key costs one scan of
+the key column and nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew profile of a prospective shuffle/join key:
+    ``(n_keys, total, max_cnt, max_share, top10_share, entropy)``.
+
+    ``max_share`` is the heaviest key's fraction (the single-task
+    straggler bound under hash partitioning: one partition gets AT
+    LEAST this fraction of the rows); ``top10_share`` the mass of
+    the 10 heaviest; ``entropy`` the Shannon entropy of the key
+    distribution in nats (uniform = ln(n_keys); the gap from that
+    ceiling is the skew). Rule of thumb: max_share * total >> the
+    per-partition row budget -> salt or let AQE split."""
+    k = (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top10 = (
+        k.orderBy(F.col("cnt").desc(), "k")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("t10"))
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    ent = (
+        k.crossJoin(F.broadcast(tot))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_keys",
+            "total",
+            "max_cnt",
+            F.round(F.col("max_cnt").cast("double") / F.col("total"), 6).alias(
+                "max_share"
+            ),
+            F.round(F.col("t10").cast("double") / F.col("total"), 6).alias(
+                "top10_share"
+            ),
+            "entropy",
+        )
+    )
+
+
+def key_skew_profile_sql(table: str, key: str) -> str:
+    """DuckDB oracle twin of :func:`key_skew_profile`. The only float
+    accumulation is the entropy sum (cross-engine summation order,
+    ~1e-16 relative), rounded to 6."""
+    return f"""
+WITH k AS (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS cnt
+           FROM {table} WHERE {key} IS NOT NULL GROUP BY {key}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(max(cnt) AS BIGINT) AS max_cnt FROM k),
+top10 AS (SELECT CAST(sum(cnt) AS BIGINT) AS t10 FROM
+          (SELECT cnt FROM k ORDER BY cnt DESC, k LIMIT 10) q),
+ent AS (SELECT round(-sum((CAST(cnt AS DOUBLE) / t.total) *
+                          ln(CAST(cnt AS DOUBLE) / t.total)), 6) AS entropy
+        FROM k CROSS JOIN tot t)
+SELECT tot.n_keys, tot.total, tot.max_cnt,
+       round(CAST(tot.max_cnt AS DOUBLE) / tot.total, 6) AS max_share,
+       round(CAST(top10.t10 AS DOUBLE) / tot.total, 6) AS top10_share,
+       ent.entropy
+FROM tot CROSS JOIN top10 CROSS JOIN ent
+""".strip()

@@ -1014,6 +1014,75 @@ def cms_topk_estimate(spark, sf_dir):
     )
 
 
+@_q(
+    "bloom_semijoin_prune",
+    SK.bloom_semijoin_sql(
+        "customer",
+        "c_custkey",
+        "orders",
+        "o_custkey",
+        "duckdb",
+        m_bits=32768,
+        k=3,
+        build_pred="c_mktsegment = 'BUILDING'",
+    ),
+)
+def bloom_semijoin_prune(spark, sf_dir):
+    """Bloom-filter runtime-prune audit: an m=32k/k=3 filter over
+    BUILDING-segment customers (m sized ~10 bits/key at bench scale
+    so the filter actually discriminates — an undersized filter
+    saturates and passes everything) probed by every distinct orders
+    custkey — pass/true/false-positive counts all hash-matched. The
+    production mechanism is Spark's own runtime bloom pruning
+    (engine-private bit layout); this portable rendering proves the
+    semantics: zero false negatives, measured fp rate."""
+    return spark.sql(
+        SK.bloom_semijoin_sql(
+            _pq(sf_dir, "customer"),
+            "c_custkey",
+            _pq(sf_dir, "orders"),
+            "o_custkey",
+            "spark",
+            m_bits=32768,
+            k=3,
+            build_pred="c_mktsegment = 'BUILDING'",
+        )
+    )
+
+
+@_q(
+    "cms_join_size",
+    SK.cms_join_size_sql(
+        "events",
+        "user_id",
+        "events",
+        "user_id",
+        "duckdb",
+        width=4096,
+        pred_a="event_type = 'purchase'",
+        pred_b="event_type = 'click'",
+    ),
+)
+def cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation WITHOUT the join (CMS inner
+    product, min over rows of sum cntA*cntB): how many
+    purchase-x-click pairs the user_id join would produce — the
+    planner question at 100 TB answered by two bounded sketches and
+    a depth*width-row join. One-sided; exact size alongside."""
+    return spark.sql(
+        SK.cms_join_size_sql(
+            _pq(sf_dir, "events"),
+            "user_id",
+            _pq(sf_dir, "events"),
+            "user_id",
+            "spark",
+            width=4096,
+            pred_a="event_type = 'purchase'",
+            pred_b="event_type = 'click'",
+        )
+    )
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

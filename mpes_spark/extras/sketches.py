@@ -149,3 +149,120 @@ SELECT p.token, p.exact_cnt, min(cell.cnt) AS cms_est
 FROM probe p JOIN cell ON cell.r = p.r AND cell.c = p.c
 GROUP BY p.token, p.exact_cnt
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter semi-join pruning (the runtime-filter shape, replayable)
+# ---------------------------------------------------------------------------
+
+def bloom_semijoin_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    dialect: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    build_pred: str = "TRUE",
+) -> str:
+    """Audit a bloom-filter runtime prune in-query: build an m-bit /
+    k-hash filter over the (filtered) build side's keys, probe every
+    distinct probe-side key, and report exactly what the prune would
+    do — keys passed, true members, false positives, bits set.
+
+    In production Spark this is `spark.sql.optimizer.runtime.
+    bloomFilter.enabled` (the optimizer injects a BloomFilterAggregate
+    and prunes the big side's scan before the shuffle); that filter's
+    bit layout is engine-private, so this portable md5-position
+    rendering exists to put the SEMANTICS — one-sided error, never a
+    false negative, fp rate vs m/k/n — under the driver's hash gate.
+
+    Scale shape: the filter relation is at most m rows of distinct
+    bit positions (the set-bit list, the relational rendering of the
+    bitmap) built from a distinct-key agg; the probe joins that
+    <=m-row relation (broadcast at any m that makes sense) and passes
+    a key only when all k positions hit: count(matched) = k. One
+    scan per side, no key ever crosses the network un-pruned."""
+    pos_exprs = [
+        f"({_md5_hash_sql(i, 'CAST(x AS ' + ('STRING' if dialect == 'spark' else 'VARCHAR') + ')', dialect)} % {m_bits})"
+        for i in range(k)
+    ]
+    pos_union = " UNION ALL ".join(
+        f"SELECT x, {p} AS pos FROM bkeys" for p in pos_exprs
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT x, {p} AS pos FROM pkeys" for p in pos_exprs
+    )
+    return f"""
+WITH bkeys AS (SELECT DISTINCT {build_key} AS x FROM {build_table}
+               WHERE {build_pred} AND {build_key} IS NOT NULL),
+bloom AS (SELECT DISTINCT pos FROM ({pos_union}) q),
+pkeys AS (SELECT DISTINCT {probe_key} AS x FROM {probe_table}
+          WHERE {probe_key} IS NOT NULL),
+hits AS (SELECT q.x, CAST(count(bloom.pos) AS BIGINT) AS nhit
+         FROM ({probe_pos}) q LEFT JOIN bloom ON bloom.pos = q.pos
+         GROUP BY q.x),
+passed AS (SELECT x FROM hits WHERE nhit = {k}),
+truth AS (SELECT p.x FROM pkeys p JOIN bkeys b ON b.x = p.x)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM bkeys) AS n_build_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM bloom) AS n_bits_set,
+       (SELECT CAST(count(*) AS BIGINT) FROM pkeys) AS n_probe_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM passed) AS n_pass,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM passed) -
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_pos
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# CMS inner product = join-cardinality estimate
+# ---------------------------------------------------------------------------
+
+def cms_join_size_sql(
+    table_a: str,
+    key_a: str,
+    table_b: str,
+    key_b: str,
+    dialect: str,
+    depth: int = 4,
+    width: int = 256,
+    pred_a: str = "TRUE",
+    pred_b: str = "TRUE",
+) -> str:
+    """Estimate |A join B on key| WITHOUT running the join: the
+    count-min inner product [Cormode & Muthukrishnan 2005, thm 3] —
+    sketch each side's key stream into depth x width cells, take
+    min over rows of sum_c cntA[r,c]*cntB[r,c]. One-sided
+    (est >= exact), integer-only, so hash-exact across engines; the
+    exact size is computed alongside from the per-key count join for
+    the gate to compare.
+
+    This is the cardinality-estimation primitive a planner wants
+    before committing to a shuffle strategy at 100 TB: each sketch is
+    one scan combined map-side into bounded cells, and the estimate
+    is a depth*width-row join — no data-sized work at all."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        depths = f"SELECT id AS r FROM range({depth})"
+    else:
+        depths = f"SELECT range AS r FROM range({depth})"
+    ha = _seeded_hash("d.r", f"CAST(a.x AS {s})", dialect)
+    hb = _seeded_hash("d.r", f"CAST(b.x AS {s})", dialect)
+    return f"""
+WITH ka AS (SELECT {key_a} AS x FROM {table_a}
+            WHERE {pred_a} AND {key_a} IS NOT NULL),
+kb AS (SELECT {key_b} AS x FROM {table_b}
+       WHERE {pred_b} AND {key_b} IS NOT NULL),
+ca AS (SELECT d.r AS r, {ha} % {width} AS c, CAST(count(*) AS BIGINT) AS cnt
+       FROM ka a CROSS JOIN ({depths}) d GROUP BY d.r, {ha} % {width}),
+cb AS (SELECT d.r AS r, {hb} % {width} AS c, CAST(count(*) AS BIGINT) AS cnt
+       FROM kb b CROSS JOIN ({depths}) d GROUP BY d.r, {hb} % {width}),
+ip AS (SELECT ca.r, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS dot
+       FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY ca.r),
+exact AS (SELECT CAST(coalesce(sum(na.cnt * nb.cnt), 0) AS BIGINT) AS size
+          FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM ka GROUP BY x) na
+          JOIN (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM kb GROUP BY x) nb
+            ON na.x = nb.x)
+SELECT (SELECT CAST(min(dot) AS BIGINT) FROM ip) AS est_join_size,
+       (SELECT size FROM exact) AS exact_join_size
+""".strip()

@@ -1305,6 +1305,23 @@ def hll_distinct_users(spark, sf_dir):
     )
 
 
+# -- join-key skew profile (diagnostics.py: the one-pass answer to
+#    "salt this key or not?" — per-key counts collapse map-side, every
+#    statistic computed over the n_keys-row relation) -----------------------
+from mpes_spark.diagnostics import key_skew_profile as _key_skew_profile
+from mpes_spark.diagnostics import key_skew_profile_sql as _key_skew_profile_sql
+
+
+@_q("key_skew_profile", _key_skew_profile_sql("lineitem", "l_suppkey"))
+def key_skew_profile_suppkey(spark, sf_dir):
+    """Skew profile of lineitem.l_suppkey — the join key whose
+    distribution decides between a plain shuffle join, salting
+    (`salted_agg_counts`), and AQE skew splitting: heaviest-key
+    share (the straggler lower bound), top-10 mass, Shannon entropy
+    vs the uniform ln(n_keys) ceiling."""
+    return _key_skew_profile(t(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
 # -- skew-salted two-phase aggregation (scale technique: hot group
 #    keys spread over salt buckets, then merged; result is exactly the
 #    plain aggregation, which is what the oracle computes) ------------------
@@ -1953,6 +1970,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_custsupp",
         "hll_estimate_oracle",
         "cms_topk_estimate",
+        "bloom_semijoin_prune",
+        "cms_join_size",
+        "key_skew_profile",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -98,6 +98,77 @@ def test_hll_estimate_within_bound(spark):
     assert err < 5 * 1.04 / np.sqrt(256)
 
 
+def test_bloom_never_false_negative(spark):
+    """Probe the bloom with exactly its own build keys: every key
+    must pass (n_pass == n_true == n_build) and false positives are
+    impossible by construction."""
+    from mpes_spark.extras.sketches import bloom_semijoin_sql
+
+    tbl = f"parquet.`{SF_ORACLE}/customer.parquet`"
+    row = spark.sql(
+        bloom_semijoin_sql(
+            tbl, "c_custkey", tbl, "c_custkey", "spark", m_bits=512, k=3
+        )
+    ).collect()[0]
+    assert row["n_pass"] == row["n_true"] == row["n_build_keys"]
+    assert row["n_false_pos"] == 0
+
+
+def test_bloom_prunes_nonmembers(spark):
+    """Disjoint probe side (suppliers vs a customer-key bloom offset
+    far away): everything that passes is a false positive, and with
+    m >> n the filter prunes most of the probe side."""
+    from mpes_spark.extras.sketches import bloom_semijoin_sql
+
+    row = spark.sql(
+        bloom_semijoin_sql(
+            f"parquet.`{SF_ORACLE}/customer.parquet`",
+            "c_custkey + 1000000",
+            f"parquet.`{SF_ORACLE}/orders.parquet`",
+            "o_custkey",
+            "spark",
+            m_bits=8192,
+            k=3,
+        )
+    ).collect()[0]
+    assert row["n_true"] == 0
+    assert row["n_pass"] == row["n_false_pos"]
+    assert row["n_pass"] < row["n_probe_keys"] * 0.2
+
+
+def test_cms_join_size_one_sided(spark):
+    from mpes_spark.extras.sketches import cms_join_size_sql
+
+    ev = f"parquet.`{SF_ORACLE}/events.parquet`"
+    for w in (64, 1024):
+        row = spark.sql(
+            cms_join_size_sql(
+                ev,
+                "user_id",
+                ev,
+                "user_id",
+                "spark",
+                width=w,
+                pred_a="event_type = 'purchase'",
+                pred_b="event_type = 'click'",
+            )
+        ).collect()[0]
+        assert row["est_join_size"] >= row["exact_join_size"] > 0
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from mpes_spark.diagnostics import key_skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["n_keys"] == 3 and r["total"] == 10 and r["max_cnt"] == 6
+    assert r["max_share"] == pytest.approx(0.6)
+    assert r["top10_share"] == pytest.approx(1.0)
+    want_ent = -sum(p * np.log(p) for p in (0.6, 0.3, 0.1))
+    assert r["entropy"] == pytest.approx(want_ent, abs=1e-6)
+
+
 def test_hll_register_layout_deterministic(spark):
     """Same input twice -> identical estimate (pure column math, no
     sampling, no session state)."""
