@@ -1083,6 +1083,31 @@ def cms_join_size(spark, sf_dir):
     )
 
 
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@_q(
+    "pivot_counts",
+    "SELECT source, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {lg}"
+        for lg in _LANGS
+    )
+    + " FROM documents GROUP BY source",
+)
+def pivot_counts(spark, sf_dir):
+    """Cross-tabulation via `groupBy().pivot()` with an EXPLICIT value
+    list — the form that stays one aggregation pass; an unlisted
+    pivot first runs a distinct scan to discover columns and caps at
+    `spark.sql.pivotMaxValues`. Output bounded by |source| x |lang|."""
+    d = _docs(spark, sf_dir)
+    out = d.groupBy("source").pivot("lang", _LANGS).count()
+    return out.na.fill(0).select(
+        "source", *[F.col(lg).cast("bigint").alias(lg) for lg in _LANGS]
+    )
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

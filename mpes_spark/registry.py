@@ -548,6 +548,145 @@ def asof_latest_event(spark, sf_dir):
     )
 
 
+# -- SCD2 validity intervals + snapshot diff (the CDC/slowly-changing-
+#    dimension rendering of the as-of machinery: each observation's
+#    validity window [ts, next_ts), and the added/changed/unchanged
+#    audit between two snapshot cutoffs) ----------------------------------
+
+_SCD2_SQL = (
+    "SELECT user_id, event_id, value, epoch_ns(ts) AS valid_from_ns, "
+    "lead(epoch_ns(ts)) OVER (PARTITION BY user_id "
+    "  ORDER BY epoch_ns(ts), event_id) AS valid_to_ns, "
+    "CAST(CASE WHEN lead(epoch_ns(ts)) OVER (PARTITION BY user_id "
+    "  ORDER BY epoch_ns(ts), event_id) IS NULL THEN 1 ELSE 0 END "
+    "  AS INTEGER) AS is_current "
+    "FROM events WHERE user_id < 30"
+)
+
+
+@_q("scd2_intervals", _SCD2_SQL)
+def scd2_intervals(spark, sf_dir):
+    """SCD-type-2 validity intervals: every observation becomes a
+    [valid_from, valid_to) row, open-ended (is_current) on the last
+    one — the compacted-CDC table an asof join reads. One shuffle on
+    the entity key, a sorted lead() per partition; values pass
+    through untouched (no float arithmetic to desync)."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from_ns"),
+        vt.alias("valid_to_ns"),
+        vt.isNull().cast("int").alias("is_current"),
+    )
+
+
+_T1_NS = 1_705_276_800_000_000_000  # 2024-01-15 UTC
+_T2_NS = 1_706_140_800_000_000_000  # 2024-01-25 UTC
+
+_SNAPDIFF_SQL = (
+    "WITH a AS (SELECT user_id, value FROM ("
+    "  SELECT user_id, value, row_number() OVER (PARTITION BY user_id "
+    "    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn "
+    f"  FROM events WHERE epoch_ns(ts) < {_T1_NS}) q WHERE rn = 1), "
+    "b AS (SELECT user_id, value FROM ("
+    "  SELECT user_id, value, row_number() OVER (PARTITION BY user_id "
+    "    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn "
+    f"  FROM events WHERE epoch_ns(ts) < {_T2_NS}) q WHERE rn = 1) "
+    "SELECT status, CAST(count(*) AS BIGINT) AS n_users FROM ("
+    "  SELECT CASE WHEN a.user_id IS NULL THEN 'added' "
+    "              WHEN b.user_id IS NULL THEN 'removed' "
+    "              WHEN a.value = b.value THEN 'unchanged' "
+    "              ELSE 'changed' END AS status "
+    "  FROM a FULL OUTER JOIN b ON a.user_id = b.user_id) s "
+    "GROUP BY status"
+)
+
+
+@_q("snapshot_diff", _SNAPDIFF_SQL)
+def snapshot_diff(spark, sf_dir):
+    """CDC snapshot audit: per-entity latest state at two cutoffs,
+    full-outer compared into added/removed/changed/unchanged counts —
+    the validation query every incremental pipeline runs after a
+    backfill. Both snapshot reductions are one shuffle each on the
+    entity key (window rn=1); the compare joins two entity-sized
+    relations; output bounded by 4 statuses. Value equality is raw
+    double passthrough — no arithmetic to desync."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(cut, ucol, vcol):
+        return (
+            ev.filter(F.col("ts") < cut)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("user_id").alias(ucol), F.col("value").alias(vcol))
+        )
+
+    a = snap(_T1_NS, "ua", "va")
+    b = snap(_T2_NS, "ub", "vb")
+    status = (
+        F.when(F.col("ua").isNull(), "added")
+        .when(F.col("ub").isNull(), "removed")
+        .when(F.col("va") == F.col("vb"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        a.join(b, F.col("ua") == F.col("ub"), "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+# -- per-group top-k (the grouped rendering of §2.5 top-k: window
+#    row_number, rank ties broken on the key) -----------------------------
+
+_TOPK_GROUP_SQL = (
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "CAST(rk AS INTEGER) AS rk FROM ("
+    "  SELECT o_orderpriority, o_orderkey, o_totalprice, "
+    "    row_number() OVER (PARTITION BY o_orderpriority "
+    "      ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+    "  FROM orders) q WHERE rk <= 3"
+)
+
+
+@_q("topk_per_group", _TOPK_GROUP_SQL)
+def topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority class: one shuffle on the group key,
+    per-partition sort + row_number, early filter — output bounded by
+    k * |groups|. At scale Spark turns the rank filter into a
+    per-partition top-k (WindowGroupLimit), never a full sort of the
+    fact table."""
+    from pyspark.sql.window import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 # -- tolerance match (lens-mode voltage-set resolution, np.allclose
 #    rtol semantics, /root/reference/mpes/fprocessing.py:2643-2660):
 #    value matches a config nominal within 2% relative tolerance ------------
@@ -1973,6 +2112,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_prune",
         "cms_join_size",
         "key_skew_profile",
+        "scd2_intervals",
+        "snapshot_diff",
+        "topk_per_group",
+        "pivot_counts",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]
