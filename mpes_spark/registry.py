@@ -687,6 +687,95 @@ def topk_per_group(spark, sf_dir):
     )
 
 
+# -- MERGE-style upsert (the storage-layer MERGE INTO semantics as a
+#    pure relational plan: full-outer join base vs updates, coalesce
+#    per action; what Delta/Iceberg compile MERGE into before the
+#    file rewrite) --------------------------------------------------------
+
+_MERGE_SQL = (
+    "WITH upd AS ("
+    "  SELECT c_custkey AS k, round(c_acctbal + 100.0, 2) AS new_bal "
+    "  FROM customer WHERE c_custkey % 7 = 0 "
+    "  UNION ALL "
+    "  SELECT c_custkey + 1000000 AS k, 50.0 AS new_bal "
+    "  FROM customer WHERE c_custkey % 13 = 0) "
+    "SELECT coalesce(b.c_custkey, u.k) AS custkey, "
+    "round(coalesce(u.new_bal, b.c_acctbal), 2) AS acctbal, "
+    "CASE WHEN b.c_custkey IS NULL THEN 'insert' "
+    "     WHEN u.k IS NULL THEN 'keep' ELSE 'update' END AS action "
+    "FROM customer b FULL OUTER JOIN upd u ON u.k = b.c_custkey"
+)
+
+
+@_q("merge_upsert", _MERGE_SQL)
+def merge_upsert(spark, sf_dir):
+    """MERGE INTO as a relational plan: base full-outer-joined with
+    the update set, matched rows take the new value, unmatched update
+    rows insert, unmatched base rows keep — one shuffle on the merge
+    key (or zero if the update side broadcasts), which is exactly the
+    join Delta/Iceberg plan before rewriting files. Every row carries
+    its action for downstream audit."""
+    c = t(spark, sf_dir, "customer")
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+        )
+        .union(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("k"),
+                F.lit(50.0).alias("new_bal"),
+            )
+        )
+    )
+    b = c.select("c_custkey", "c_acctbal")
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("k").isNull(), "keep")
+        .otherwise("update")
+    )
+    return b.join(upd, b.c_custkey == upd.k, "full_outer").select(
+        F.coalesce("c_custkey", "k").alias("custkey"),
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2).alias("acctbal"),
+        action.alias("action"),
+    )
+
+
+# -- semi-structured extraction (the events.props JSON sidecar — the
+#    metadata-blob shape every large pipeline carries) --------------------
+
+_JSON_STATS_SQL = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k, "
+    "round(avg(k), 6) AS avg_k FROM ("
+    "  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events) q "
+    "GROUP BY event_type"
+)
+
+
+@_q("json_extract_stats", _JSON_STATS_SQL)
+def json_extract_stats(spark, sf_dir):
+    """Typed extraction from the JSON props column via `from_json`
+    with an EXPLICIT schema — the vectorized single-parse path (one
+    Jackson parse per row, all fields out at once), vs
+    `get_json_object` which re-parses the blob per extracted field.
+    At 100 TB the schema'd parse also lets the optimizer prune
+    unextracted fields. Aggregation output bounded by |event_type|."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
 # -- tolerance match (lens-mode voltage-set resolution, np.allclose
 #    rtol semantics, /root/reference/mpes/fprocessing.py:2643-2660):
 #    value matches a config nominal within 2% relative tolerance ------------
@@ -2116,6 +2205,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff",
         "topk_per_group",
         "pivot_counts",
+        "json_extract_stats",
+        "merge_upsert",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]
