@@ -1108,6 +1108,51 @@ def pivot_counts(spark, sf_dir):
     )
 
 
+_COV_DIMS = 8
+
+
+def _cov_sql(table: str, dialect: str, dims: int = _COV_DIMS) -> str:
+    """Covariance of the first ``dims`` embedding components as tidy
+    (i, j, cov) rows, i <= j — the Gram-matrix aggregation PCA/whitening
+    starts from. Raw moments (sum x_i*x_j, sum x_i) reduce in ONE pass
+    over the exploded (row, dim) relation; cov = s_ij/n - mu_i*mu_j.
+    Values cast FLOAT->DOUBLE before any product so both engines
+    multiply identical doubles; the only drift is summation order,
+    absorbed by round 6."""
+    if dialect == "spark":
+        dimrel = f"(SELECT id AS i FROM range({dims}))"
+        elem = "CAST(e.embedding[CAST(d.i AS INT)] AS DOUBLE)"  # 0-indexed
+    else:
+        dimrel = f"(SELECT range AS i FROM range({dims}))"
+        elem = "CAST(e.embedding[CAST(d.i + 1 AS INT)] AS DOUBLE)"  # 1-indexed
+    return f"""
+WITH x AS (SELECT e.vec_id, d.i, {elem} AS v
+           FROM {table} e CROSS JOIN {dimrel} d),
+n AS (SELECT CAST(count(DISTINCT vec_id) AS DOUBLE) AS n FROM x),
+mu AS (SELECT i, sum(v) AS s FROM x GROUP BY i),
+s2 AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+       GROUP BY a.i, b.i)
+SELECT s2.i, s2.j,
+       round(s2.s / n.n - (ma.s / n.n) * (mb.s / n.n), 6) AS cov
+FROM s2 CROSS JOIN n
+JOIN mu ma ON ma.i = s2.i
+JOIN mu mb ON mb.i = s2.j
+""".strip()
+
+
+@_q("embedding_covariance", _cov_sql("embeddings", "duckdb"))
+def embedding_covariance(spark, sf_dir):
+    """Embedding covariance block (first 8 dims, upper triangle) —
+    the one-pass moment aggregation feeding PCA/whitening/drift
+    monitoring. The exploded relation is rows x dims (bounded
+    explode), moments collapse map-side to dims + dims^2/2 cells,
+    and the final arithmetic runs over that cell relation only. The
+    driver-side eigendecomposition of an 8x8 (or 256x256) matrix is
+    numpy territory by design."""
+    return spark.sql(_cov_sql(_pq(sf_dir, "embeddings"), "spark"))
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

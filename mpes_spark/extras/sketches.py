@@ -73,11 +73,20 @@ def hll_estimate_sql(table: str, col: str, dialect: str, p: int = 8) -> str:
         buckets = f"SELECT id AS bucket FROM range({m})"
     else:
         buckets = f"SELECT range AS bucket FROM range({m})"
-    # alpha_m for m >= 128; evaluated from the same literals in both
-    # engines -> bit-identical doubles.
-    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
-    two53 = float(1 << maxrho)  # 2^53, exactly representable
-    raw = f"({alpha} * {m}.0 * {m}.0 * {two53!r} / s.hsum)"
+    # alpha_m for m >= 128. CAUTION: Spark SQL parses plain decimal
+    # literals (0.7213, 256.0) as DECIMAL and then runs DECIMAL
+    # arithmetic — which rounds differently from DuckDB's doubles
+    # (observed: est 1473.484229 vs ...224 at sf0.1). So the whole
+    # constant alpha*m^2*2^maxrho is computed HERE as one Python
+    # float and inlined with an explicit DOUBLE cast; the in-query
+    # arithmetic is then a single bigint->double division, identical
+    # IEEE ops in both engines.
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    c = alpha * m * m * float(1 << maxrho)
+    raw = f"(CAST({c!r} AS DOUBLE) / s.hsum)"
+    lin = (
+        f"CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / s.n_zero)"
+    )
     return f"""
 WITH h AS (SELECT {h} AS h FROM {table} WHERE {col} IS NOT NULL),
 r AS (SELECT h % {m} AS bucket,
@@ -95,8 +104,9 @@ s AS (SELECT CAST(sum(CAST(power(2.0, {maxrho} - rho) AS BIGINT)) AS BIGINT)
 x AS (SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
       FROM {table} WHERE {col} IS NOT NULL)
 SELECT CAST({m} AS BIGINT) AS m, s.n_zero,
-       CAST(round(CASE WHEN {raw} <= 2.5 * {m}.0 AND s.n_zero > 0
-                       THEN {m}.0 * ln({m}.0 / s.n_zero)
+       CAST(round(CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE)
+                        AND s.n_zero > 0
+                       THEN {lin}
                        ELSE {raw} END, 6) AS DOUBLE) AS est_distinct,
        x.exact_distinct
 FROM s CROSS JOIN x

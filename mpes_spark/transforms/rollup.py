@@ -83,6 +83,35 @@ def coarsen(rollup: DataFrame, factor: int, keys: list[str] | None = None) -> Da
     )
 
 
+def merge_rollups(
+    *rollups: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Merge rollup frames at the SAME bucket granularity — the
+    incremental-view-maintenance step: ``merge_rollups(base, delta)``
+    equals the rollup of the union of their inputs, because every
+    stat is mergeable (cnt/sum re-sum, min/max re-extremize) —
+    exactly for the integer/extremal stats, to float-summation-order
+    for sum_m (absorbed by finalize_rollup's determinism rounding).
+    At 100 TB this is the whole point of the cascade: a new ingest
+    batch re-aggregates ONLY its own buckets (delta-sized shuffle)
+    and merges into history without rescanning it; hash-partitioned
+    history on ``bucket`` makes the merge co-located."""
+    keys = keys or []
+    for r in rollups:
+        missing = [c for c in _MEASURES if c not in r.columns]
+        if missing:
+            raise ValueError(f"not a rollup frame (missing {missing})")
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("bucket", *keys).agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.sum("sum_m").alias("sum_m"),
+        F.min("min_m").alias("min_m"),
+        F.max("max_m").alias("max_m"),
+    )
+
+
 def finalize_rollup(rollup: DataFrame, *, sum_dp: int = 2, dp: int = 6) -> DataFrame:
     """Read-time projection: derive avg from the mergeable stats and
     round the float measures (identically to the SQL oracle) so the
