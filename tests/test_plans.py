@@ -375,3 +375,60 @@ def test_shipping_priority_broadcasts_dim_no_cartesian(spark):
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+
+
+def test_topk_per_group_window_group_limit(spark):
+    """Grouped top-k must compile to WindowGroupLimit (per-partition
+    top-k heaps), never a full sort of the fact table."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["topk_per_group"](spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
+def test_local_supplier_volume_no_cartesian(spark):
+    """Q5 shape: the region->nation->supplier chain broadcasts; the
+    same-nation predicate rides the suppkey equi-join (no cartesian,
+    no nested-loop)."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["local_supplier_volume"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_key_skew_profile_bounded_aggs(spark):
+    """Every statistic must derive from the per-key count relation:
+    one scan of the key column, hash aggregation, and only
+    broadcast-sized (1-row / top-10) joins after it."""
+    from mpes_spark.diagnostics import key_skew_profile
+
+    df = key_skew_profile(t(spark, SF_SMALL, "lineitem"), "l_suppkey")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_suppkey:bigint>" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_merge_upsert_single_join(spark):
+    """MERGE plan: exactly one join of base vs updates (the update
+    side may broadcast), no row explosion machinery."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["merge_upsert"](spark, SF_SMALL))
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_incremental_two_scans_merge(spark):
+    """IVM merge: base and delta each scan once with their cutoff
+    pushed to parquet; the merge is a hash re-aggregation, no sort."""
+    from mpes_spark.registry import all_queries
+
+    plan = _plan(all_queries()["rollup_incremental"](spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2
+    assert "PushedFilters: [IsNotNull(ts)" in plan
+    assert "SortAggregate" not in plan
