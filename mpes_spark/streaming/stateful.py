@@ -74,3 +74,36 @@ def cumulative_histogram(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rollup_maintenance_sink(
+    *, measure: str, bucket_ns: int, ts_col: str = "ts"
+):
+    """``foreachBatch`` incremental-view maintenance of a time rollup:
+    each micro-batch is rolled up ALONE (delta-sized shuffle) and
+    merged into the accumulated rollup via
+    :func:`mpes_spark.transforms.rollup.merge_rollups` — history is
+    never rescanned, exactly the batch `rollup_incremental` contract
+    applied continuously. Returns ``(handle, current)``: pass
+    ``handle`` to ``writeStream.foreachBatch``; ``current()`` yields
+    the merged rollup DataFrame (None before the first batch).
+
+    The merged state is ``localCheckpoint(eager=True)``-pinned every
+    batch, so its size is bucket-grid-bounded and its lineage is one
+    merge deep regardless of how many batches have streamed. In a
+    real deployment the same handle body writes to a bucketed table
+    (MERGE on bucket) instead of a checkpoint."""
+    from mpes_spark.transforms.rollup import merge_rollups, time_rollup
+
+    state: dict[str, DataFrame | None] = {"rollup": None}
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        delta = time_rollup(batch, measure=measure, bucket_ns=bucket_ns, ts_col=ts_col)
+        cur = state["rollup"]
+        merged = delta if cur is None else merge_rollups(cur, delta)
+        state["rollup"] = merged.localCheckpoint(eager=True)
+
+    def current() -> DataFrame | None:
+        return state["rollup"]
+
+    return handle, current

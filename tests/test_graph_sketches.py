@@ -180,3 +180,54 @@ def test_hll_register_layout_deterministic(spark):
     a = spark.sql(sql).collect()[0]
     b = spark.sql(sql).collect()[0]
     assert a == b
+
+
+def test_merge_rollups_split_invariant(spark):
+    """IVM algebra: any 3-way split of the input merges to the same
+    rollup as the single pass (cnt/min/max exact; sum to
+    finalize-rounding)."""
+    from mpes_spark.transforms.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        time_rollup,
+    )
+    from mpes_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    ev = t(spark, SF_SMALL, "events")
+    hour = 3_600_000_000_000
+    parts = [
+        ev.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    merged = finalize_rollup(
+        merge_rollups(*[time_rollup(p, measure="value", bucket_ns=hour) for p in parts])
+    ).orderBy("bucket").toPandas()
+    single = finalize_rollup(
+        time_rollup(ev, measure="value", bucket_ns=hour)
+    ).orderBy("bucket").toPandas()
+    assert merged.equals(single)
+
+
+def test_quantile_hist_cells_merge_by_addition(spark):
+    """The histogram quantile sketch's mergeability claim: cell
+    counts from two halves sum to the whole corpus's cells."""
+    from mpes_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    ev = t(spark, SF_SMALL, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 500)
+    )
+
+    def cells(df):
+        return (
+            df.groupBy(F.floor(F.col("value") / 0.5).cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .toPandas()
+            .set_index("bin")["cnt"]
+        )
+
+    a = cells(ev.filter(F.col("event_id") % 2 == 0))
+    b = cells(ev.filter(F.col("event_id") % 2 == 1))
+    whole = cells(ev)
+    merged = a.add(b, fill_value=0).astype("int64").sort_index()
+    assert merged.equals(whole.sort_index())

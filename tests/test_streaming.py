@@ -450,3 +450,39 @@ def test_interval_attribution_join_rejects_collisions(spark):
     )
     with pytest.raises(ValueError, match="event_time"):
         interval_attribution_join(left_et, right)
+
+
+def test_rollup_maintenance_sink_matches_batch(spark, stream_dir):
+    """Continuous IVM: streaming batch-by-batch merge must reproduce
+    the single-pass batch rollup exactly (cnt/min/max) and to
+    finalize-rounding for the float sum."""
+    from mpes_spark.streaming.stateful import rollup_maintenance_sink
+    from mpes_spark.transforms.rollup import finalize_rollup, time_rollup
+
+    handle, current = rollup_maintenance_sink(
+        measure="value", bucket_ns=3_600_000_000_000
+    )
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        finalize_rollup(current())
+        .orderBy("bucket")
+        .toPandas()
+    )
+    want = (
+        finalize_rollup(
+            time_rollup(
+                spark.read.parquet(stream_dir),
+                measure="value",
+                bucket_ns=3_600_000_000_000,
+            )
+        )
+        .orderBy("bucket")
+        .toPandas()
+    )
+    assert got.equals(want)
