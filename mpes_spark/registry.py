@@ -2207,6 +2207,141 @@ def quantile_hist_approx(spark, sf_dir):
     )
 
 
+# -- market-basket co-purchase lift (association-rule mining shape:
+#    pair generation stays WITHIN the order — bounded by
+#    lineitems-per-order squared, never corpus-quadratic) -----------------
+
+_COPURCHASE_SQL = (
+    "WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "               FROM lineitem), "
+    "n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM items), "
+    "freq AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY p), "
+    "pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS cnt "
+    "          FROM items a JOIN items b ON a.o = b.o AND a.p < b.p "
+    "          GROUP BY a.p, b.p) "
+    "SELECT pr.pa, pr.pb, pr.cnt AS n_both, "
+    "round((pr.cnt / n.n) / ((fa.cnt / n.n) * (fb.cnt / n.n)), 6) AS lift "
+    "FROM pairs pr CROSS JOIN n "
+    "JOIN freq fa ON fa.p = pr.pa JOIN freq fb ON fb.p = pr.pb "
+    "WHERE pr.cnt >= 3 "
+    "ORDER BY lift DESC, pr.pa, pr.pb LIMIT 50"
+)
+
+
+@_q("copurchase_lift", _COPURCHASE_SQL)
+def copurchase_lift(spark, sf_dir):
+    """Association-rule lift over parts co-occurring in an order:
+    pair generation is a self-equi-join ON THE ORDER KEY (bounded by
+    items-per-order squared — never all-parts-squared), supports are
+    a broadcast-sized frequency relation, and the min-support filter
+    (cnt >= 3) prunes before the lift arithmetic. TakeOrdered top-50
+    — no global sort."""
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n1 = items.agg(F.countDistinct("o").cast("double").alias("n"))
+    freq = items.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = items.select(F.col("o"), F.col("p").alias("pa"))
+    b = items.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, (a.o == b.o2) & (a.pa < b.pb))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    fa = freq.select(F.col("p").alias("pa"), F.col("cnt").alias("ca"))
+    fb = freq.select(F.col("p").alias("pb"), F.col("cnt").alias("cb"))
+    lift = (F.col("n_both") / F.col("n")) / (
+        (F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n1))
+        .join(fa, "pa")
+        .join(fb, "pb")
+        .select("pa", "pb", "n_both", F.round(lift, 6).alias("lift"))
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(50)
+    )
+
+
+# -- rolling z-score anomaly detection (telemetry outlier shape: a
+#    per-type ordered window of the trailing 100 buckets) -----------------
+
+_ZSCORE_SQL = (
+    "WITH m AS (SELECT event_type, "
+    "((epoch_ns(ts) - ((epoch_ns(ts) % 60000000000) + 60000000000) % 60000000000) "
+    "// 60000000000) AS bucket, "
+    "round(sum(value), 2) AS x FROM events GROUP BY event_type, bucket), "
+    "w AS (SELECT event_type, bucket, x, "
+    "  CAST(count(x) OVER win AS BIGINT) AS nw, "
+    "  round(CAST(sum(x) OVER win AS DOUBLE), 2) AS s1, "
+    "  round(CAST(sum(x * x) OVER win AS DOUBLE), 4) AS s2 "
+    "FROM m WINDOW win AS (PARTITION BY event_type ORDER BY bucket "
+    "  ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)), "
+    "d AS (SELECT event_type, bucket, x, nw, "
+    "  round(s1 / nw, 6) AS mu, "
+    "  round(sqrt((s2 - s1 * s1 / nw) / (nw - 1)), 6) AS sd "
+    "FROM w WHERE nw >= 20) "
+    "SELECT event_type, bucket, x, mu, sd, round((x - mu) / sd, 4) AS z "
+    "FROM d WHERE sd > 0.001 AND abs((x - mu) / sd) > 3.0"
+)
+
+
+@_q("anomaly_zscore", _ZSCORE_SQL)
+def anomaly_zscore(spark, sf_dir):
+    """Rolling z-score outliers over per-minute per-type totals: the
+    trailing-100-bucket window runs over the ROLLUP relation
+    (grid-bounded), never the events; one shuffle on event_type.
+    Determinism: the stddev comes from ROUNDED raw moments (sum x to
+    2, sum x^2 to 4 — the rollup rule extended to second moments; an
+    engine-internal stddev_samp would mix Welford vs sum-of-squares
+    accumulation orders), so mu/sd/z are identical IEEE chains in
+    both engines; the 3-sigma cut then filters identically."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    minute = 60_000_000_000
+    m = ev.groupBy(
+        "event_type",
+        F.expr(
+            f"((ts - pmod(ts, {minute})) div {minute})"
+        ).cast("long").alias("bucket"),
+    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    win = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-100, -1)
+    )
+    w = m.select(
+        "event_type",
+        "bucket",
+        "x",
+        F.count("x").over(win).cast("bigint").alias("nw"),
+        F.round(F.sum("x").over(win).cast("double"), 2).alias("s1"),
+        F.round(F.sum(F.col("x") * F.col("x")).over(win).cast("double"), 4).alias(
+            "s2"
+        ),
+    ).filter(F.col("nw") >= 20)
+    mu = F.round(F.col("s1") / F.col("nw"), 6)
+    sd = F.round(
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nw"))
+            / (F.col("nw") - 1)
+        ),
+        6,
+    )
+    d = w.select("event_type", "bucket", "x", mu.alias("mu"), sd.alias("sd"))
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    return (
+        d.filter((F.col("sd") > 0.001) & (F.abs(z) > 3.0))
+        .select(
+            "event_type", "bucket", "x", "mu", "sd", F.round(z, 4).alias("z")
+        )
+    )
+
+
 _GF_NS = 900_000_000_000  # 15-minute buckets
 _GF_BUCKET = (
     f"((epoch_ns(ts) - ((epoch_ns(ts) % {_GF_NS}) + {_GF_NS}) % {_GF_NS}) "
@@ -2370,6 +2505,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_hist_approx",
         "embedding_covariance",
         "rollup_gapfill_locf",
+        "copurchase_lift",
+        "anomaly_zscore",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]
