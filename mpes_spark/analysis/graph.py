@@ -5,7 +5,8 @@ the training-data side of the house, where link/citation/similarity
 graphs drive corpus weighting (e.g. quality propagation over a link
 graph, the OPIC/Common-Crawl shape). The one primitive everything
 reduces to is power iteration over a sparse edge relation —
-implemented here as fixed-iteration PageRank, the same join+groupBy
+implemented here as fixed-iteration PageRank [Page et al. 1999;
+Brin & Page 1998], the same join+groupBy
 step the distributed connected-components resolver
 (:func:`mpes_spark.extras.dedup.connected_components`) already uses,
 but with a dense rank vector instead of min-label propagation.
