@@ -21,8 +21,14 @@ that surface Spark-first:
   registration, fitting, alignment) in ``mpes_spark.analysis`` with
   ``applyInPandas`` adapters for per-group batching,
 - large-scale training-data operators (dedup, similarity search, text
-  stats, multimodal plumbing) live in ``mpes_spark.extras``,
-- live binning over event streams in ``mpes_spark.streaming``.
+  stats, multimodal plumbing, portable HLL/count-min/bloom sketches)
+  live in ``mpes_spark.extras``,
+- iterative graph analytics (fixed-iteration PageRank) in
+  ``mpes_spark.analysis.graph``,
+- join-key skew profiling and profile-driven salting in
+  ``mpes_spark.diagnostics``,
+- live binning and continuous rollup maintenance over event streams
+  in ``mpes_spark.streaming``.
 
 Coverage vs the reference's operator inventory: COVERAGE.md.
 Scale design rationale (100 TB / 1000 executors): SCALING.md.

@@ -87,3 +87,51 @@ SELECT tot.n_keys, tot.total, tot.max_cnt,
        ent.entropy
 FROM tot CROSS JOIN top10 CROSS JOIN ent
 """.strip()
+
+
+def auto_salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    *,
+    rows_per_task_budget: int = 5_000_000,
+    max_buckets: int = 64,
+    seed: int = 42,
+):
+    """Profile-then-decide aggregation: run :func:`key_skew_profile`
+    on the (first) group key — one bounded pass — and pick between a
+    plain groupBy (max key fits the per-task row budget) and
+    :func:`mpes_spark.transforms.columns.salted_agg` with
+    ``ceil(max_cnt / budget)`` buckets (capped). Returns
+    ``(result_df, decision)`` where decision is
+    ``{"salt_buckets": n, "max_cnt": ..., "max_share": ...}`` —
+    n == 1 means plain.
+
+    The profile is a driver decision from an n_keys-bounded relation
+    (the same regime as AQE's runtime statistics, made explicit and
+    loggable); the budget default matches a ~few-hundred-MB reducer
+    at typical event-row widths. For multi-key groupings the first
+    key dominates hash placement, so it is the one profiled."""
+    import math
+
+    from mpes_spark.transforms.columns import salted_agg
+
+    prof = key_skew_profile(df, keys[0]).collect()[0]
+    buckets = min(
+        max_buckets, max(1, math.ceil(prof["max_cnt"] / rows_per_task_budget))
+    )
+    decision = {
+        "salt_buckets": buckets,
+        "max_cnt": prof["max_cnt"],
+        "max_share": prof["max_share"],
+    }
+    if buckets == 1:
+        phase = []
+        for col, how in aggs.items():
+            out = f"{how}_{col}"
+            if how == "count":
+                phase.append(F.count(F.lit(1)).alias(out))
+            else:
+                phase.append(getattr(F, how)(F.col(col)).alias(out))
+        return df.groupBy(*keys).agg(*phase), decision
+    return salted_agg(df, keys, aggs, salt_buckets=buckets, seed=seed), decision

@@ -231,3 +231,36 @@ def test_quantile_hist_cells_merge_by_addition(spark):
     whole = cells(ev)
     merged = a.add(b, fill_value=0).astype("int64").sort_index()
     assert merged.equals(whole.sort_index())
+
+
+def test_auto_salted_agg_decision_and_equivalence(spark):
+    """auto_salted_agg: tiny budget forces salting, huge budget stays
+    plain; both produce the plain-groupBy answer."""
+    from mpes_spark.diagnostics import auto_salted_agg
+    from mpes_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    ev = t(spark, SF_SMALL, "events")
+    want = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+
+    salted, dec = auto_salted_agg(
+        ev, ["event_type"], {"value": "max", "event_id": "count"},
+        rows_per_task_budget=100,
+    )
+    assert dec["salt_buckets"] > 1
+    plain, dec2 = auto_salted_agg(
+        ev, ["event_type"], {"value": "max", "event_id": "count"},
+        rows_per_task_budget=10_000_000_000,
+    )
+    assert dec2["salt_buckets"] == 1
+    for df in (salted, plain):
+        got = {
+            r["event_type"]: (r["count_event_id"], r["max_value"])
+            for r in df.collect()
+        }
+        assert got == want
