@@ -217,6 +217,73 @@ class EventPipeline:
             (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("elapsed_us")
         )
 
+    # -- time-series analytics over the event stream (nanos ts path) -----
+
+    def rollup(
+        self, measure: str, bucket_ns: int, ts: str = "ts", keys=None
+    ) -> DataFrame:
+        """Mergeable (cnt/sum/min/max) time rollup — the cascade base;
+        coarsen/merge/finalize via :mod:`mpes_spark.transforms.rollup`."""
+        from mpes_spark.transforms.rollup import time_rollup
+
+        return time_rollup(
+            self.df, measure=measure, bucket_ns=bucket_ns, ts_col=ts, keys=keys
+        )
+
+    def anomalies(
+        self,
+        measure: str = "value",
+        bucket_ns: int = 60_000_000_000,
+        group: str = "event_type",
+        window_buckets: int = 100,
+        sigma: float = 3.0,
+        ts: str = "ts",
+    ) -> DataFrame:
+        """Rolling z-score outliers over per-bucket per-group totals
+        (the registry ``anomaly_zscore`` shape, parameterized): the
+        trailing-window second moments run over the rollup relation,
+        never the events; determinism via rounded raw moments."""
+        from pyspark.sql.window import Window as W
+
+        m = self.df.groupBy(
+            group,
+            F.expr(
+                f"((`{ts}` - pmod(`{ts}`, {bucket_ns})) div {bucket_ns})"
+            ).cast("long").alias("bucket"),
+        ).agg(F.round(F.sum(measure), 2).alias("x"))
+        win = (
+            W.partitionBy(group).orderBy("bucket").rowsBetween(-window_buckets, -1)
+        )
+        w = m.select(
+            group,
+            "bucket",
+            "x",
+            F.count("x").over(win).cast("bigint").alias("nw"),
+            F.round(F.sum("x").over(win).cast("double"), 2).alias("s1"),
+            F.round(
+                F.sum(F.col("x") * F.col("x")).over(win).cast("double"), 4
+            ).alias("s2"),
+        ).filter(F.col("nw") >= 20)
+        mu = F.round(F.col("s1") / F.col("nw"), 6)
+        sd = F.round(
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nw"))
+                / (F.col("nw") - 1)
+            ),
+            6,
+        )
+        d = w.select(group, "bucket", "x", mu.alias("mu"), sd.alias("sd"))
+        z = (F.col("x") - F.col("mu")) / F.col("sd")
+        return d.filter((F.col("sd") > 0.001) & (F.abs(z) > sigma)).select(
+            group, "bucket", "x", "mu", "sd", F.round(z, 4).alias("z")
+        )
+
+    def skew_profile(self, key: str) -> DataFrame:
+        """Join-key skew diagnostics (:mod:`mpes_spark.diagnostics`)."""
+        from mpes_spark.diagnostics import key_skew_profile
+
+        return key_skew_profile(self.df, key)
+
 
 _INTERVAL_UNITS_NS = {
     "millisecond": 1_000_000,

@@ -2291,55 +2291,17 @@ _ZSCORE_SQL = (
 
 @_q("anomaly_zscore", _ZSCORE_SQL)
 def anomaly_zscore(spark, sf_dir):
-    """Rolling z-score outliers over per-minute per-type totals: the
+    """Rolling z-score outliers over per-minute per-type totals (the
+    :meth:`EventPipeline.anomalies` facade, registry defaults): the
     trailing-100-bucket window runs over the ROLLUP relation
     (grid-bounded), never the events; one shuffle on event_type.
-    Determinism: the stddev comes from ROUNDED raw moments (sum x to
-    2, sum x^2 to 4 — the rollup rule extended to second moments; an
-    engine-internal stddev_samp would mix Welford vs sum-of-squares
-    accumulation orders), so mu/sd/z are identical IEEE chains in
-    both engines; the 3-sigma cut then filters identically."""
-    from pyspark.sql.window import Window as W
+    Determinism: stddev from ROUNDED raw moments (sum x to 2, sum x^2
+    to 4 — the rollup rule extended to second moments; an
+    engine-internal stddev_samp would mix accumulation orders), so
+    mu/sd/z are identical IEEE chains in both engines."""
+    from mpes_spark.pipeline import EventPipeline
 
-    ev = t(spark, sf_dir, "events")
-    minute = 60_000_000_000
-    m = ev.groupBy(
-        "event_type",
-        F.expr(
-            f"((ts - pmod(ts, {minute})) div {minute})"
-        ).cast("long").alias("bucket"),
-    ).agg(F.round(F.sum("value"), 2).alias("x"))
-    win = (
-        W.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(-100, -1)
-    )
-    w = m.select(
-        "event_type",
-        "bucket",
-        "x",
-        F.count("x").over(win).cast("bigint").alias("nw"),
-        F.round(F.sum("x").over(win).cast("double"), 2).alias("s1"),
-        F.round(F.sum(F.col("x") * F.col("x")).over(win).cast("double"), 4).alias(
-            "s2"
-        ),
-    ).filter(F.col("nw") >= 20)
-    mu = F.round(F.col("s1") / F.col("nw"), 6)
-    sd = F.round(
-        F.sqrt(
-            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("nw"))
-            / (F.col("nw") - 1)
-        ),
-        6,
-    )
-    d = w.select("event_type", "bucket", "x", mu.alias("mu"), sd.alias("sd"))
-    z = (F.col("x") - F.col("mu")) / F.col("sd")
-    return (
-        d.filter((F.col("sd") > 0.001) & (F.abs(z) > 3.0))
-        .select(
-            "event_type", "bucket", "x", "mu", "sd", F.round(z, 4).alias("z")
-        )
-    )
+    return EventPipeline(t(spark, sf_dir, "events")).anomalies()
 
 
 _GF_NS = 900_000_000_000  # 15-minute buckets
