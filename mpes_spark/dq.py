@@ -1,0 +1,220 @@
+"""Declarative data-quality constraint checking (the Deequ/dbt-test
+shape [Schelter et al. 2018, "Automating large-scale data quality
+verification"]): describe constraints, get back one tidy
+``(check_name, metric, passed)`` relation computed in as few passes as the
+constraint set allows.
+
+Scale shape: all single-column constraints (uniqueness, completeness,
+range, accepted-values, row count) collapse into ONE aggregation pass
+over the table — a handful of agg expressions riding a single scan,
+partial/final combined map-side. Referential-integrity checks each
+add one anti-join-shaped aggregation (broadcast when the key side is
+dim-sized). Nothing is ever collected except the per-check metric row.
+
+Metrics are fractions in [0, 1] (or row counts), rounded to 6 so the
+DuckDB oracle twin hash-matches; ``passed`` compares the ROUNDED
+metric against the threshold, so both engines decide identically.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Unique:
+    """distinct(col)/count == 1 (primary-key property)."""
+
+    col: str
+
+    @property
+    def name(self) -> str:
+        return f"unique_{self.col}"
+
+
+@dataclass(frozen=True)
+class NotNull:
+    """Fraction of non-NULL values must be >= ``min_fraction``."""
+
+    col: str
+    min_fraction: float = 1.0
+
+    @property
+    def name(self) -> str:
+        return f"notnull_{self.col}"
+
+
+@dataclass(frozen=True)
+class InRange:
+    """Fraction of non-NULL values inside [lo, hi] >= min_fraction."""
+
+    col: str
+    lo: float
+    hi: float
+    min_fraction: float = 1.0
+
+    @property
+    def name(self) -> str:
+        return f"range_{self.col}"
+
+
+@dataclass(frozen=True)
+class InSet:
+    """Fraction of non-NULL values in the accepted set >= min_fraction."""
+
+    col: str
+    values: tuple
+    min_fraction: float = 1.0
+
+    @property
+    def name(self) -> str:
+        return f"inset_{self.col}"
+
+
+@dataclass(frozen=True)
+class MinRows:
+    """Table must have at least ``n`` rows."""
+
+    n: int
+
+    @property
+    def name(self) -> str:
+        return "min_rows"
+
+
+Check = Unique | NotNull | InRange | InSet | MinRows
+
+
+def _metric_and_threshold(c: Check):
+    """(metric Column, pass threshold) — metric rounded to 6."""
+    if isinstance(c, Unique):
+        m = F.countDistinct(F.col(c.col)).cast("double") / F.count(F.col(c.col))
+        return F.round(m, 6), 1.0
+    if isinstance(c, NotNull):
+        m = F.count(F.col(c.col)).cast("double") / F.count(F.lit(1))
+        return F.round(m, 6), c.min_fraction
+    if isinstance(c, InRange):
+        ok = F.sum(
+            F.when(F.col(c.col).between(c.lo, c.hi), 1).otherwise(0)
+        ).cast("double")
+        return F.round(ok / F.count(F.col(c.col)), 6), c.min_fraction
+    if isinstance(c, InSet):
+        ok = F.sum(
+            F.when(F.col(c.col).isin(*c.values), 1).otherwise(0)
+        ).cast("double")
+        return F.round(ok / F.count(F.col(c.col)), 6), c.min_fraction
+    if isinstance(c, MinRows):
+        return F.count(F.lit(1)).cast("double"), float(c.n)
+    raise TypeError(f"unknown check {c!r}")
+
+
+def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate all single-table constraints in ONE aggregation pass;
+    returns ``(check_name, metric, passed)`` ordered by check name."""
+    exprs = []
+    thresholds: dict[str, float] = {}
+    for c in checks:
+        m, thr = _metric_and_threshold(c)
+        exprs.append(m.alias(c.name))
+        thresholds[c.name] = thr
+    wide = df.agg(*exprs)
+    stack_args = ", ".join(f"'{c.name}', `{c.name}`" for c in checks)
+    tidy = wide.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) AS (check_name, metric)")
+    )
+    passed = None
+    for name, thr in thresholds.items():
+        cond = F.when(
+            F.col("check_name") == name, (F.col("metric") >= F.lit(thr)).cast("int")
+        )
+        passed = cond if passed is None else passed.when(
+            F.col("check_name") == name, (F.col("metric") >= F.lit(thr)).cast("int")
+        )
+    return tidy.select("check_name", "metric", passed.alias("passed")).orderBy("check_name")
+
+
+def referential_integrity(
+    df: DataFrame, col: str, ref: DataFrame, ref_col: str
+) -> DataFrame:
+    """Fraction of non-NULL ``col`` values present in ``ref.ref_col``
+    as a one-row ``(check_name, metric, passed)`` relation — union it with
+    :func:`check_constraints` output. The membership probe is a
+    left-semi-shaped join against the DISTINCT key side (broadcast
+    when dim-sized); at 100 TB this is the same runtime-filter shape
+    as `bloom_semijoin_prune`, exact instead of approximate."""
+    keys = ref.select(F.col(ref_col).alias("_k")).distinct()
+    probe = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
+    hit = probe.join(keys, probe._v == keys._k, "left").agg(
+        F.round(
+            F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("metric")
+    )
+    return hit.select(
+        F.lit(f"fk_{col}").alias("check_name"),
+        "metric",
+        (F.col("metric") >= 1.0).cast("int").alias("passed"),
+    )
+
+
+def dq_report_sql(table: str, checks: Sequence[Check], order: bool = True) -> str:
+    """DuckDB oracle twin of :func:`check_constraints` (same names,
+    same rounded metrics, same thresholds). ``order=False`` returns
+    the bare UNION ALL for composition with :func:`fk_sql`."""
+    rows = []
+    for c in checks:
+        if isinstance(c, Unique):
+            m = (
+                f"round(CAST(count(DISTINCT {c.col}) AS DOUBLE)"
+                f" / count({c.col}), 6)"
+            )
+            thr = 1.0
+        elif isinstance(c, NotNull):
+            m = f"round(CAST(count({c.col}) AS DOUBLE) / count(*), 6)"
+            thr = c.min_fraction
+        elif isinstance(c, InRange):
+            m = (
+                f"round(CAST(sum(CASE WHEN {c.col} BETWEEN {c.lo} AND {c.hi}"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) / count({c.col}), 6)"
+            )
+            thr = c.min_fraction
+        elif isinstance(c, InSet):
+            vals = ", ".join(
+                f"'{v}'" if isinstance(v, str) else str(v) for v in c.values
+            )
+            m = (
+                f"round(CAST(sum(CASE WHEN {c.col} IN ({vals})"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) / count({c.col}), 6)"
+            )
+            thr = c.min_fraction
+        elif isinstance(c, MinRows):
+            m = "CAST(count(*) AS DOUBLE)"
+            thr = float(c.n)
+        else:
+            raise TypeError(f"unknown check {c!r}")
+        rows.append(
+            f"SELECT '{c.name}' AS check_name, {m} AS metric, "
+            f"CAST({m} >= {thr!r} AS INTEGER) AS passed FROM {table}"
+        )
+    body = " UNION ALL ".join(rows)
+    return body + " ORDER BY check_name" if order else body
+
+
+def fk_sql(table: str, col: str, ref_table: str, ref_col: str) -> str:
+    """DuckDB twin of :func:`referential_integrity`."""
+    m = (
+        f"round(CAST(sum(CASE WHEN r._k IS NOT NULL THEN 1 ELSE 0 END)"
+        f" AS DOUBLE) / count(*), 6)"
+    )
+    return (
+        f"SELECT 'fk_{col}' AS check_name, {m} AS metric, "
+        f"CAST({m} >= 1.0 AS INTEGER) AS passed "
+        f"FROM (SELECT {col} AS _v FROM {table} WHERE {col} IS NOT NULL) p "
+        f"LEFT JOIN (SELECT DISTINCT {ref_col} AS _k FROM {ref_table}) r "
+        f"ON p._v = r._k"
+    )

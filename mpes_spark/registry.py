@@ -2207,6 +2207,50 @@ def quantile_hist_approx(spark, sf_dir):
     )
 
 
+# -- declarative data-quality report (the Deequ/dbt-test shape,
+#    dq.py: single-pass metrics + one FK probe, tidy pass/fail) ----------
+
+def _dq_checks():
+    from mpes_spark.dq import InRange, InSet, MinRows, NotNull, Unique
+
+    return [
+        Unique("o_orderkey"),
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1e7),
+        InSet("o_orderstatus", ("F", "O", "P")),
+        MinRows(1000),
+    ]
+
+
+def _dq_sql() -> str:
+    from mpes_spark.dq import dq_report_sql, fk_sql
+
+    return (
+        "SELECT * FROM ("
+        + dq_report_sql("orders", _dq_checks(), order=False)
+        + " UNION ALL "
+        + fk_sql("lineitem", "l_orderkey", "orders", "o_orderkey")
+        + ") q ORDER BY check_name"
+    )
+
+
+@_q("dq_report", _dq_sql())
+def dq_report(spark, sf_dir):
+    """Data-quality constraint report over the orders table plus one
+    referential-integrity probe (lineitem -> orders): uniqueness,
+    completeness, range, accepted-values, and row-count metrics all
+    ride ONE aggregation pass; the FK check is one semi-join-shaped
+    aggregation. `passed` compares the ROUNDED metric so both engines
+    decide identically."""
+    from mpes_spark.dq import check_constraints, referential_integrity
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rep = check_constraints(o, _dq_checks())
+    fk = referential_integrity(li, "l_orderkey", o, "o_orderkey")
+    return rep.unionByName(fk).orderBy("check_name")
+
+
 # -- market-basket co-purchase lift (association-rule mining shape:
 #    pair generation stays WITHIN the order — bounded by
 #    lineitems-per-order squared, never corpus-quadratic) -----------------
@@ -2469,6 +2513,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gapfill_locf",
         "copurchase_lift",
         "anomaly_zscore",
+        "dq_report",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]

@@ -264,3 +264,35 @@ def test_auto_salted_agg_decision_and_equivalence(spark):
             for r in df.collect()
         }
         assert got == want
+
+
+def test_dq_checks_fail_when_violated(spark):
+    """A narrow range and a nullable column must come back passed=0
+    with the right fractional metrics; satisfied checks pass."""
+    from mpes_spark.dq import (
+        InRange,
+        MinRows,
+        NotNull,
+        Unique,
+        check_constraints,
+        referential_integrity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (3, 40.0)], "id bigint, v double"
+    )
+    rep = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in check_constraints(
+            df,
+            [Unique("id"), NotNull("v"), InRange("v", 0.0, 15.0), MinRows(10)],
+        ).collect()
+    }
+    assert rep["unique_id"] == (0.75, 0)
+    assert rep["notnull_v"] == (0.75, 0)
+    assert rep["range_v"][1] == 0  # only 1 of 3 non-null in [0, 15]
+    assert rep["min_rows"] == (4.0, 0)
+
+    ref = spark.createDataFrame([(1,), (2,)], "k bigint")
+    fk = referential_integrity(df, "id", ref, "k").collect()[0]
+    assert fk["passed"] == 0 and 0 < fk["metric"] < 1
