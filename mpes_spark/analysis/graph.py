@@ -47,6 +47,7 @@ def pagerank(
     checkpoint_every: int | None = None,
     normalize: bool = False,
     pin_edges: str | None = "checkpoint",
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list.
 
@@ -55,11 +56,21 @@ def pagerank(
     by the node count (mean exactly 1.0, the scale at which a
     6-decimal round is meaningful regardless of graph size).
 
+    With ``weight=`` (a positive edge-weight column, e.g. trade
+    volume), each source distributes its rank proportionally to edge
+    weight instead of uniformly: outdeg becomes the per-source weight
+    SUM and each contribution is r * w / sum_w — the standard
+    weighted-PageRank generalization (uniform weights reduce to the
+    unweighted ranks exactly).
+
     Dangling nodes (no out-edges) redistribute their mass uniformly,
     the standard correction, via a 1-row aggregate — never a driver
     round-trip.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight is not None:
+        cols.append(F.col(weight).cast("double").alias("w"))
+    e = edges.select(*cols)
     if partitions:
         e = e.repartition(partitions, "src")
     # The unrolled lazy plan references the edge relation in EVERY
@@ -88,9 +99,10 @@ def pagerank(
         nodes = nodes.localCheckpoint(eager=True)
     elif pin_edges == "persist":
         nodes = nodes.persist()
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
+    deg_agg = (
+        F.sum("w") if weight is not None else F.count(F.lit(1)).cast("double")
     )
+    deg = e.groupBy(F.col("src").alias("node")).agg(deg_agg.alias("outdeg"))
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     one_minus_d = 1.0 - damping
 
@@ -105,7 +117,13 @@ def pagerank(
                 e.src == rd.node,
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("r") / F.col("outdeg")).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("r") * F.col("w") / F.col("outdeg")
+                    if weight is not None
+                    else F.col("r") / F.col("outdeg")
+                ).alias("c")
+            )
         )
         dang = rd.filter(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")

@@ -296,3 +296,37 @@ def test_dq_checks_fail_when_violated(spark):
     ref = spark.createDataFrame([(1,), (2,)], "k bigint")
     fk = referential_integrity(df, "id", ref, "k").collect()[0]
     assert fk["passed"] == 0 and 0 < fk["metric"] < 1
+
+
+def test_weighted_pagerank_uniform_reduces_to_unweighted(spark):
+    edges = [("a", "b", 2.0), ("a", "c", 2.0), ("b", "c", 5.0), ("c", "a", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    plain = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()
+    }
+    # constant weights -> identical ranks
+    const = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df.withColumn("w", F.lit(3.0)), iters=5, weight="w"
+        ).collect()
+    }
+    for k in plain:
+        assert const[k] == pytest.approx(plain[k], abs=1e-12)
+
+
+def test_weighted_pagerank_follows_weight(spark):
+    """a splits 90/10 between b and c: b must outrank c."""
+    edges = [
+        ("a", "b", 9.0),
+        ("a", "c", 1.0),
+        ("b", "a", 1.0),
+        ("c", "a", 1.0),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=8, weight="w").collect()
+    }
+    assert got["b"] > got["c"]
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
