@@ -107,3 +107,28 @@ def rollup_maintenance_sink(
         return state["rollup"]
 
     return handle, current
+
+
+def dq_monitor_sink(checks, on_violation=None):
+    """``foreachBatch`` data-quality monitor: evaluate
+    :func:`mpes_spark.dq.check_constraints` on EVERY micro-batch (one
+    aggregation pass per batch — delta-sized, never history) and keep
+    the per-batch report history in a driver-side list of rows
+    (batch_id, check_name, metric, passed). ``on_violation(batch_id,
+    rows)`` fires when any check fails in a batch — the alerting hook
+    an ingest pipeline wires to its pager. Returns
+    ``(handle, history)``."""
+    from mpes_spark.dq import check_constraints
+
+    history: list = []
+
+    def handle(batch, batch_id: int) -> None:
+        rows = check_constraints(batch, checks).collect()
+        history.extend(
+            (batch_id, r["check_name"], r["metric"], r["passed"]) for r in rows
+        )
+        bad = [r for r in rows if r["passed"] == 0]
+        if bad and on_violation is not None:
+            on_violation(batch_id, bad)
+
+    return handle, history

@@ -486,3 +486,27 @@ def test_rollup_maintenance_sink_matches_batch(spark, stream_dir):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_dq_monitor_sink_flags_bad_batches(spark, stream_dir):
+    """Per-batch constraint evaluation: a range check that the data
+    violates must fire the alert hook in every batch; a satisfied
+    completeness check must pass throughout."""
+    from mpes_spark.dq import InRange, NotNull
+    from mpes_spark.streaming.stateful import dq_monitor_sink
+
+    alerts = []
+    handle, history = dq_monitor_sink(
+        [NotNull("event_id"), InRange("value", 0.0, 1.0)],
+        on_violation=lambda bid, rows: alerts.append((bid, len(rows))),
+    )
+    stream = read_event_stream(spark, stream_dir, _SCHEMA)
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert history, "no batches monitored"
+    by_check = {}
+    for _bid, name, _m, passed in history:
+        by_check.setdefault(name, []).append(passed)
+    assert all(p == 1 for p in by_check["notnull_event_id"])
+    assert all(p == 0 for p in by_check["range_value"])  # values exceed 1.0
+    assert len(alerts) == len(by_check["range_value"])
