@@ -262,6 +262,22 @@ class CorpusPipeline:
             self.df, seq_tokens, self.text, self.id_col, buckets
         )
 
+    def check(self, checks, fail_fast: bool = False) -> DataFrame:
+        """Data-quality gate (:mod:`mpes_spark.dq`): evaluate the
+        constraint list in one aggregation pass over the CURRENT
+        corpus state — drop this between stages to audit what a
+        dedup/filter step did to the data. ``fail_fast=True`` raises
+        if any constraint fails (the CI-pipeline mode); otherwise
+        returns the (check_name, metric, passed) report."""
+        from mpes_spark.dq import check_constraints
+
+        rep = check_constraints(self.df, checks)
+        if fail_fast:
+            bad = [r["check_name"] for r in rep.collect() if r["passed"] == 0]
+            if bad:
+                raise ValueError(f"data-quality constraints failed: {bad}")
+        return rep
+
     def count_tokens(self) -> int:
         """Total whitespace tokens in the current corpus."""
         return int(

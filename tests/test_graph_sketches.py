@@ -330,3 +330,16 @@ def test_weighted_pagerank_follows_weight(spark):
     }
     assert got["b"] > got["c"]
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_corpus_pipeline_check_gate(spark):
+    from mpes_spark.dq import MinRows, NotNull, Unique
+    from mpes_spark.extras.pipeline import CorpusPipeline
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    p = CorpusPipeline(docs)
+    rep = p.check([Unique("doc_id"), NotNull("text"), MinRows(10)])
+    assert all(r["passed"] == 1 for r in rep.collect())
+    with pytest.raises(ValueError, match="min_rows"):
+        p.check([MinRows(10_000_000)], fail_fast=True)
