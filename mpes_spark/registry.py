@@ -1508,6 +1508,126 @@ def cube_rollup(spark, sf_dir):
     )
 
 
+# -- explicit GROUPING SETS (non-chained granularities in one pass —
+#    CUBE/ROLLUP are the closed forms; this is the general one,
+#    with grouping_id() disambiguating all-NULL data keys) ----------------
+
+_GSETS_SQL = (
+    "SELECT coalesce(l_returnflag, '(all)') AS rf, "
+    "coalesce(l_linestatus, '(all)') AS ls, "
+    "CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) "
+    "  AS gid, "
+    "CAST(count(*) AS BIGINT) AS cnt, round(sum(l_extendedprice), 2) AS rev "
+    "FROM lineitem GROUP BY GROUPING SETS "
+    "((l_returnflag, l_linestatus), (l_linestatus), ())"
+)
+
+
+@_q("grouping_sets_report", _GSETS_SQL)
+def grouping_sets_report(spark, sf_dir):
+    """GROUPING SETS with a non-rollup-chain set list ((rf, ls),
+    (ls), ()) — one expand + one aggregation pass where three
+    separate groupBys would scan thrice; grouping_id marks which set
+    each output row belongs to (the only reliable way once data keys
+    can be NULL). Same single-scan contract as `cube_rollup`, general
+    set lists."""
+    return spark.sql(
+        "SELECT coalesce(l_returnflag, '(all)') AS rf, "
+        "coalesce(l_linestatus, '(all)') AS ls, "
+        "CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) "
+        "  AS gid, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        "round(sum(l_extendedprice), 2) AS rev "
+        f"FROM parquet.`{sf_dir}/lineitem.parquet` GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_linestatus), ())"
+    )
+
+
+# -- top event paths (3-step journey mining: two leads + bounded agg) ----
+
+_TOP_PATHS_SQL = (
+    "WITH p AS (SELECT event_type AS e1, "
+    "  lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 "
+    "  FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)) "
+    "SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt FROM p "
+    "WHERE e2 IS NOT NULL AND e3 IS NOT NULL "
+    "GROUP BY e1, e2, e3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 5"
+)
+
+
+@_q("top_paths", _TOP_PATHS_SQL)
+def top_paths(spark, sf_dir):
+    """Most common 3-step user journeys: one shuffle on user_id, two
+    sorted leads (per-partition state is two rows), agg bounded by
+    |types|^3, TakeOrdered top-5. The trigram generalization of
+    `event_transitions`."""
+    from pyspark.sql.window import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        p.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "e1", "e2", "e3")
+        .limit(5)
+    )
+
+
+# -- first-touch attribution (the window-bounded dual of the as-of
+#    join: EARLIEST touch inside the lookback, not latest-before) --------
+
+_WEEK7_NS = 7 * 86_400_000_000_000
+
+_FIRST_TOUCH_SQL = (
+    "SELECT p.event_id, CAST(min(epoch_us(c.ts)) AS BIGINT) "
+    "  AS first_click_us, "
+    "CAST(count(*) AS BIGINT) AS n_window_clicks "
+    "FROM (SELECT event_id, user_id, epoch_ns(ts) AS tns FROM events "
+    "WHERE event_type = 'purchase') p "
+    "JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c "
+    "ON c.user_id = p.user_id AND epoch_ns(c.ts) <= p.tns "
+    f"AND epoch_ns(c.ts) > p.tns - {_WEEK7_NS} "
+    "GROUP BY p.event_id"
+)
+
+
+@_q("first_touch_attribution", _FIRST_TOUCH_SQL)
+def first_touch_attribution(spark, sf_dir):
+    """First-touch attribution: for each purchase, the EARLIEST click
+    of the same user inside a 7-day lookback (plus how many clicks
+    the window held). Equi-join on user_id with the time bounds as
+    residual predicates — the same join shape as `asof_latest_event`,
+    min instead of max, bounded window instead of open-ended. At
+    skew, the per-user click fan-out is capped by the lookback."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.lit(_WEEK7_NS)),
+        )
+        .groupBy("event_id")
+        .agg(
+            F.expr("CAST(min(cts) div 1000 AS BIGINT)").alias("first_click_us"),
+            F.count(F.lit(1)).cast("bigint").alias("n_window_clicks"),
+        )
+    )
+
+
 # -- distinct counting: exact (oracled) and HLL sketch (approximate;
 #    engines use different sketch impls -> rows-only + tolerance test) ------
 @_q(
@@ -2514,6 +2634,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lift",
         "anomaly_zscore",
         "dq_report",
+        "grouping_sets_report",
+        "top_paths",
+        "first_touch_attribution",
         # longest-ago driver check (green r2, out of window r3):
         *(q.name for q in _REGISTRY if q.sql is not None),
     ]
