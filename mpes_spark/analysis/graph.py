@@ -194,3 +194,31 @@ def pagerank_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -> str:
         f"SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_norm"
         f" FROM r{iters}"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_edge_limit: int = 1_000_000,
+) -> DataFrame:
+    """Generic-graph entry point to the distributed connected-
+    components resolver (min-label propagation + pointer jumping,
+    two-tier driver/distributed strategy — see
+    :func:`mpes_spark.extras.dedup.connected_components`, which owns
+    the algorithm and its oracle/`dedup_clusters` gate coverage).
+    Returns ``(node, component)`` where component is the minimum node
+    id of the component. Node ids must be integral (the driver-tier
+    union-find materializes a ``long`` schema); hash string ids
+    through ``xxhash64`` first."""
+    from mpes_spark.extras.dedup import connected_components as _cc
+
+    pairs = edges.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+    out = _cc(
+        pairs,
+        id_col="node",
+        max_iter=max_iter,
+        driver_edge_limit=driver_edge_limit,
+    )
+    return out.select("node", F.col("cluster_id").alias("component"))

@@ -343,3 +343,17 @@ def test_corpus_pipeline_check_gate(spark):
     assert all(r["passed"] == 1 for r in rep.collect())
     with pytest.raises(ValueError, match="min_rows"):
         p.check([MinRows(10_000_000)], fail_fast=True)
+
+
+def test_graph_connected_components_wrapper(spark):
+    """Two components + a transitive chain, through both tiers."""
+    from mpes_spark.analysis.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for limit in (1_000_000, 0):  # driver union-find tier, distributed tier
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_edge_limit=limit).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
