@@ -357,3 +357,81 @@ def test_graph_connected_components_wrapper(spark):
             for r in connected_components(df, driver_edge_limit=limit).collect()
         }
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# -- hypothesis properties (Spark-free numpy/pandas replicas keep the
+#    example count high without per-example Spark jobs; one Spark
+#    confirmation run per property lives above) ---------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.floats(0, 100, allow_nan=False)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(2, 5),
+)
+def test_rollup_merge_algebra_numpy(rows, nsplit):
+    """merge_rollups algebra on the driver: any split of (bucket, x)
+    rows re-merges to the single-pass rollup exactly for cnt/min/max
+    and to 2-dp rounding for sum — the invariant the Spark
+    implementation relies on (Spark-side single confirmation:
+    test_merge_rollups_split_invariant)."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["bucket", "x"])
+
+    def roll(d):
+        return d.groupby("bucket")["x"].agg(["count", "sum", "min", "max"])
+
+    whole = roll(df)
+    parts = [df.iloc[i::nsplit] for i in range(nsplit)]
+    merged = (
+        pd.concat([roll(p) for p in parts if len(p)])
+        .groupby(level=0)
+        .agg({"count": "sum", "sum": "sum", "min": "min", "max": "max"})
+    )
+    assert merged["count"].equals(whole["count"])
+    assert merged["min"].equals(whole["min"])
+    assert merged["max"].equals(whole["max"])
+    assert (merged["sum"].round(2) - whole["sum"].round(2)).abs().max() <= 0.01
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_dq_oracle_sql_matches_python_reference(vals):
+    """The dq DuckDB oracle twin against a plain-python reference on
+    generated data (engine-free side of the gate: if this holds and
+    the Spark-vs-oracle gate holds, Spark matches the reference by
+    transitivity)."""
+    import duckdb
+
+    from mpes_spark.dq import InRange, MinRows, NotNull, dq_report_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tv (v DOUBLE)")
+    con.executemany("INSERT INTO tv VALUES (?)", [(v,) for v in vals])
+    rep = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            dq_report_sql("tv", [NotNull("v"), InRange("v", 0.0, 15.0), MinRows(10)])
+        ).fetchall()
+    }
+    nn = [v for v in vals if v is not None]
+    want_nn = round(len(nn) / len(vals), 6)
+    assert rep["notnull_v"] == (want_nn, int(want_nn >= 1.0))
+    if nn:
+        want_ir = round(sum(1 for v in nn if 0.0 <= v <= 15.0) / len(nn), 6)
+        assert rep["range_v"] == (want_ir, int(want_ir >= 1.0))
+    assert rep["min_rows"] == (float(len(vals)), int(len(vals) >= 10))
