@@ -1,0 +1,40 @@
+"""Driver-contract guard for __spark_entry__: the three functions the
+harness calls, their shapes, and the gate-window invariants the
+rotation policy promises (COVERAGE.md) — so a refactor that breaks
+the contract fails HERE, not in the driver's round report."""
+
+from __future__ import annotations
+
+import __spark_entry__ as ent
+
+
+def test_entry_module_shape():
+    q = ent.queries()
+    o = ent.oracle_sql()
+    assert callable(ent.entry)
+    assert isinstance(q, dict) and isinstance(o, dict)
+    assert len(q) >= 136
+    # every oracle key is a registered query, every oracle is SQL text
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_gate_window_has_no_rows_only_entries():
+    """The driver records roughly the first 50 queries; rows-only
+    entries there burn gate slots on err:no_oracle rows (VERDICT r3
+    #2). The rotation policy keeps them dead last."""
+    q = list(ent.queries())
+    o = ent.oracle_sql()
+    assert [k for k in q[:50] if k not in o] == []
+    # and the rows-only block really is terminal
+    rows_only = [k for k in q if k not in o]
+    assert q[-len(rows_only):] == rows_only
+
+
+def test_entry_runs_smoke(spark):
+    """entry() must run on the smallest fixture and return a stable
+    non-empty schema (the driver's smoke check)."""
+    df = ent.entry(spark)
+    assert df.schema.fields
+    assert df.count() >= 0
