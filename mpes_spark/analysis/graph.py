@@ -65,7 +65,10 @@ def pagerank(
 
     Dangling nodes (no out-edges) redistribute their mass uniformly,
     the standard correction, via a 1-row aggregate — never a driver
-    round-trip.
+    round-trip. In the weighted case a source whose weights sum to
+    <= 0 is treated as dangling too (its contributions would divide by
+    zero to NULL and silently vanish from the sum, losing rank mass);
+    with that rule ranks sum to 1 for any weight column.
     """
     cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
     if weight is not None:
@@ -113,7 +116,10 @@ def pagerank(
         rd = rank.join(deg, "node", "left")
         contrib = (
             e.join(
-                rd.filter(F.col("outdeg").isNotNull()),
+                # outdeg > 0 is NULL-safe-false for missing outdeg, so
+                # this one predicate excludes both true dangling nodes
+                # and weighted sources with non-positive weight sums.
+                rd.filter(F.col("outdeg") > 0),
                 e.src == rd.node,
             )
             .groupBy(F.col("dst").alias("node"))
@@ -125,7 +131,9 @@ def pagerank(
                 ).alias("c")
             )
         )
-        dang = rd.filter(F.col("outdeg").isNull()).agg(
+        dang = rd.filter(
+            F.col("outdeg").isNull() | (F.col("outdeg") <= 0)
+        ).agg(
             F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
         )
         rank = (

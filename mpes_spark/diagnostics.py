@@ -117,9 +117,13 @@ def auto_salted_agg(
     from mpes_spark.transforms.columns import salted_agg
 
     prof = key_skew_profile(df, keys[0]).collect()[0]
-    buckets = min(
-        max_buckets, max(1, math.ceil(prof["max_cnt"] / rows_per_task_budget))
-    )
+    if prof["max_cnt"] is None:
+        # Empty input / all-NULL key: no skew to split; plain groupBy.
+        buckets = 1
+    else:
+        buckets = min(
+            max_buckets, max(1, math.ceil(prof["max_cnt"] / rows_per_task_budget))
+        )
     decision = {
         "salt_buckets": buckets,
         "max_cnt": prof["max_cnt"],

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Unique:
-    """distinct(col)/count == 1 (primary-key property)."""
+    """distinct(col)/count(*) == 1 (primary-key property). The
+    denominator is ALL rows, so NULLs count against uniqueness — a PK
+    column with NULL rows fails both this and its NotNull companion
+    rather than slipping through (distinct/count both skip NULLs, so a
+    non-NULL-only ratio would pass a column that is half NULL)."""
 
     col: str
 
@@ -90,23 +94,29 @@ Check = Unique | NotNull | InRange | InSet | MinRows
 
 
 def _metric_and_threshold(c: Check):
-    """(metric Column, pass threshold) — metric rounded to 6."""
+    """(metric Column, pass threshold) — metric rounded to 6. Ratios
+    use try_divide so an empty table / all-NULL column yields a NULL
+    metric (coalesced to passed=0 downstream) instead of an ANSI
+    divide-by-zero error; the SQL twin's nullif() denominators are the
+    same semantics."""
     if isinstance(c, Unique):
-        m = F.countDistinct(F.col(c.col)).cast("double") / F.count(F.col(c.col))
+        m = F.try_divide(
+            F.countDistinct(F.col(c.col)).cast("double"), F.count(F.lit(1))
+        )
         return F.round(m, 6), 1.0
     if isinstance(c, NotNull):
-        m = F.count(F.col(c.col)).cast("double") / F.count(F.lit(1))
+        m = F.try_divide(F.count(F.col(c.col)).cast("double"), F.count(F.lit(1)))
         return F.round(m, 6), c.min_fraction
     if isinstance(c, InRange):
         ok = F.sum(
             F.when(F.col(c.col).between(c.lo, c.hi), 1).otherwise(0)
         ).cast("double")
-        return F.round(ok / F.count(F.col(c.col)), 6), c.min_fraction
+        return F.round(F.try_divide(ok, F.count(F.col(c.col))), 6), c.min_fraction
     if isinstance(c, InSet):
         ok = F.sum(
             F.when(F.col(c.col).isin(*c.values), 1).otherwise(0)
         ).cast("double")
-        return F.round(ok / F.count(F.col(c.col)), 6), c.min_fraction
+        return F.round(F.try_divide(ok, F.count(F.col(c.col))), 6), c.min_fraction
     if isinstance(c, MinRows):
         return F.count(F.lit(1)).cast("double"), float(c.n)
     raise TypeError(f"unknown check {c!r}")
@@ -134,7 +144,12 @@ def check_constraints(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         passed = cond if passed is None else passed.when(
             F.col("check_name") == name, (F.col("metric") >= F.lit(thr)).cast("int")
         )
-    return tidy.select("check_name", "metric", passed.alias("passed")).orderBy("check_name")
+    # NULL metric (empty table, all-NULL column) must read as FAILURE,
+    # not pass-by-vacuity: fail_fast gates and the streaming monitor
+    # test `passed == 0`, so a NULL `passed` would slip through.
+    return tidy.select(
+        "check_name", "metric", F.coalesce(passed, F.lit(0)).alias("passed")
+    ).orderBy("check_name")
 
 
 def referential_integrity(
@@ -150,16 +165,27 @@ def referential_integrity(
     probe = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("_v"))
     hit = probe.join(keys, probe._v == keys._k, "left").agg(
         F.round(
-            F.sum(F.when(F.col("_k").isNotNull(), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("_k").isNotNull(), 1).otherwise(0)
+                ).cast("double"),
+                F.count(F.lit(1)),
+            ),
             6,
         ).alias("metric")
     )
     return hit.select(
         F.lit(f"fk_{col}").alias("check_name"),
         "metric",
-        (F.col("metric") >= 1.0).cast("int").alias("passed"),
+        F.coalesce((F.col("metric") >= 1.0).cast("int"), F.lit(0)).alias("passed"),
     )
+
+
+def _sql_str(v) -> str:
+    """Render a Python string as a SQL string literal, doubling embedded
+    single quotes so values like ``O'Brien`` can't produce malformed (or
+    injectable) oracle SQL."""
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def dq_report_sql(table: str, checks: Sequence[Check], order: bool = True) -> str:
@@ -171,25 +197,25 @@ def dq_report_sql(table: str, checks: Sequence[Check], order: bool = True) -> st
         if isinstance(c, Unique):
             m = (
                 f"round(CAST(count(DISTINCT {c.col}) AS DOUBLE)"
-                f" / count({c.col}), 6)"
+                f" / nullif(count(*), 0), 6)"
             )
             thr = 1.0
         elif isinstance(c, NotNull):
-            m = f"round(CAST(count({c.col}) AS DOUBLE) / count(*), 6)"
+            m = f"round(CAST(count({c.col}) AS DOUBLE) / nullif(count(*), 0), 6)"
             thr = c.min_fraction
         elif isinstance(c, InRange):
             m = (
                 f"round(CAST(sum(CASE WHEN {c.col} BETWEEN {c.lo} AND {c.hi}"
-                f" THEN 1 ELSE 0 END) AS DOUBLE) / count({c.col}), 6)"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) / nullif(count({c.col}), 0), 6)"
             )
             thr = c.min_fraction
         elif isinstance(c, InSet):
             vals = ", ".join(
-                f"'{v}'" if isinstance(v, str) else str(v) for v in c.values
+                _sql_str(v) if isinstance(v, str) else str(v) for v in c.values
             )
             m = (
                 f"round(CAST(sum(CASE WHEN {c.col} IN ({vals})"
-                f" THEN 1 ELSE 0 END) AS DOUBLE) / count({c.col}), 6)"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) / nullif(count({c.col}), 0), 6)"
             )
             thr = c.min_fraction
         elif isinstance(c, MinRows):
@@ -198,8 +224,9 @@ def dq_report_sql(table: str, checks: Sequence[Check], order: bool = True) -> st
         else:
             raise TypeError(f"unknown check {c!r}")
         rows.append(
-            f"SELECT '{c.name}' AS check_name, {m} AS metric, "
-            f"CAST({m} >= {thr!r} AS INTEGER) AS passed FROM {table}"
+            f"SELECT {_sql_str(c.name)} AS check_name, {m} AS metric, "
+            f"CAST(coalesce({m} >= {thr!r}, FALSE) AS INTEGER) AS passed"
+            f" FROM {table}"
         )
     body = " UNION ALL ".join(rows)
     return body + " ORDER BY check_name" if order else body
@@ -209,11 +236,11 @@ def fk_sql(table: str, col: str, ref_table: str, ref_col: str) -> str:
     """DuckDB twin of :func:`referential_integrity`."""
     m = (
         f"round(CAST(sum(CASE WHEN r._k IS NOT NULL THEN 1 ELSE 0 END)"
-        f" AS DOUBLE) / count(*), 6)"
+        f" AS DOUBLE) / nullif(count(*), 0), 6)"
     )
     return (
         f"SELECT 'fk_{col}' AS check_name, {m} AS metric, "
-        f"CAST({m} >= 1.0 AS INTEGER) AS passed "
+        f"CAST(coalesce({m} >= 1.0, FALSE) AS INTEGER) AS passed "
         f"FROM (SELECT {col} AS _v FROM {table} WHERE {col} IS NOT NULL) p "
         f"LEFT JOIN (SELECT DISTINCT {ref_col} AS _k FROM {ref_table}) r "
         f"ON p._v = r._k"

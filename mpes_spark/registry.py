@@ -1246,13 +1246,31 @@ def pagerank_custsupp(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
     )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    pr = pagerank(edges, iters=3, damping=0.85, normalize=True)
+    # symmetrize in ONE pass over the orders⋈lineitem join (a union of
+    # two selects would execute that join twice inside the pagerank
+    # edge checkpoint) — same idiom as dedup.connected_components
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    pr = pagerank(
+        edges,
+        iters=3,
+        damping=0.85,
+        normalize=True,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
     return pr.select("node", F.round("rank_norm", 6).alias("rank_norm"))
 
 

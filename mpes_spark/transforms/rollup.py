@@ -65,14 +65,38 @@ def time_rollup(
     )
 
 
+def _rollup_keys(rollup: DataFrame, keys: list[str] | None) -> list[str]:
+    """Resolve the key columns of a rollup frame. ``keys=None`` INFERS
+    them as every column besides ``bucket`` and the mergeable measures,
+    so a keyed rollup can never be silently collapsed across its key
+    groups by a caller that forgot ``keys=``. Explicit ``keys`` are
+    validated against the schema: a key absent from the frame, or an
+    extra non-measure column not listed in ``keys``, raises rather than
+    silently dropping/collapsing it."""
+    missing_m = [c for c in _MEASURES if c not in rollup.columns]
+    if missing_m:
+        raise ValueError(f"not a rollup frame (missing {missing_m})")
+    extra = [c for c in rollup.columns if c != "bucket" and c not in _MEASURES]
+    if keys is None:
+        return extra
+    absent = [k for k in keys if k not in rollup.columns]
+    if absent:
+        raise ValueError(f"keys {absent} not in rollup columns {rollup.columns}")
+    unexpected = [c for c in extra if c not in keys]
+    if unexpected:
+        raise ValueError(
+            f"rollup has key-like columns {unexpected} not listed in keys={keys};"
+            " aggregating across them would silently merge key groups"
+        )
+    return list(keys)
+
+
 def coarsen(rollup: DataFrame, factor: int, keys: list[str] | None = None) -> DataFrame:
     """Re-aggregate a rollup to buckets ``factor``x coarser — same
     schema, no raw-event scan. Composable: coarsen(coarsen(r, 60), 24)
-    is minutes -> hours -> days."""
-    keys = keys or []
-    missing = [c for c in _MEASURES if c not in rollup.columns]
-    if missing:
-        raise ValueError(f"not a rollup frame (missing {missing})")
+    is minutes -> hours -> days. Key columns are inferred from the
+    schema when ``keys`` is omitted (see :func:`_rollup_keys`)."""
+    keys = _rollup_keys(rollup, keys)
     return rollup.groupBy(
         _floor_div("bucket", factor).alias("bucket"), *keys
     ).agg(
@@ -95,12 +119,15 @@ def merge_rollups(
     At 100 TB this is the whole point of the cascade: a new ingest
     batch re-aggregates ONLY its own buckets (delta-sized shuffle)
     and merges into history without rescanning it; hash-partitioned
-    history on ``bucket`` makes the merge co-located."""
-    keys = keys or []
+    history on ``bucket`` makes the merge co-located.
+
+    Key columns are inferred from the first frame's schema when
+    ``keys`` is omitted and every frame is validated against them, so
+    merging keyed rollups without ``keys=`` can no longer silently
+    aggregate across the key groups."""
+    keys = _rollup_keys(rollups[0], keys)
     for r in rollups:
-        missing = [c for c in _MEASURES if c not in r.columns]
-        if missing:
-            raise ValueError(f"not a rollup frame (missing {missing})")
+        _rollup_keys(r, keys)
     out = rollups[0]
     for r in rollups[1:]:
         out = out.unionByName(r)
