@@ -2539,6 +2539,94 @@ def rollup_gapfill_locf(spark, sf_dir):
     )
 
 
+# -- binary ingest under a FULL hash-match oracle (VERDICT r4 #4): the
+#    SyntheticBackend is a pure function of (file, stream, event index),
+#    so DuckDB can recompute the ENTIRE ingest independently — stream
+#    values (float64 sweep -> float32 cast), per-event timeStamps
+#    reconstruction from msMarkers, chunked assembly — and the twin is
+#    execution-order-independent (it never reads Spark's output).
+#    Constants are Python-precomputed and inlined as CAST(repr AS
+#    DOUBLE) so DuckDB's DECIMAL literal parsing can't diverge.
+_ING_N = 100_000  # events per file (fixed: this query gates numerics;
+_ING_FILES = 4  # binary_ingest_hist owns the sf-scaled bench volume)
+_ING_STRIDE_X = repr(0.61803398875 + 0.1 * 0)  # stream 0 = X
+_ING_STRIDE_ADC = repr(0.61803398875 + 0.1 * 3)  # stream 3 = ADC
+_ING_LAST_MARKER = (_ING_N - 1) // 1000 * 1000  # 99000
+_ING_NMARK = len(range(0, _ING_N, 1000))  # 100
+
+_BINARY_INGEST_ORACLE_SQL = f"""
+WITH ev AS (
+  SELECT 'synth_' || CAST(f AS VARCHAR) AS file,
+    CAST(fmod(CAST(idx AS DOUBLE) * CAST('{_ING_STRIDE_X}' AS DOUBLE)
+              + CAST(f AS DOUBLE) * CAST('1013.0' AS DOUBLE),
+              CAST('1000.0' AS DOUBLE)) AS FLOAT) AS X,
+    CAST(fmod(CAST(idx AS DOUBLE) * CAST('{_ING_STRIDE_ADC}' AS DOUBLE)
+              + CAST(f AS DOUBLE) * CAST('1013.0' AS DOUBLE),
+              CAST('1000.0' AS DOUBLE)) AS FLOAT) AS ADC,
+    (CAST('1700000000.0' AS DOUBLE) + CAST(f AS DOUBLE) * CAST('3600.0' AS DOUBLE))
+      + (CASE WHEN idx >= {_ING_LAST_MARKER} THEN {_ING_NMARK}
+              ELSE idx // 1000 END) / CAST('1000.0' AS DOUBLE) AS timeStamps
+  FROM (SELECT t1.range AS f, t2.range AS idx
+        FROM range({_ING_FILES}) t1, range({_ING_N}) t2)
+)
+SELECT file,
+  CAST(floor(X / CAST('15.625' AS DOUBLE)) AS BIGINT) AS bin_x,
+  CAST(count(*) AS BIGINT) AS cnt,
+  round(sum(CAST(ADC AS DOUBLE)), 2) AS sum_adc,
+  round(min(timeStamps), 3) AS ts_min,
+  round(max(timeStamps), 3) AS ts_max
+FROM ev GROUP BY file, bin_x
+"""
+
+
+@_q("binary_ingest_oracle", _BINARY_INGEST_ORACLE_SQL)
+def binary_ingest_oracle(spark, sf_dir):
+    """Full-pipeline ingest gate: chunk plan -> mapInPandas assembly
+    (float32 cast, timeStamps reconstruction from msMarkers,
+    fprocessing.py:628-698) -> convert_to_parquet -> per-(file, X-bin)
+    aggregate over the converted columnar output — hash-matched
+    against a DuckDB twin that RE-DERIVES the same synthetic events
+    from the (file, stream, index) generator, so every assembly
+    numeric (value sweep, float32 rounding, marker piecewise fill) is
+    independently confirmed, not just replayed. Fixed volume (4 files
+    x 100k events, 2 chunks per file) — the sf-scaled bench load
+    lives in ``binary_ingest_hist``."""
+    import os
+    import tempfile
+
+    from mpes_spark.io.binary_source import (
+        IngestSpec,
+        SyntheticBackend,
+        convert_to_parquet,
+    )
+
+    backend = SyntheticBackend(events_per_file=_ING_N)
+    paths = [f"synth_{k}" for k in range(_ING_FILES)]
+    out = os.path.join(tempfile.gettempdir(), "mpes_spark_ingest_oracle")
+    convert_to_parquet(
+        spark,
+        paths,
+        backend,
+        out,
+        IngestSpec(
+            aliases=["X", "ADC"],
+            timestamps=True,
+            with_file=True,
+            chunk_size=50_000,
+        ),
+    )
+    ev = spark.read.parquet(out)
+    return ev.groupBy(
+        "file",
+        F.floor(F.col("X") / F.lit(15.625)).cast("bigint").alias("bin_x"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(F.sum(F.col("ADC").cast("double")), 2).alias("sum_adc"),
+        F.round(F.min("timeStamps"), 3).alias("ts_min"),
+        F.round(F.max("timeStamps"), 3).alias("ts_max"),
+    )
+
+
 @_q("binary_ingest_hist", None)  # synthetic source: rows-only by design
 def binary_ingest_hist(spark, sf_dir):
     """The binary ingest seam under the bench clock (VERDICT r3 #7):
@@ -2588,24 +2676,55 @@ def binary_ingest_hist(spark, sf_dir):
 # public accessors
 # ===========================================================================
 
+def _last_gated_round() -> dict[str, int]:
+    """Per-query round number of the most recent driver gate row,
+    parsed from the committed ``CORRECTNESS_r*.json`` artifacts at the
+    repo root. Best-effort: returns {} on a tree without driver
+    artifacts, which degrades the rotation to stable registry order."""
+    import glob
+    import json as _json
+    import os
+    import re as _re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"r(\d+)\.json$", p)
+        if not m:
+            continue
+        r = int(m.group(1))
+        try:
+            with open(p) as fh:
+                doc = _json.load(fh)
+        except Exception:  # noqa: BLE001 - rotation is best-effort decoration
+            continue
+        if isinstance(doc, dict):
+            for name in doc:
+                last[name] = max(last.get(name, 0), r)
+    return last
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All registered queries, ordered for the driver's gate window.
 
     The driver's correctness gate records roughly the first 50 entries
-    of this dict, so ordering is the rotation policy (VERDICT r2 #1,
-    r3 #2):
+    of this dict, so ordering IS the rotation policy (VERDICT r2 #1,
+    r3 #2, r4 #3). Since round 5 the policy is data-driven rather than
+    a hand-maintained list: each oracled query is keyed by the round of
+    its most recent driver gate row (parsed from the committed
+    CORRECTNESS_r*.json artifacts) and the window leads with
 
-    1. queries that most need a green driver row this round — last
-       round's one red row plus anything new this round;
-    2. oracled queries whose last driver check is longest ago (the
-       core histogram/calibration/correction family was last in-window
-       in round 2 — the round-3 window was spent proving the extras);
-    3. the round-3-green extras oracled queries;
-    4. ALL rows-only-by-design queries (no DuckDB twin: xxhash64
-       hash families, learned quantizers, iterative merges) dead last
-       — they burn gate slots on `err: no_oracle` rows otherwise.
+    1. never-gated oracled queries (anything new this round), then
+    2. oracled queries in ascending last-gated round — longest-ago
+       first, so every query cycles back through the window and no
+       green row goes more than a few rounds unrefreshed;
+    3. ALL rows-only-by-design queries (no DuckDB twin: xxhash64 hash
+       families, learned quantizers, synthetic-source ingest) dead
+       last — they burn gate slots on `err: no_oracle` rows otherwise.
 
-    Queries that fall past the window remain covered by
+    Ties (same last-gated round) keep stable registry order, so the
+    sequence is deterministic for a given artifact set. Queries that
+    fall past the window remain covered by
     tests/test_oracle_parity.py and the opt-in
     SPARK_GRAFT_FULL_PARITY=1 sf0.1 sweep.
     """
@@ -2613,56 +2732,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     base = extras_queries() | {q.name: q.spark for q in _REGISTRY}
     oracled = all_oracles()
-    prove_first = [
-        # red in round 3 (oracle output-type artifact, now cast):
-        "token_budget_mix",
-        # new this round:
-        "pq_ann_fullcodebook",
-        "url_dedup",
-        "perplexity_buckets",
-        "tfidf_topterms",
-        "temperature_mix",
-        "pmi_collocations",
-        "weighted_sample",
-        "funnel_conversion",
-        "cohort_retention",
-        "hybrid_search_rrf",
-        "event_transitions",
-        "rfm_segments",
-        "pricing_summary",
-        "shipping_priority",
-        "time_weighted_avg",
-        "local_supplier_volume",
-        "pagerank_custsupp",
-        "hll_estimate_oracle",
-        "cms_topk_estimate",
-        "bloom_semijoin_prune",
-        "cms_join_size",
-        "key_skew_profile",
-        "scd2_intervals",
-        "snapshot_diff",
-        "topk_per_group",
-        "pivot_counts",
-        "json_extract_stats",
-        "merge_upsert",
-        "rollup_incremental",
-        "quantile_hist_approx",
-        "embedding_covariance",
-        "rollup_gapfill_locf",
-        "copurchase_lift",
-        "anomaly_zscore",
-        "dq_report",
-        "grouping_sets_report",
-        "top_paths",
-        "first_touch_attribution",
-        # longest-ago driver check (green r2, out of window r3):
-        *(q.name for q in _REGISTRY if q.sql is not None),
-    ]
-    seen = {n for n in prove_first if n in base}
-    rest_oracled = [n for n in base if n not in seen and n in oracled]
+    last = _last_gated_round()
+    idx = {n: i for i, n in enumerate(base)}
+    ora = sorted(
+        (n for n in base if n in oracled),
+        key=lambda n: (last.get(n, 0), idx[n]),
+    )
     rows_only = [n for n in base if n not in oracled]
-    order = [n for n in prove_first if n in base] + rest_oracled + rows_only
-    return {n: base[n] for n in order}
+    return {n: base[n] for n in [*ora, *rows_only]}
 
 
 def all_oracles() -> dict[str, str]:
