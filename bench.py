@@ -1,8 +1,7 @@
 #!/usr/bin/env python
 """Benchmark harness — times every registered query at the bench scale
-factor, BASELINE.md §2 protocol (3 repetitions, fresh SparkSession per
-rep, per-query MEDIAN wall-clock), and emits ONE parseable JSON line
-on stdout.
+factor (BASELINE.md §2 protocol) and emits ONE parseable JSON line on
+stdout.
 
 Protocol (driver contract):
     $SPARK_GRAFT_SF_DIR  input dir  (default /root/testdata/sf0.1)
@@ -11,16 +10,34 @@ Protocol (driver contract):
     stdout last line: {"metric": ..., "value": total_sec, "unit": "sec",
                        "queries": {name: sec, ...}, "sf": N}
 
+Self-adjudication (VERDICT r4 #1) — the protocol carries its own error
+bars so ambient shared-VM drift (measured ±18-20% whole-suite,
+SCALING.md) can't masquerade as a code regression:
+
+- **Rep interleaving**: each rep runs the suite in a different
+  (deterministic, rep-seeded) order, so a query's samples come from
+  different suite positions and neighbor-GC/JIT ambience decorrelates
+  across reps instead of biasing every sample the same way.
+- **Bands**: per-query [min, median, max] over reps is recorded in the
+  sidecar (`bands`); the median remains the headline number.
+- **Calibration probes**: three fixed queries with code that never
+  changes (parquet scan+agg, shuffle agg, pure-JVM expression chain)
+  run every rep. Their total is a pure machine-speed signal: the ratio
+  current/previous (clamped to [0.5, 2.0]) rescales the regression
+  comparison, so a uniformly slow machine doesn't flag everything.
+- **Regression rule**: a query is flagged only when its new median
+  exceeds 1.2x the previous run's MAX band (or 1.5x the previous
+  median when the previous round recorded no bands), after probe-drift
+  rescaling. Flagged entries carry [prev_high, new_median, ratio] so a
+  reviewer can adjudicate without re-deriving the rule.
+
 The driver records only the LAST ~2000 chars of stdout and parses the
-last line; a 98-query map with spreads and deltas is ~3.5 KB, which is
-how round 3 lost its per-query timings (`parsed: null`, truncated
-tail — VERDICT r3 #2/#3). So the COMPLETE document (queries at 4
-decimals, per-query [min, max] spread, prev-round deltas,
-regressions, failures) is written to a sidecar `bench_results.json`
-next to this script, and the final stdout line is kept under a 1900-
-char budget: full header + failures + regressions always, then the
-slowest queries (2-decimal medians) until the budget is spent, with
-`queries_omitted` counting the fast tail that only the sidecar holds.
+last line (round 3 lost its timings to tail truncation), so the
+COMPLETE document (4-decimal medians, bands, probes, deltas,
+regressions, failures) goes to the `bench_results.json` sidecar and
+the final stdout line stays under a 1900-char budget: header +
+failures + regressions + drift always, then the slowest queries until
+the budget is spent, with `queries_omitted` counting the tail.
 
 Each rep tears the SparkSession down and builds a new one (cold
 catalog/file-index/plan caches; the JVM itself is reused in-process —
@@ -36,6 +53,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import random
 import re
 import statistics
 import sys
@@ -43,12 +61,72 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+PROBE_DRIFT_CLAMP = (0.5, 2.0)
+BAND_REGRESSION_FACTOR = 1.2  # vs previous max band
+MEDIAN_REGRESSION_FACTOR = 1.5  # fallback vs previous median (no bands)
 
-def _prev_round_queries(sf: float) -> tuple[str | None, dict[str, float]]:
-    """Latest driver-recorded BENCH_r*.json at the same scale factor
-    -> (file, per-query secs); deltas across scale factors would be
-    meaningless."""
+
+def _probes(sf_dir: str):
+    """Three fixed calibration queries — frozen code, so their timing
+    moves only when the MACHINE does. Kept trivial (<~0.5 s each) and
+    spanning the three cost regimes the suite exercises: parquet
+    scan+aggregate (IO), hash-shuffle aggregate (exchange), and a pure
+    JVM expression chain (CPU/codegen)."""
+    from pyspark.sql import functions as F
+
+    def probe_scan(spark):
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .agg(F.count(F.lit(1)), F.sum("value"))
+        )
+
+    def probe_shuffle(spark):
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def probe_cpu(spark):
+        return (
+            spark.range(2_000_000)
+            .select(
+                F.sum(
+                    F.sqrt(F.col("id").cast("double") + 1.0)
+                    + F.sin(F.col("id").cast("double") * 1e-4)
+                ).alias("s")
+            )
+        )
+
+    return {"probe_scan": probe_scan, "probe_shuffle": probe_shuffle, "probe_cpu": probe_cpu}
+
+
+def _prev_round_results(sf: float) -> tuple[str | None, dict[str, float], dict[str, list], float | None]:
+    """Latest recorded results at the same scale factor ->
+    (source_file, per-query medians, per-query bands, probe_total).
+    Prefers the committed sidecar (full map + bands + probes); falls
+    back to the newest BENCH_r*.json parsed line when it carries the
+    full query map. Bands accept both the r4 2-element spread and the
+    r5+ 3-element [min, median, max]."""
     here = os.path.dirname(os.path.abspath(__file__))
+    side = os.path.join(here, "bench_results.json")
+    try:
+        with open(side) as fh:
+            detail = json.load(fh)
+        if float(detail.get("sf", -1)) == sf:
+            bands = detail.get("bands") or detail.get("spread") or {}
+            probe_total = None
+            probe = detail.get("probe")
+            if isinstance(probe, dict) and probe:
+                probe_total = float(sum(probe.values()))
+            return (
+                "bench_results.json",
+                {k: float(v) for k, v in detail.get("queries", {}).items()},
+                bands,
+                probe_total,
+            )
+    except Exception:  # noqa: BLE001 - deltas are best-effort decoration
+        pass
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -57,34 +135,29 @@ def _prev_round_queries(sf: float) -> tuple[str | None, dict[str, float]]:
             if best is None or r > best[0]:
                 best = (r, p)
     if best is None:
-        return None, {}
+        return None, {}, {}, None
     try:
         with open(best[1]) as fh:
             doc = json.load(fh)
         parsed = doc.get("parsed", doc) or {}
-        if float(parsed.get("sf", -1)) == sf and not parsed.get(
-            "queries_omitted"
-        ):
-            q = parsed.get("queries", {})
-            return os.path.basename(best[1]), {
-                k: float(v) for k, v in q.items()
-            }
-        # compact-line rounds keep the full map only in the committed
-        # sidecar; use it when it matches the recorded total
-        side = os.path.join(here, "bench_results.json")
-        with open(side) as fh:
-            detail = json.load(fh)
-        if float(detail.get("sf", -1)) == sf:
-            return "bench_results.json", {
-                k: float(v) for k, v in detail.get("queries", {}).items()
-            }
-        return os.path.basename(best[1]), {}
-    except Exception:  # noqa: BLE001 - deltas are best-effort decoration
-        return os.path.basename(best[1]), {}
+        if float(parsed.get("sf", -1)) == sf and not parsed.get("queries_omitted"):
+            return (
+                os.path.basename(best[1]),
+                {k: float(v) for k, v in parsed.get("queries", {}).items()},
+                {},
+                None,
+            )
+    except Exception:  # noqa: BLE001
+        pass
+    return os.path.basename(best[1]), {}, {}, None
 
 
-def _run_suite(sf_dir: str, cpus: str) -> tuple[dict[str, float], dict[str, str]]:
-    """One cold rep: fresh session, warm-up scan, run every query."""
+def _run_suite(
+    sf_dir: str, cpus: str, rep: int
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+    """One cold rep: fresh session, warm-up scan, probes, then every
+    query in a rep-seeded order (interleaving: each rep samples each
+    query at a different suite position)."""
     from mpes_spark.session import get_spark
 
     spark = get_spark(
@@ -96,11 +169,22 @@ def _run_suite(sf_dir: str, cpus: str) -> tuple[dict[str, float], dict[str, str]
     # outside the timed region.
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy().count().collect()
 
+    probe_times: dict[str, float] = {}
+    for name, fn in _probes(sf_dir).items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        fn(spark).collect()
+        probe_times[name] = time.perf_counter() - t0
+
     from __spark_entry__ import queries
+
+    q = queries()
+    order = list(q)
+    random.Random(rep).shuffle(order)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name, fn in queries().items():
+    for name in order:
         # Settle GC debt from the previous query OUTSIDE the timed
         # region: the allocation burst of a shuffle-heavy neighbor
         # (e.g. the shingle-explode dedup queries) otherwise lands a
@@ -109,13 +193,13 @@ def _run_suite(sf_dir: str, cpus: str) -> tuple[dict[str, float], dict[str, str]
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).collect()
+            q[name](spark, sf_dir).collect()
             timings[name] = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - report, don't abort the run
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# FAIL {name}: {failures[name]}", file=sys.stderr)
     spark.stop()
-    return timings, failures
+    return timings, probe_times, failures
 
 
 def main() -> None:
@@ -128,10 +212,12 @@ def main() -> None:
         sf = -1.0
 
     per_rep: list[dict[str, float]] = []
+    probe_reps: list[dict[str, float]] = []
     failures: dict[str, str] = {}
     for r in range(reps):
-        t, f = _run_suite(sf_dir, cpus)
+        t, p, f = _run_suite(sf_dir, cpus, r)
         per_rep.append(t)
+        probe_reps.append(p)
         failures.update(f)
         print(f"# rep {r + 1}/{reps}: {sum(t.values()):.1f}s", file=sys.stderr)
 
@@ -139,9 +225,17 @@ def main() -> None:
     medians = {
         n: round(statistics.median(t[n] for t in per_rep), 4) for n in names
     }
-    spread = {
-        n: [round(min(t[n] for t in per_rep), 4), round(max(t[n] for t in per_rep), 4)]
+    bands = {
+        n: [
+            round(min(t[n] for t in per_rep), 4),
+            medians[n],
+            round(max(t[n] for t in per_rep), 4),
+        ]
         for n in names
+    }
+    probe = {
+        n: round(statistics.median(p[n] for p in probe_reps), 4)
+        for n in probe_reps[0]
     }
 
     out: dict = {
@@ -151,10 +245,11 @@ def main() -> None:
         "queries": medians,
         "sf": sf,
         "reps": reps,
-        "spread": spread,
+        "bands": bands,
+        "probe": probe,
     }
 
-    prev_file, prev = _prev_round_queries(sf)
+    prev_file, prev, prev_bands, prev_probe_total = _prev_round_results(sf)
     if prev:
         common = [n for n in medians if n in prev]
         out["prev_round"] = prev_file
@@ -162,12 +257,29 @@ def main() -> None:
         out["delta_total"] = round(
             sum(medians[n] for n in common) - out["prev_total"], 4
         )
-        # queries >= 1.5x slower than last round's recorded number
-        out["regressions"] = {
-            n: [round(prev[n], 4), medians[n]]
-            for n in common
-            if prev[n] > 0.05 and medians[n] / prev[n] >= 1.5
-        }
+        drift = 1.0
+        if prev_probe_total and probe:
+            raw = sum(probe.values()) / prev_probe_total
+            drift = min(max(raw, PROBE_DRIFT_CLAMP[0]), PROBE_DRIFT_CLAMP[1])
+            out["probe_drift"] = round(drift, 3)
+        regressions: dict[str, list] = {}
+        for n in common:
+            if prev[n] <= 0.05:
+                continue
+            pb = prev_bands.get(n)
+            if pb and len(pb) >= 2:
+                prev_high = float(pb[-1])  # max of the recorded band
+                limit = BAND_REGRESSION_FACTOR * drift * prev_high
+            else:
+                prev_high = prev[n]
+                limit = MEDIAN_REGRESSION_FACTOR * drift * prev_high
+            if medians[n] > limit:
+                regressions[n] = [
+                    round(prev_high, 4),
+                    medians[n],
+                    round(medians[n] / prev_high, 2),
+                ]
+        out["regressions"] = regressions
     if failures:
         out["failures"] = failures
 
@@ -180,8 +292,8 @@ def main() -> None:
     line: dict = {k: out[k] for k in ("metric", "value", "unit", "sf", "reps")}
     line["n_queries"] = len(medians)
     line["detail"] = "bench_results.json"
-    for k in ("failures", "regressions", "prev_total", "delta_total"):
-        if k in out and out[k]:
+    for k in ("failures", "regressions", "probe_drift", "prev_total", "delta_total"):
+        if k in out and out[k] not in (None, {}):
             line[k] = out[k]
     budget = 1900
     slowest = sorted(medians, key=medians.get, reverse=True)

@@ -266,8 +266,10 @@ def perplexity_buckets(spark, sf_dir):
     """CC-Net head/middle/tail split (Wenzek et al. 2020): per-lang
     ntile(3) over bigram-LM perplexity, aggregated per (lang,
     bucket). The bucket id is the curation signal CC-Net filters on;
-    exact ntile is the oracle-checkable rendering (production splits
-    on sampled thresholds — same semantics, no per-lang sort)."""
+    exact ntile is the oracle-checkable rendering of the production
+    path ``search.perplexity_buckets_sampled`` (approx_percentile
+    thresholds, no per-lang sort; disagreement-rate-tested against
+    this exact form)."""
     return SR.perplexity_buckets(_docs(spark, sf_dir), nbuckets=3)
 
 

@@ -317,15 +317,83 @@ def perplexity_buckets(
     language partition — parallel across languages, deterministic
     ties, identically expressible in the oracle dialect. At 100 TB
     an exact per-language sort of all docs is the textbook quantile
-    problem; production splits on sampled ppl thresholds instead
-    (same downstream semantics, no global sort) — the exact split is
-    the oracle-checkable rendering."""
+    problem; the production path is
+    :func:`perplexity_buckets_sampled` (approx_percentile thresholds,
+    no sort — same downstream semantics) and this exact split is its
+    oracle-checkable twin."""
     from pyspark.sql import Window
 
     per = lm_perplexity_per_doc(docs, alpha, text, id_col, keep=(by,))
     w = Window.partitionBy(by).orderBy(F.round(F.col("ppl"), 6), F.col(id_col))
     return (
         per.withColumn("bucket", F.ntile(nbuckets).over(w).cast("int"))
+        .groupBy(by, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+        )
+    )
+
+
+def perplexity_bucket_assignments(
+    docs: DataFrame,
+    nbuckets: int = 3,
+    alpha: float = 0.5,
+    by: str = "lang",
+    text: str = "text",
+    id_col: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Production CC-Net bucketing: per-``by`` bucket THRESHOLDS from
+    one ``approx_percentile`` sketch aggregation (Greenwald-Khanna;
+    map-side combined, error <= 1/accuracy of rank), broadcast back,
+    bucket = 1 + #thresholds below ppl. No per-language sort anywhere
+    — the exact-ntile rendering (:func:`perplexity_buckets`) is the
+    oracle twin; this is the shape that survives 100 TB, where an
+    exact per-language ntile means totally sorting every language
+    partition. Documents tied exactly at a threshold all land in the
+    lower bucket (ntile splits such ties arbitrarily by id), so the
+    two renderings disagree only within sketch error of the cut
+    points — bounded by the disagreement-rate test.
+
+    Returns per-document ``({by}, {id_col}, ppl, bucket)``."""
+    fracs = [i / nbuckets for i in range(1, nbuckets)]
+    per = lm_perplexity_per_doc(docs, alpha, text, id_col, keep=(by,))
+    thr = per.groupBy(by).agg(
+        F.percentile_approx(
+            "ppl", F.array(*[F.lit(f) for f in fracs]), F.lit(accuracy)
+        ).alias("thr")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("thr"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.col("ppl") > t, 1).otherwise(0),
+    )
+    return (
+        per.join(F.broadcast(thr), by)
+        .select(by, id_col, "ppl", bucket.cast("int").alias("bucket"))
+    )
+
+
+def perplexity_buckets_sampled(
+    docs: DataFrame,
+    nbuckets: int = 3,
+    alpha: float = 0.5,
+    by: str = "lang",
+    text: str = "text",
+    id_col: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Aggregate rendering of :func:`perplexity_bucket_assignments` —
+    same output schema as :func:`perplexity_buckets` (({by}, bucket,
+    n_docs, avg/min/max ppl)) with sampled thresholds instead of an
+    exact per-language ntile sort."""
+    return (
+        perplexity_bucket_assignments(
+            docs, nbuckets, alpha, by, text, id_col, accuracy
+        )
         .groupBy(by, "bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -196,3 +196,61 @@ def test_auto_salted_agg_empty_input(spark):
     assert decision2["salt_buckets"] == 1
     rows = out2.collect()
     assert len(rows) == 1 and rows[0]["sum_v"] == 3.0
+
+
+# -- VERDICT r4 #5: sampled-threshold perplexity bucketing ---------------
+
+
+def test_perplexity_sampled_vs_exact_disagreement(spark):
+    """Per-doc bucket assignments from the production sampled-threshold
+    path must agree with the exact ntile rendering for all but a
+    boundary sliver (<= 1% of docs)."""
+    from pyspark.sql import Window
+
+    from mpes_spark.extras.search import (
+        lm_perplexity_per_doc,
+        perplexity_bucket_assignments,
+        perplexity_buckets,
+        perplexity_buckets_sampled,
+    )
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    per = lm_perplexity_per_doc(docs, 0.5, "text", "doc_id", keep=("lang",))
+    w = Window.partitionBy("lang").orderBy(
+        F.round(F.col("ppl"), 6), F.col("doc_id")
+    )
+    exact = per.withColumn("bucket_e", F.ntile(3).over(w)).select(
+        "doc_id", "bucket_e"
+    )
+    sampled = perplexity_bucket_assignments(docs, nbuckets=3).select(
+        "doc_id", F.col("bucket").alias("bucket_s")
+    )
+    joined = exact.join(sampled, "doc_id")
+    total = joined.count()
+    assert total > 0
+    disagree = joined.filter(F.col("bucket_e") != F.col("bucket_s")).count()
+    assert disagree / total <= 0.01, f"{disagree}/{total} docs moved bucket"
+
+    # aggregate rendering: same schema as the exact form, full coverage
+    agg = perplexity_buckets_sampled(docs, nbuckets=3)
+    assert agg.columns == perplexity_buckets(docs, nbuckets=3).columns
+    assert agg.agg(F.sum("n_docs")).collect()[0][0] == total
+
+
+def test_perplexity_sampled_no_sort_in_plan(spark):
+    """The production path must not contain a per-language sort: no
+    Sort/Window over the full per-doc relation, thresholds broadcast."""
+    from mpes_spark.extras.search import perplexity_buckets_sampled
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    df = perplexity_buckets_sampled(docs, nbuckets=3)
+    df.collect()  # materialize so AQE settles the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the exact rendering runs ntile over a Window; the production
+    # path must have NO window operator (and no per-lang sort feeding
+    # one) — "ntile" itself can't be grepped, percentile_approx
+    # contains it as a substring
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # thresholds join is broadcast

@@ -510,3 +510,57 @@ def test_dq_monitor_sink_flags_bad_batches(spark, stream_dir):
     assert all(p == 1 for p in by_check["notnull_event_id"])
     assert all(p == 0 for p in by_check["range_value"])  # values exceed 1.0
     assert len(alerts) == len(by_check["range_value"])
+
+
+def test_attribution_to_rollup_composition(spark, stream_dir):
+    """VERDICT r4 #8: the CDC-to-live-rollup composition real pipelines
+    run — a stream-stream interval attribution join feeding a
+    foreachBatch incremental rollup — must reproduce the batch twin
+    (join then single-pass rollup) exactly for cnt/min/max and to
+    finalize-rounding for the float sum."""
+    from mpes_spark.streaming.live import interval_attribution_join
+    from mpes_spark.streaming.stateful import rollup_maintenance_sink
+    from mpes_spark.transforms.rollup import finalize_rollup, time_rollup
+
+    src = stream_dir + "_attrib_rollup"
+    t(spark, SF_SMALL, "events").repartitionByRange(3, "ts").write.parquet(src)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return clicks, buys
+
+    hour = 3_600_000_000_000
+    s_clicks, s_buys = sides(
+        read_event_stream(spark, src, _SCHEMA, max_files_per_trigger=8)
+    )
+    joined = interval_attribution_join(
+        s_clicks, s_buys, horizon="30 minutes", watermark="1 hour"
+    )
+    # attributed purchase value rolled up by the CLICK's hour bucket
+    handle, current = rollup_maintenance_sink(
+        measure="value_r", bucket_ns=hour, ts_col="ts"
+    )
+    q = joined.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert q.exception() is None
+    assert current() is not None
+    got = finalize_rollup(current()).orderBy("bucket").toPandas()
+
+    b_clicks, b_buys = sides(spark.read.parquet(src))
+    b_joined = interval_attribution_join(
+        b_clicks, b_buys, horizon="30 minutes", watermark="1 hour"
+    )
+    want = (
+        finalize_rollup(
+            time_rollup(b_joined, measure="value_r", bucket_ns=hour, ts_col="ts")
+        )
+        .orderBy("bucket")
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert got.equals(want)
