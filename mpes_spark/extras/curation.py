@@ -971,3 +971,81 @@ SELECT {group}, {id_col}, weight, skey, rank FROM (
   FROM {table} WHERE {weight} > 0
 ) r WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test splitting (leakage-free by group key)
+# ---------------------------------------------------------------------------
+
+
+def _split_fractions(fractions) -> list[tuple[str, float]]:
+    items = list(fractions.items()) if isinstance(fractions, dict) else list(fractions)
+    if not items:
+        raise ValueError("fractions must be non-empty")
+    total = sum(f for _, f in items)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f <= 0 for _, f in items):
+        raise ValueError("every fraction must be > 0")
+    return items
+
+
+def dataset_split(
+    df: DataFrame,
+    fractions=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, leakage-free dataset splitting: every row gets a
+    ``split`` label drawn from the md5-prefix uniform of its split KEY
+    — ``by`` when given (e.g. a url-domain or source column), else the
+    row id. Keying on ``by`` is the leakage control: all rows sharing
+    the key land in the SAME split, so near-identical documents from
+    one origin can never straddle train/test (the contamination mode
+    train/test random row splits are blind to). Seedless and
+    engine-portable (the same md5-prefix device as
+    :func:`stratified_sample` / :func:`weighted_sample`), so the
+    assignment is reproducible forever from the data alone — a new
+    ingest batch extends each split without reshuffling history.
+
+    Scale shape: one pure-column projection; NO shuffle, NO state —
+    the split of 100 TB costs exactly one scan of the key column.
+    Fractions are cumulative-threshold CASE arms on the uniform draw
+    (expected proportions, exact in distribution, not exact counts —
+    quota-exact splitting requires a global sort by construction)."""
+    items = _split_fractions(fractions)
+    key = F.col(by if by is not None else id_col).cast("string")
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    expr = F.lit(items[-1][0])
+    cum = 0.0
+    arms = []
+    for name, frac in items[:-1]:
+        cum += frac
+        arms.append((cum, name))
+    for cum_f, name in reversed(arms):
+        expr = F.when(u < F.lit(cum_f), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def dataset_split_sql(
+    table: str,
+    fractions=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    by: str | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`dataset_split` — identical md5-prefix
+    draw, identical cumulative thresholds (Python-precomputed doubles
+    inlined via CAST so DECIMAL parsing can't diverge). Returns the
+    per-row relation with the ``split`` column appended."""
+    items = _split_fractions(fractions)
+    key = by if by is not None else id_col
+    h = f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    u = f"(({h} + 0.5) / CAST({float(1 << 60)!r} AS DOUBLE))"
+    case = "CASE"
+    cum = 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        case += f" WHEN {u} < CAST({cum!r} AS DOUBLE) THEN '{name}'"
+    case += f" ELSE '{items[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"

@@ -875,3 +875,100 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def canonical_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: str = "n_chars",
+    id_col: str = "doc_id",
+    driver_edge_limit: int = 1_000_000,
+) -> DataFrame:
+    """Near-dup retention by QUALITY: resolve verified pairs into
+    clusters (:func:`connected_components`) and keep the best-quality
+    doc per cluster instead of the min-id — the retention policy real
+    pipelines want (keep the longest / highest-scored rendering of a
+    template, not whichever crawled first). Ties break on ascending
+    id, so an exact re-crawl copy loses to its original.
+
+    Returns one row per duplicate cluster: ``(cluster_id,
+    canonical_id, canonical_quality, n_docs, total_quality)`` —
+    bounded by the number of CLUSTERED docs (the near-dup pairs), not
+    the corpus; singleton docs never enter a pair and are implicitly
+    kept. Scale shape: the CC label relation is pair-node-sized; the
+    quality join is an equi-join on id against the corpus (semi-join
+    pushdown prunes the scan to clustered ids); the per-cluster
+    argmax is a row_number window over millions of independent
+    cluster partitions — no global sort."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(
+        pairs, id_col=id_col, driver_edge_limit=driver_edge_limit
+    )
+    labeled = docs.select(
+        F.col(id_col), F.col(quality).cast("bigint").alias("_q")
+    ).join(comp, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col(id_col)
+    )
+    # ranked is consumed twice (winner filter + cluster rollup); its
+    # lineage carries the whole pair-derivation -> CC pipeline, so an
+    # unpinned plan would re-run near-dup detection per consumer.
+    # The relation is clustered-doc-sized — pin it. (Same
+    # checkpoint-vs-persist tradeoff note as analysis/graph.pagerank.)
+    ranked = labeled.withColumn(
+        "rk", F.row_number().over(w)
+    ).localCheckpoint(eager=True)
+    per_cluster = ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_q").cast("bigint").alias("total_quality"),
+    )
+    winners = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col(id_col).alias("canonical_id"),
+        F.col("_q").alias("canonical_quality"),
+    )
+    return winners.join(per_cluster, "cluster_id")
+
+
+def canonical_by_quality_sql(
+    pairs_sql: str,
+    table: str,
+    quality: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`canonical_by_quality`: the
+    recursive-CTE reachability fixpoint of
+    :func:`connected_components_sql` for the labels, then the same
+    quality join + per-cluster argmax window."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(a, b) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+lab AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a),
+ranked AS (
+  SELECT l.cluster_id, d.{id_col}, CAST(d.{quality} AS BIGINT) AS _q,
+         row_number() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY CAST(d.{quality} AS BIGINT) DESC, d.{id_col}
+         ) AS rk
+  FROM lab l JOIN (SELECT * FROM {table}) d ON d.{id_col} = l.node
+),
+agg AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_q) AS BIGINT) AS total_quality
+  FROM ranked GROUP BY cluster_id
+)
+SELECT r.cluster_id, r.{id_col} AS canonical_id,
+       r._q AS canonical_quality, a.n_docs, a.total_quality
+FROM ranked r JOIN agg a USING (cluster_id) WHERE r.rk = 1
+""".strip()

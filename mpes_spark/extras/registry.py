@@ -498,6 +498,56 @@ def dedup_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_canonical_quality",
+    DD.canonical_by_quality_sql(
+        DD.blocked_jaccard_sql(
+            _recrawl_table("documents"), "duckdb", n=3, block_tokens=2, threshold=0.2
+        ),
+        _recrawl_table("documents"),
+    ),
+)
+def dedup_canonical_quality(spark, sf_dir):
+    """Quality-based near-dup retention on the re-crawl union: the
+    dedup_clusters pipeline with the keep decision upgraded from
+    min-id to per-cluster BEST QUALITY (n_chars, ties to the lower
+    id — so an exact re-crawl copy always loses to its original).
+    One row per duplicate cluster with the canonical winner and the
+    cluster's doc/quality mass; the per-cluster argmax is a window
+    over independent cluster partitions, never a global sort."""
+    d = _docs(spark, sf_dir)
+    rc = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    pairs = DD.blocked_jaccard_pairs(rc, n=3, block_tokens=2, threshold=0.2)
+    return DD.canonical_by_quality(rc, pairs)
+
+
+@_q(
+    "dataset_split_counts",
+    "SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM ("
+    + CU.dataset_split_sql("documents")
+    + ") s GROUP BY split, lang",
+)
+def dataset_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5, md5-prefix
+    uniform on doc_id — seedless, engine-portable, no shuffle) rolled
+    up per (split, lang). The leakage-free grouped variant (same key
+    -> same split via ``by=``) is pinned by pytest; this gates the
+    draw + threshold arithmetic end-to-end against DuckDB."""
+    return (
+        CU.dataset_split(_docs(spark, sf_dir))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@_q(
     "repeated_substrings",
     DD.winnow_dup_sql("documents", k=16, w=8),
 )

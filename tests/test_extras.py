@@ -1102,3 +1102,63 @@ def test_hybrid_rrf_composes_both_arms(spark):
     top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
     got = SR.hybrid_rrf(docs, embs, k=8, depth=depth).toPandas()
     assert [(r.doc_id, r.rrf) for r in got.itertuples()] == top
+
+
+def test_dataset_split_leakage_free_and_proportions(spark):
+    from mpes_spark.extras.curation import dataset_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # grouped: every row of a source lands in ONE split — no leakage
+    by_src = dataset_split(docs, by="source")
+    per_src = by_src.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_src.filter(F.col("k") > 1).count() == 0
+    # per-row: proportions approach the 90/5/5 target
+    per_row = dataset_split(docs)
+    n = docs.count()
+    got = {
+        r["split"]: r["c"] / n
+        for r in per_row.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert abs(got.get("train", 0) - 0.9) < 0.05
+    assert abs(got.get("val", 0) - 0.05) < 0.03
+    assert abs(got.get("test", 0) - 0.05) < 0.03
+    # deterministic: same input -> identical assignment
+    a = {r["doc_id"]: r["split"] for r in per_row.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(docs).select("doc_id", "split").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(docs, fractions=(("a", 0.5), ("b", 0.2)))
+
+
+def test_canonical_by_quality_keeps_best(spark):
+    from mpes_spark.extras.dedup import canonical_by_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100),  # cluster {1,2,3}: 2 has the most chars -> wins
+            (2, 300),
+            (3, 200),
+            (10, 50),  # cluster {10,11}: tie -> lower id wins
+            (11, 50),
+            (99, 999),  # singleton: never appears in output
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {
+        r["cluster_id"]: r
+        for r in canonical_by_quality(docs, pairs).collect()
+    }
+    assert set(rows) == {1, 10}
+    assert rows[1]["canonical_id"] == 2
+    assert rows[1]["canonical_quality"] == 300
+    assert rows[1]["n_docs"] == 3 and rows[1]["total_quality"] == 600
+    assert rows[10]["canonical_id"] == 10  # tie -> ascending id
+    assert rows[10]["n_docs"] == 2
