@@ -186,6 +186,29 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def lsh_buckets(
+    sigs: DataFrame, k: int = 32, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded-LSH bucket emission: hash each band of r = k/bands
+    signature slots to a bucket id -> (id, band, bucket), ``bands``
+    rows per doc. The shared first stage of self-join dedup
+    (:func:`lsh_candidate_pairs`) and stream-vs-corpus ingest dedup
+    (:func:`mpes_spark.streaming.live.neardup_ingest_sink`), where the
+    corpus side is computed ONCE and persisted as the join target."""
+    if k % bands:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    r = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, k: int = 32, bands: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -197,18 +220,7 @@ def lsh_candidate_pairs(
     construction; bucket sizes follow the duplicate-cluster sizes, and
     AQE's skew-join handles a pathological mega-cluster. Never
     all-pairs."""
-    if k % bands:
-        raise ValueError(f"bands={bands} must divide k={k}")
-    r = k // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = lsh_buckets(sigs, k, bands, id_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -258,6 +270,44 @@ def verify_jaccard(
     )
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("nsh_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nsh_b"))
+    jac = F.col("icnt") / (F.col("nsh_a") + F.col("nsh_b") - F.col("icnt"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def verify_jaccard_cross(
+    pairs: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verification for candidate pairs whose two sides
+    come from DIFFERENT shingle tables (``id_a`` from ``sh_left``,
+    ``id_b`` from ``sh_right``) — the cross-relation form of
+    :func:`verify_jaccard`, used when a micro-batch is checked against
+    a static corpus and the two id spaces must not be conflated. Same
+    plan shape: two equi-joins + one groupBy, paid only by candidate
+    pairs; join strategy left to AQE (see :func:`verify_jaccard` on
+    why a forced broadcast is wrong under template spam)."""
+    sa = sh_left.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh_right.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        sa.join(pairs, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    za = sh_left.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh_a")).select(
+        F.col(id_col).alias("id_a"), "nsh_a"
+    )
+    zb = sh_right.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh_b")).select(
+        F.col(id_col).alias("id_b"), "nsh_b"
+    )
     jac = F.col("icnt") / (F.col("nsh_a") + F.col("nsh_b") - F.col("icnt"))
     return (
         inter.join(za, "id_a")

@@ -1214,6 +1214,169 @@ def local_supplier_volume(spark, sf_dir):
     )
 
 
+# -- more classic decision-support shapes: Q10 (returned-item report,
+#    filtered fact -> dim enrich -> grouped top-k), Q14 (promo revenue
+#    share, broadcast-dim conditional aggregation), Q8-shape (market
+#    share: two-level agg + per-year total join) ---------------------------
+
+_RETURNED_ITEM_SQL = (
+    "SELECT c.c_custkey, c.c_name, n.n_name, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM customer c "
+    "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+    "JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_returnflag = 'R' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY c.c_custkey, c.c_name, n.n_name "
+    "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
+)
+
+
+@_q("returned_item_report", _RETURNED_ITEM_SQL)
+def returned_item_report(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item reporting: which customers
+    returned the most revenue this year. The returnflag predicate
+    prunes the fact scan (pushed to parquet), nation broadcasts into
+    customer, orders carries the date window, and the grouped top-20
+    finishes as TakeOrderedAndProject — k rows per partition cross
+    the exchange, never the full group list."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "n_name")
+    o = t(spark, sf_dir, "orders")
+    dt = dict(o.dtypes)["o_orderdate"]
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(dt))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast(dt))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_PROMO_SHARE_SQL = (
+    "SELECT "
+    "round(sum(CASE WHEN p.p_type = 'PROMO' "
+    "  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END), 2) "
+    "  AS promo_revenue, "
+    "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue, "
+    # divide the ROUNDED sums (identical doubles on both engines)
+    "round(100.0 * round(sum(CASE WHEN p.p_type = 'PROMO' "
+    "  THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END), 2) "
+    "  / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6) "
+    "  AS promo_share_pct "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1996-07-01'"
+)
+
+
+@_q("promo_revenue_share", _PROMO_SHARE_SQL)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14-shaped promo revenue share: conditional aggregation
+    against a broadcast part dim — the date window prunes the fact
+    scan, part broadcasts (dim-sized), and the CASE rides the single
+    grouped-agg pass; output is ONE row at any scale. The canonical
+    'share of revenue from category X' analytics shape."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = t(spark, sf_dir, "lineitem")
+    dt = dict(li.dtypes)["l_shipdate"]
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(dt))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast(dt))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.lit(100.0)
+                * F.round(F.sum(promo), 2)
+                / F.round(F.sum(rev), 2),
+                6,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+_MARKET_SHARE_SQL = (
+    "WITH rev AS ("
+    "  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year, "
+    "    n.n_name, "
+    "    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "  FROM lineitem l "
+    "  JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "  JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "  JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "  GROUP BY order_year, n.n_name), "
+    "tot AS (SELECT order_year, round(sum(revenue), 2) AS total "
+    "  FROM rev GROUP BY order_year) "
+    "SELECT r.order_year, r.n_name, r.revenue, "
+    "round(r.revenue / t.total, 6) AS market_share "
+    "FROM rev r JOIN tot t ON t.order_year = r.order_year"
+)
+
+
+@_q("nation_market_share", _MARKET_SHARE_SQL)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share: per order-year, each supplier
+    nation's share of total revenue. Two-level mergeable aggregation
+    — the base agg shuffles once on (year, nation) and is bounded by
+    |years| x |nations|; the per-year total re-aggregates THAT
+    relation (grid-sized, broadcast back for the share division) —
+    the fact table is scanned exactly once. The share denominator
+    sums the ROUNDED per-nation revenues so both engines divide
+    identical doubles."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"), "n_name"
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    tot = rev.groupBy("order_year").agg(
+        F.round(F.sum("revenue"), 2).alias("total")
+    )
+    return rev.join(F.broadcast(tot), "order_year").select(
+        "order_year",
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total"), 6).alias("market_share"),
+    )
+
+
 # -- fixed-iteration PageRank over the customer<->supplier trade graph
 #    (analysis/graph.py; the iterative join+groupBy power-iteration
 #    shape, oracle-replayed by textually unrolled CTEs) -------------------

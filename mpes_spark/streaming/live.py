@@ -325,3 +325,87 @@ def read_event_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
+
+
+def neardup_ingest_sink(
+    corpus: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+):
+    """NEAR-duplicate ingest dedup against a static corpus — the LSH
+    upgrade of :func:`ingest_dedup_stream` (which catches only exact
+    content): each micro-batch is MinHash-bucketed and joined against
+    the corpus's precomputed bucket table; bucket collisions are
+    verified with exact Jaccard (cross-relation form, so stream and
+    corpus id spaces never conflate) and verified near-dups are
+    dropped. Returns ``(handle, novel, flagged)`` for
+    ``writeStream.foreachBatch``: ``novel()`` is the accumulated
+    DataFrame of kept docs, ``flagged()`` the (stream_id, corpus_id,
+    jaccard) audit relation.
+
+    Why foreachBatch rather than a streaming plan: the signature
+    aggregation + bucket join + verify aggregation is two streaming
+    aggregations deep — beyond what append-mode streaming plans allow
+    — while per micro-batch it is ordinary bounded work. Scale shape:
+    the corpus shingle/bucket relations are computed ONCE and
+    persisted (at 10^9 docs these are the things to keep bucketed on
+    disk; refreshing them between batches picks up corpus appends);
+    per batch the work is batch-sized — bucket join keyed on
+    (band, bucket), candidates only within buckets, never all-pairs.
+    Per-doc decisions depend only on (doc, corpus), so the result is
+    batch-partitioning-independent — what the parity test pins."""
+    from mpes_spark.extras.dedup import (
+        lsh_buckets,
+        minhash_signatures,
+        shingle_table,
+        verify_jaccard_cross,
+    )
+
+    corpus_sh = shingle_table(corpus, text, n, id_col).persist()
+    corpus_buckets = (
+        lsh_buckets(minhash_signatures(corpus_sh, k, id_col), k, bands, id_col)
+        .withColumnRenamed(id_col, "corpus_id")
+        .persist()
+    )
+    state: dict[str, DataFrame | None] = {"novel": None, "flagged": None}
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        sh = shingle_table(batch, text, n, id_col)
+        bks = lsh_buckets(minhash_signatures(sh, k, id_col), k, bands, id_col)
+        cand = (
+            bks.join(corpus_buckets, ["band", "bucket"])
+            .select(F.col(id_col).alias("id_a"), F.col("corpus_id").alias("id_b"))
+            .distinct()
+        )
+        verified = verify_jaccard_cross(cand, sh, corpus_sh, threshold, id_col)
+        dup_ids = verified.select(F.col("id_a").alias(id_col)).distinct()
+        novel = batch.join(dup_ids, id_col, "left_anti")
+        flagged = verified.select(
+            F.col("id_a").alias("stream_id"),
+            F.col("id_b").alias("corpus_id"),
+            "jaccard",
+        )
+        # accumulate with a pinned cut so lineage stays one batch deep
+        state["novel"] = (
+            novel
+            if state["novel"] is None
+            else state["novel"].unionByName(novel)
+        ).localCheckpoint(eager=True)
+        state["flagged"] = (
+            flagged
+            if state["flagged"] is None
+            else state["flagged"].unionByName(flagged)
+        ).localCheckpoint(eager=True)
+
+    def novel() -> DataFrame | None:
+        return state["novel"]
+
+    def flagged() -> DataFrame | None:
+        return state["flagged"]
+
+    return handle, novel, flagged

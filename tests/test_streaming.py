@@ -564,3 +564,60 @@ def test_attribution_to_rollup_composition(spark, stream_dir):
     )
     assert len(got) > 0
     assert got.equals(want)
+
+
+def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
+    """LSH near-dup ingest dedup: streamed docs that are near-copies
+    of corpus docs are dropped (with an audit row), novel docs pass,
+    and the result is independent of micro-batch partitioning (per-doc
+    decisions depend only on (doc, corpus))."""
+    import time as _time
+
+    from mpes_spark.streaming.live import neardup_ingest_sink
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    mutated = base.replace("tok7", "changed")  # near-dup of base
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words " + " ".join(f"z{i}" for i in range(27)))],
+        "doc_id long, text string",
+    )
+    stream_rows = [
+        [(100, base), (101, mutated)],  # both near-dup corpus doc 1
+        [(102, " ".join(f"fresh{i}" for i in range(30)))],  # novel
+        [(103, mutated + " extra tail tokens here"), (104, "tiny")],
+    ]
+    src = str(tmp_path / "neardup_src")
+    for i, rows in enumerate(stream_rows):
+        if i:
+            _time.sleep(1.1)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(max_files):
+        handle, novel, flagged = neardup_ingest_sink(
+            corpus, n=3, k=32, bands=8, threshold=0.5
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+        q.awaitTermination()
+        assert q.exception() is None
+        kept = sorted(r["doc_id"] for r in novel().select("doc_id").collect())
+        audit = {
+            (r["stream_id"], r["corpus_id"]) for r in flagged().collect()
+        }
+        return kept, audit
+
+    kept_many, audit_many = run(max_files=1)  # one file per micro-batch
+    kept_one, audit_one = run(max_files=8)  # all files in one batch
+    # 100/101/103 are near-dups of corpus doc 1; 102 novel; 104 too
+    # short to shingle (< n tokens) -> no candidates -> kept
+    assert kept_many == [102, 104]
+    assert {s for s, _ in audit_many} == {100, 101, 103}
+    assert all(c == 1 for _, c in audit_many)
+    # batch-partitioning independence
+    assert kept_one == kept_many and audit_one == audit_many
