@@ -1320,7 +1320,10 @@ def promo_revenue_share(spark, sf_dir):
 
 
 _MARKET_SHARE_SQL = (
-    "WITH rev AS ("
+    "SELECT order_year, n_name, revenue, "
+    "round(revenue / round(sum(revenue) OVER (PARTITION BY order_year), 2), 6) "
+    "  AS market_share "
+    "FROM ("
     "  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year, "
     "    n.n_name, "
     "    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
@@ -1328,25 +1331,24 @@ _MARKET_SHARE_SQL = (
     "  JOIN orders o ON o.o_orderkey = l.l_orderkey "
     "  JOIN supplier s ON s.s_suppkey = l.l_suppkey "
     "  JOIN nation n ON n.n_nationkey = s.s_nationkey "
-    "  GROUP BY order_year, n.n_name), "
-    "tot AS (SELECT order_year, round(sum(revenue), 2) AS total "
-    "  FROM rev GROUP BY order_year) "
-    "SELECT r.order_year, r.n_name, r.revenue, "
-    "round(r.revenue / t.total, 6) AS market_share "
-    "FROM rev r JOIN tot t ON t.order_year = r.order_year"
+    "  GROUP BY order_year, n.n_name) rev"
 )
 
 
 @_q("nation_market_share", _MARKET_SHARE_SQL)
 def nation_market_share(spark, sf_dir):
     """TPC-H Q8-shaped market share: per order-year, each supplier
-    nation's share of total revenue. Two-level mergeable aggregation
-    — the base agg shuffles once on (year, nation) and is bounded by
-    |years| x |nations|; the per-year total re-aggregates THAT
-    relation (grid-sized, broadcast back for the share division) —
-    the fact table is scanned exactly once. The share denominator
-    sums the ROUNDED per-nation revenues so both engines divide
-    identical doubles."""
+    nation's share of total revenue. One mergeable aggregation
+    shuffling on (year, nation) — bounded by |years| x |nations| —
+    then the per-year denominator as a window sum over THAT
+    grid-sized relation, so the fact table is scanned and joined
+    exactly once (a totals self-join would re-derive the whole fact
+    pipeline per consumer — the pagerank edge-derivation lesson). The
+    window total is rounded to 2 before dividing so both engines
+    divide identical doubles regardless of per-partition summation
+    order."""
+    from pyspark.sql import Window as W
+
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1366,14 +1368,12 @@ def nation_market_share(spark, sf_dir):
             ).alias("revenue")
         )
     )
-    tot = rev.groupBy("order_year").agg(
-        F.round(F.sum("revenue"), 2).alias("total")
-    )
-    return rev.join(F.broadcast(tot), "order_year").select(
+    total = F.round(F.sum("revenue").over(W.partitionBy("order_year")), 2)
+    return rev.select(
         "order_year",
         "n_name",
         "revenue",
-        F.round(F.col("revenue") / F.col("total"), 6).alias("market_share"),
+        F.round(F.col("revenue") / total, 6).alias("market_share"),
     )
 
 

@@ -432,3 +432,47 @@ def test_rollup_incremental_two_scans_merge(spark):
     assert plan.count("Scan parquet") == 2
     assert "PushedFilters: [IsNotNull(ts)" in plan
     assert "SortAggregate" not in plan
+
+
+def test_returned_item_report_plan(spark):
+    """Q10 shape: returnflag + date predicates pushed to the scans,
+    dims broadcast, grouped top-20 via TakeOrderedAndProject (k rows
+    per partition cross the exchange, never the full group list)."""
+    from mpes_spark.registry import all_queries
+
+    df = all_queries()["returned_item_report"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "l_returnflag" in plan and "= R" in plan  # filter reached the scan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_revenue_share_plan(spark):
+    """Q14 shape: one-row conditional aggregate; part dim broadcasts;
+    ship-date window prunes the fact scan."""
+    from mpes_spark.registry import all_queries
+
+    df = all_queries()["promo_revenue_share"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan and "SortMergeJoin" not in plan
+
+
+def test_nation_market_share_single_fact_pass(spark):
+    """Q8 shape: the per-year denominator is a WINDOW over the
+    grid-sized aggregate — the fact join pipeline must appear once,
+    not once per consumer (the totals-self-join anti-pattern)."""
+    from mpes_spark.registry import all_queries
+
+    df = all_queries()["nation_market_share"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("Window") >= 1
+    # one aggregation over the fact rows (partial+final render as two
+    # HashAggregates on the same keys), then window math on the grid —
+    # a duplicated fact pipeline would double the lineitem scans net
+    # of ReusedExchange subtree listings
+    assert plan.count("lineitem.parquet") - plan.count("ReusedExchange") <= 2
