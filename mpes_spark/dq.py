@@ -245,3 +245,80 @@ def fk_sql(table: str, col: str, ref_table: str, ref_col: str) -> str:
         f"LEFT JOIN (SELECT DISTINCT {ref_col} AS _k FROM {ref_table}) r "
         f"ON p._v = r._k"
     )
+
+
+# ---------------------------------------------------------------------------
+# one-pass column profiling (the Deequ profiler / df.describe shape)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float", "double", "decimal")
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str] | None = None, dp: int = 6
+) -> DataFrame:
+    """Column profiler: for every requested column emit tidy
+    ``(column, metric, value)`` rows — ``n_rows`` / ``n_null`` /
+    ``n_distinct`` for all types, plus ``min`` / ``max`` / ``mean``
+    (rounded to ``dp``) for numeric columns; all values rendered as
+    DOUBLE so the relation stays one well-typed shape.
+
+    This is the discovery half of the DQ surface (the constraints in
+    :func:`check_constraints` are the enforcement half): ALL metrics
+    for ALL columns ride ONE aggregation pass over one scan —
+    ``k`` columns cost ``O(k)`` agg expressions, not ``k`` jobs — with
+    partial/final combine map-side, and the output is bounded by
+    columns x metrics, never rows."""
+    cols = list(cols) if cols is not None else [c for c, _ in df.dtypes]
+    dtypes = dict(df.dtypes)
+    exprs: list = []
+    names: list[tuple[str, str]] = []  # (column, metric) per expr slot
+
+    def add(col: str, metric: str, e) -> None:
+        exprs.append(e.cast("double").alias(f"{col}__{metric}"))
+        names.append((col, metric))
+
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"column {c!r} not in {list(dtypes)}")
+        add(c, "n_rows", F.count(F.lit(1)))
+        add(c, "n_null", F.count(F.lit(1)) - F.count(F.col(c)))
+        add(c, "n_distinct", F.countDistinct(F.col(c)))
+        if dtypes[c].startswith(_NUMERIC_PREFIXES):
+            add(c, "min", F.round(F.min(F.col(c)).cast("double"), dp))
+            add(c, "max", F.round(F.max(F.col(c)).cast("double"), dp))
+            add(c, "mean", F.round(F.avg(F.col(c)), dp))
+    wide = df.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', '{m}', `{c}__{m}`" for c, m in names
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (column, metric, value)"
+        )
+    ).orderBy("column", "metric")
+
+
+def profile_sql(
+    table: str,
+    cols: Sequence[tuple[str, bool]],
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`profile_columns`. ``cols`` is
+    ``(name, is_numeric)`` pairs (the oracle string is static, so the
+    caller declares numericness instead of sniffing a live schema)."""
+    rows = []
+    for c, numeric in cols:
+        rows += [
+            f"SELECT '{c}' AS \"column\", 'n_rows' AS metric, CAST(count(*) AS DOUBLE) AS value FROM {table}",
+            f"SELECT '{c}', 'n_null', CAST(count(*) - count({c}) AS DOUBLE) FROM {table}",
+            f"SELECT '{c}', 'n_distinct', CAST(count(DISTINCT {c}) AS DOUBLE) FROM {table}",
+        ]
+        if numeric:
+            rows += [
+                f"SELECT '{c}', 'min', round(CAST(min({c}) AS DOUBLE), {dp}) FROM {table}",
+                f"SELECT '{c}', 'max', round(CAST(max({c}) AS DOUBLE), {dp}) FROM {table}",
+                f"SELECT '{c}', 'mean', round(avg({c}), {dp}) FROM {table}",
+            ]
+    body = " UNION ALL ".join(rows)
+    return f'SELECT * FROM ({body}) p ORDER BY "column", metric'

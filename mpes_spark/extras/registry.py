@@ -26,6 +26,7 @@ from mpes_spark.extras import sketches as SK
 from mpes_spark.extras import similarity as SIM
 from mpes_spark.extras import text as TX
 from mpes_spark.extras import tokenizer as TK
+from mpes_spark.dq import profile_sql as _profile_sql
 
 
 @dataclass
@@ -1203,6 +1204,40 @@ def embedding_covariance(spark, sf_dir):
     driver-side eigendecomposition of an 8x8 (or 256x256) matrix is
     numpy territory by design."""
     return spark.sql(_cov_sql(_pq(sf_dir, "embeddings"), "spark"))
+
+
+@_q(
+    "embedding_pool",
+    SIM.pool_embeddings_sql("embeddings", group="label"),
+)
+def embedding_pool(spark, sf_dir):
+    """Mean-pool chunk embeddings per group (the chunk->document
+    re-assembly after long-doc embedding; sentence-transformers mean
+    pooling). Long-form output bounded by |groups| x dim; one bounded
+    posexplode + one map-side-combined groupBy, no UDF."""
+    return SIM.pool_embeddings(_embs(spark, sf_dir), group="label")
+
+
+_PROFILE_COLS = [
+    ("doc_id", True),
+    ("lang", False),
+    ("source", False),
+    ("n_chars", True),
+]
+
+
+@_q("table_profile", _profile_sql("documents", _PROFILE_COLS))
+def table_profile(spark, sf_dir):
+    """One-pass column profiler (the Deequ profiler / df.describe
+    shape): counts/nulls/distinct for every column plus min/max/mean
+    for numerics, ALL metrics riding ONE aggregation over one scan —
+    k columns cost O(k) agg expressions, not k jobs. The discovery
+    half of the DQ surface (dq_report enforces, this describes)."""
+    from mpes_spark.dq import profile_columns
+
+    return profile_columns(
+        _docs(spark, sf_dir), [c for c, _ in _PROFILE_COLS]
+    )
 
 
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

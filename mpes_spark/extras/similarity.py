@@ -999,3 +999,53 @@ JOIN c va ON va.{id_col} = cand.id_a
 JOIN c vb ON vb.{id_col} = cand.id_b
 WHERE {cos} >= {threshold!r}
 """.strip()
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group: str = "label",
+    vec: str = "embedding",
+    dp: int = 6,
+) -> DataFrame:
+    """Mean-pool chunk embeddings per ``group`` — the re-assembly step
+    after long documents are chunked for embedding (chunk vectors in,
+    one document vector out; mean pooling per Reimers & Gurevych 2019,
+    the sentence-transformers default). Emitted in LONG form
+    ``(group, pos, pooled, n_vectors)`` — one row per (group,
+    dimension), bounded by |groups| x dim — because the long relation
+    is the join-ready shape for downstream covariance/ANN indexing and
+    keeps the oracle hash order-insensitive (re-assembling arrays from
+    a distributed agg would need an order-pinning sort per group).
+
+    Scale shape: posexplode fans each vector into dim rows (the same
+    bounded explode the covariance block uses), then ONE groupBy on
+    (group, pos) with map-side combine; no UDF, no driver collect.
+    The pooled value averages float32 inputs in double and rounds to
+    ``dp`` so cross-engine summation order can't leak into the hash."""
+    ex = df.select(
+        F.col(group), F.posexplode(F.col(vec)).alias("pos", "v")
+    )
+    return ex.groupBy(group, "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), dp).alias("pooled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+    )
+
+
+def pool_embeddings_sql(
+    table: str,
+    group: str = "label",
+    vec: str = "embedding",
+    dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`pool_embeddings`. posexplode renders as
+    two same-length unnests zipped positionally (DuckDB semantics);
+    generate_subscripts is 1-based, posexplode 0-based — hence -1."""
+    return (
+        f"SELECT {group}, pos, "
+        f"round(avg(CAST(v AS DOUBLE)), {dp}) AS pooled, "
+        f"CAST(count(*) AS BIGINT) AS n_vectors "
+        f"FROM (SELECT {group}, unnest({vec}) AS v, "
+        f"CAST(generate_subscripts({vec}, 1) - 1 AS INTEGER) AS pos "
+        f"FROM {table}) ex "
+        f"GROUP BY {group}, pos"
+    )

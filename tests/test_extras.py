@@ -1162,3 +1162,44 @@ def test_canonical_by_quality_keeps_best(spark):
     assert rows[1]["n_docs"] == 3 and rows[1]["total_quality"] == 600
     assert rows[10]["canonical_id"] == 10  # tie -> ascending id
     assert rows[10]["n_docs"] == 2
+
+
+def test_pool_embeddings_hand_computed(spark):
+    from mpes_spark.extras.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 20.0])],
+        "label string, embedding array<float>",
+    )
+    got = {
+        (r["label"], r["pos"]): (r["pooled"], r["n_vectors"])
+        for r in pool_embeddings(df, group="label").collect()
+    }
+    assert got == {
+        ("a", 0): (2.0, 2),
+        ("a", 1): (3.0, 2),
+        ("b", 0): (10.0, 1),
+        ("b", 1): (20.0, 1),
+    }
+
+
+def test_profile_columns_semantics(spark):
+    from mpes_spark.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "x", None), (None, "y", 30.0)],
+        "id bigint, s string, v double",
+    )
+    rep = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_columns(df).collect()
+    }
+    assert rep[("id", "n_rows")] == 3.0
+    assert rep[("id", "n_null")] == 1.0
+    assert rep[("id", "n_distinct")] == 2.0
+    assert rep[("id", "mean")] == 1.5
+    assert rep[("s", "n_distinct")] == 2.0
+    assert ("s", "mean") not in rep  # string column: counts only
+    assert rep[("v", "min")] == 10.0 and rep[("v", "max")] == 30.0
+    with pytest.raises(ValueError, match="not in"):
+        profile_columns(df, ["nope"])
