@@ -1206,6 +1206,45 @@ def embedding_covariance(spark, sf_dir):
     return spark.sql(_cov_sql(_pq(sf_dir, "embeddings"), "spark"))
 
 
+_EVAL_RELEVANCE_SQL = (
+    "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+    "CAST(1.0 AS DOUBLE) AS rel "
+    "FROM embeddings q JOIN embeddings c "
+    "ON c.label = q.label AND c.vec_id <> q.vec_id "
+    "WHERE q.vec_id < 8"
+)
+
+
+@_q(
+    "retrieval_eval",
+    SR.retrieval_metrics_sql(
+        SIM.topk_cosine_sql("embeddings", "vec_id < 8", k=10),
+        _EVAL_RELEVANCE_SQL,
+        k=10,
+    ),
+)
+def retrieval_eval(spark, sf_dir):
+    """Offline retrieval evaluation: per-query recall@10 / RR@10 /
+    nDCG@10 of exact cosine top-10 against label-match ground truth
+    (same label = relevant). The eval relations are k-bounded
+    (ranking) and judgment-sized (relevance); two qid-keyed aggs and
+    one equi-join — the corpus is touched only by the ranker under
+    evaluation. The missing loop-closer of the retrieval pillar:
+    BM25/ANN/hybrid variants all score through this same harness."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    ranking = SIM.topk_cosine(e, q, k=10)
+    rel = (
+        q.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "label"), "label"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.lit(1.0).alias("rel"))
+    )
+    return SR.retrieval_metrics(ranking, rel, k=10)
+
+
 @_q(
     "embedding_pool",
     SIM.pool_embeddings_sql("embeddings", group="label"),

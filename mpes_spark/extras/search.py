@@ -704,3 +704,110 @@ FROM b FULL OUTER JOIN c ON c.{id_col} = b.{id_col}
 ORDER BY rrf DESC, COALESCE(b.{id_col}, c.{id_col})
 LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation (recall@k / MRR@k / nDCG@k — Järvelin &
+# Kekäläinen 2002 for DCG; the offline eval loop of every retrieval
+# pipeline)
+# ---------------------------------------------------------------------------
+
+
+def retrieval_metrics(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    qid: str = "query_id",
+    doc: str = "neighbor_id",
+    rel: str = "rel",
+    rank: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality: ``(qid, n_rel, recall_k, rr_k,
+    ndcg_k)`` from a ranking relation (qid, doc, rank 1-based) and a
+    graded relevance relation (qid, doc, rel > 0 for relevant).
+
+    - recall@k = |relevant ∩ top-k| / |relevant| (standard: the full
+      relevant count in the denominator);
+    - RR@k = 1/rank of the first relevant hit in the top-k, 0 if none
+      (macro-average over queries = MRR);
+    - nDCG@k with linear gains: DCG = sum rel/log2(rank+1) over top-k
+      hits, IDCG over the ideal (rel-descending) ordering truncated at
+      k. Tie order among equal rels can't change IDCG.
+
+    Queries with no relevant docs are excluded (their metrics are
+    undefined — 0/0). Scale shape: two qid-keyed aggregations plus one
+    (qid, doc) equi-join; the ranking relation is already k-bounded
+    per query, the relevance relation is judgment-sized — nothing here
+    ever touches the corpus. Macro averages are one further
+    1-row agg over the per-query output."""
+    from pyspark.sql import Window
+
+    rk = ranking.filter(F.col(rank) <= k).select(
+        F.col(qid), F.col(doc), F.col(rank)
+    )
+    rl = relevance.filter(F.col(rel) > 0).select(
+        F.col(qid), F.col(doc), F.col(rel).cast("double").alias("_rel")
+    )
+    n_rel = rl.groupBy(qid).agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    hits = rk.join(rl, [qid, doc])
+    per_q = hits.groupBy(qid).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min(rank).alias("first_rank"),
+        F.sum(F.col("_rel") / F.log2(F.col(rank) + 1)).alias("dcg"),
+    )
+    wi = Window.partitionBy(qid).orderBy(F.col("_rel").desc(), F.col(doc))
+    ideal = (
+        rl.withColumn("irk", F.row_number().over(wi))
+        .filter(F.col("irk") <= k)
+        .groupBy(qid)
+        .agg(F.sum(F.col("_rel") / F.log2(F.col("irk") + 1)).alias("idcg"))
+    )
+    return (
+        n_rel.join(per_q, qid, "left")
+        .join(ideal, qid)
+        .select(
+            qid,
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)), 6
+            ).alias("rr_k"),
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+            ).alias("ndcg_k"),
+        )
+    )
+
+
+def retrieval_metrics_sql(
+    ranking_sql: str,
+    relevance_sql: str,
+    k: int = 10,
+    qid: str = "query_id",
+    doc: str = "neighbor_id",
+) -> str:
+    """DuckDB twin of :func:`retrieval_metrics` — ``ranking_sql``
+    yields (qid, doc, rank), ``relevance_sql`` yields (qid, doc, rel)."""
+    return f"""
+WITH rk AS (SELECT {qid}, {doc}, rank FROM ({ranking_sql}) r WHERE rank <= {k}),
+rl AS (SELECT {qid}, {doc}, CAST(rel AS DOUBLE) AS _rel
+       FROM ({relevance_sql}) x WHERE rel > 0),
+nr AS (SELECT {qid}, CAST(count(*) AS BIGINT) AS n_rel FROM rl GROUP BY {qid}),
+hits AS (SELECT rk.{qid}, rk.rank, rl._rel
+         FROM rk JOIN rl ON rl.{qid} = rk.{qid} AND rl.{doc} = rk.{doc}),
+pq AS (SELECT {qid}, count(*) AS n_hits, min(rank) AS first_rank,
+              sum(_rel / log2(rank + 1)) AS dcg
+       FROM hits GROUP BY {qid}),
+ideal AS (SELECT {qid}, sum(_rel / log2(irk + 1)) AS idcg FROM (
+    SELECT {qid}, _rel, row_number() OVER (
+      PARTITION BY {qid} ORDER BY _rel DESC, {doc}) AS irk FROM rl) i
+  WHERE irk <= {k} GROUP BY {qid})
+SELECT nr.{qid}, nr.n_rel,
+  round(coalesce(pq.n_hits, 0) / nr.n_rel, 6) AS recall_k,
+  round(coalesce(1.0 / pq.first_rank, 0.0), 6) AS rr_k,
+  round(coalesce(pq.dcg, 0.0) / ideal.idcg, 6) AS ndcg_k
+FROM nr LEFT JOIN pq ON pq.{qid} = nr.{qid}
+JOIN ideal ON ideal.{qid} = nr.{qid}
+""".strip()

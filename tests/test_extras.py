@@ -1203,3 +1203,36 @@ def test_profile_columns_semantics(spark):
     assert rep[("v", "min")] == 10.0 and rep[("v", "max")] == 30.0
     with pytest.raises(ValueError, match="not in"):
         profile_columns(df, ["nope"])
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall@k / RR@k / nDCG@k against a worked example."""
+    import math
+
+    from mpes_spark.extras.search import retrieval_metrics
+
+    # q1: relevant docs {10, 11, 12}; top-3 ranking hits 10 at rank 1
+    # and 12 at rank 3 -> recall 2/3, RR 1, DCG = 1/log2(2) + 1/log2(4),
+    # IDCG = 1/log2(2) + 1/log2(3) + 1/log2(4)
+    # q2: relevant {20}; ranking never finds it -> all zeros
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (2, 98, 1), (2, 97, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 11, 1.0), (1, 12, 1.0), (2, 20, 1.0)],
+        "query_id long, neighbor_id long, rel double",
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(ranking, rel, k=3).collect()
+    }
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[1]["n_rel"] == 3
+    assert got[1]["recall_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[1]["rr_k"] == 1.0
+    assert got[1]["ndcg_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+    assert got[2]["recall_k"] == 0.0
+    assert got[2]["rr_k"] == 0.0
+    assert got[2]["ndcg_k"] == 0.0
