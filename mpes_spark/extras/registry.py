@@ -1206,6 +1206,26 @@ def embedding_covariance(spark, sf_dir):
     return spark.sql(_cov_sql(_pq(sf_dir, "embeddings"), "spark"))
 
 
+@_q("mmr_rerank_cosine", None)  # iterative greedy: rows-only by design
+def mmr_rerank_cosine(spark, sf_dir):
+    """MMR-diversified top-10 from exact cosine top-20 candidates
+    (lambda=0.7): the diversity pass between retrieval and
+    consumption. Greedy is sequential within a query but queries are
+    independent -> one applyInPandas group per query, numpy inside,
+    candidate lists retrieval-depth-bounded. No SQL twin (iterative
+    argmax isn't relational); numerics pinned by the numpy-replay
+    test in tests/test_extras.py."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    cand = SIM.topk_cosine(e, q, k=20).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        ),
+        "neighbor_id",
+    )
+    return SIM.mmr_rerank(cand, k=10, lam=0.7)
+
+
 _EVAL_RELEVANCE_SQL = (
     "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
     "CAST(1.0 AS DOUBLE) AS rel "

@@ -1049,3 +1049,71 @@ def pool_embeddings_sql(
         f"FROM {table}) ex "
         f"GROUP BY {group}, pos"
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    qid: str = "query_id",
+    doc: str = "neighbor_id",
+    score: str = "cosine",
+    vec: str = "cv",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, greedily pick ``k`` candidates maximizing
+    ``lam * relevance - (1 - lam) * max cosine to already-selected`` —
+    the diversity pass between retrieval and consumption (dedup'd
+    search results, diverse few-shot example selection).
+
+    Scale shape: the greedy is sequential WITHIN a query but queries
+    are independent, so this is the canonical ``applyInPandas`` case —
+    one Arrow batch per query group, numpy inside, millions of query
+    groups in parallel. Candidate lists are retrieval-depth-bounded
+    (N ~ tens), so the in-group O(kN) pairwise work is constant-sized;
+    nothing here scales with the corpus. Ties resolve to the
+    earlier candidate in (score desc, id asc) order, making the
+    selection deterministic (pinned by the numpy-replay test).
+
+    Input must carry the candidate vector (``vec``, array<float/double>)
+    alongside (qid, doc, score). Output: (qid, doc, mmr_rank,
+    mmr_score rounded 6)."""
+    out_schema = (
+        f"{qid} long, {doc} long, mmr_rank int, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score, doc], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        V = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        U = V / norms[:, None]
+        sims = U @ U.T
+        rel = pdf[score].to_numpy(dtype="float64")
+        n = len(pdf)
+        selected: list[int] = []
+        remaining = np.ones(n, dtype=bool)
+        scores_out = []
+        for _ in range(min(k, n)):
+            if selected:
+                max_sim = sims[:, selected].max(axis=1)
+            else:
+                max_sim = np.zeros(n)
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr[~remaining] = -np.inf
+            i = int(np.argmax(mmr))  # first max -> (score desc, id) tie order
+            selected.append(i)
+            remaining[i] = False
+            scores_out.append(round(float(mmr[i]), 6))
+        return pd.DataFrame(
+            {
+                qid: pdf[qid].iloc[selected].to_numpy(),
+                doc: pdf[doc].iloc[selected].to_numpy(),
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype="int32"),
+                "mmr_score": scores_out,
+            }
+        )
+
+    return candidates.groupBy(qid).applyInPandas(rerank, schema=out_schema)

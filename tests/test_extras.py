@@ -1236,3 +1236,48 @@ def test_retrieval_metrics_hand_computed(spark):
     assert got[2]["recall_k"] == 0.0
     assert got[2]["rr_k"] == 0.0
     assert got[2]["ndcg_k"] == 0.0
+
+
+def test_mmr_rerank_numpy_replay(spark):
+    """The distributed MMR selection must match an independent numpy
+    replay of the greedy exactly (selection order, ids, scores)."""
+    import numpy as np
+
+    from mpes_spark.extras.similarity import mmr_rerank, topk_cosine
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4)
+    cand = topk_cosine(e, q, k=15).join(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        "neighbor_id",
+    )
+    lam = 0.7
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["neighbor_id"], r["mmr_score"])
+        for r in mmr_rerank(cand, k=5, lam=lam).collect()
+    }
+    rows = cand.select("query_id", "neighbor_id", "cosine", "cv").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    want = {}
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: (-r["cosine"], r["neighbor_id"]))
+        V = np.asarray([np.asarray(r["cv"], dtype="float64") for r in rs])
+        U = V / np.linalg.norm(V, axis=1)[:, None]
+        sims = U @ U.T
+        rel = np.array([r["cosine"] for r in rs])
+        sel, rem = [], np.ones(len(rs), bool)
+        for rank in range(1, 6):
+            max_sim = sims[:, sel].max(axis=1) if sel else np.zeros(len(rs))
+            mmr = lam * rel - (1 - lam) * max_sim
+            mmr[~rem] = -np.inf
+            i = int(np.argmax(mmr))
+            sel.append(i)
+            rem[i] = False
+            want[(qid, rank)] = (rs[i]["neighbor_id"], round(float(mmr[i]), 6))
+    assert got == want
+    # diversity sanity: rank-1 is always the raw top-1 (no penalty yet)
+    for qid, rs in by_q.items():
+        top1 = min(rs, key=lambda r: (-r["cosine"], r["neighbor_id"]))
+        assert got[(qid, 1)][0] == top1["neighbor_id"]
