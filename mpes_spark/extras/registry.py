@@ -1206,6 +1206,22 @@ def embedding_covariance(spark, sf_dir):
     return spark.sql(_cov_sql(_pq(sf_dir, "embeddings"), "spark"))
 
 
+from mpes_spark.extras import cluster as CL
+
+
+@_q("kmeans_embeddings", CL.kmeans_fixed_sql("embeddings", k=4, iters=2))
+def kmeans_embeddings(spark, sf_dir):
+    """Fixed-iteration k-means (k=4, 2 Lloyd steps) over the
+    embeddings relation — the clustering primitive under semantic
+    dedup / domain discovery / IVF coarse quantization, rendered
+    deterministic (k-smallest-id init, rounded-distance argmin,
+    engine-rounded centroids) so the DuckDB twin replays the SAME
+    unrolled iterations. Per iteration: one narrow projection
+    (centroid literals, no join) + one (cid, pos) aggregation; the
+    only driver traffic is k x dim doubles."""
+    return CL.kmeans_fixed(_embs(spark, sf_dir), k=4, iters=2)
+
+
 @_q("mmr_rerank_cosine", None)  # iterative greedy: rows-only by design
 def mmr_rerank_cosine(spark, sf_dir):
     """MMR-diversified top-10 from exact cosine top-20 candidates

@@ -1281,3 +1281,22 @@ def test_mmr_rerank_numpy_replay(spark):
     for qid, rs in by_q.items():
         top1 = min(rs, key=lambda r: (-r["cosine"], r["neighbor_id"]))
         assert got[(qid, 1)][0] == top1["neighbor_id"]
+
+
+def test_kmeans_fixed_separates_clusters(spark):
+    from mpes_spark.extras.cluster import kmeans_fixed
+
+    # two tight blobs; ids 0 and 1 (the k=2 init seeds) sit one in each
+    rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0])]
+    rows += [(i, [0.0 + (i % 3) * 0.1, 0.1]) for i in range(2, 12)]
+    rows += [(i, [10.0 - (i % 3) * 0.1, 9.9]) for i in range(12, 22)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_fixed(df, k=2, iters=2).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = (r["centroid"], r["n_points"])
+    assert set(by_cid) == {0, 1}
+    # cluster 0 near the origin blob, cluster 1 near (10, 10); 11 each
+    assert by_cid[0][0][1] == 11 and by_cid[1][0][1] == 11
+    assert abs(by_cid[0][0][0]) < 0.5 and abs(by_cid[1][0][0] - 10) < 0.5
+    assert abs(by_cid[0][1][0]) < 0.5 and abs(by_cid[1][1][0] - 10) < 0.5
