@@ -38,3 +38,32 @@ def test_entry_runs_smoke(spark):
     df = ent.entry(spark)
     assert df.schema.fields
     assert df.count() >= 0
+
+
+def test_gate_rotation_policy():
+    """all_queries() ordering: never-gated oracled queries first, then
+    ascending last-gated round (from the committed CORRECTNESS_r*.json
+    artifacts), rows-only-by-design queries dead last."""
+    import glob
+    import json
+    import re
+
+    from __spark_entry__ import oracle_sql, queries
+
+    q = list(queries())
+    o = set(oracle_sql())
+    last = {}
+    for p in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        r = int(re.search(r"r(\d+)\.json$", p).group(1))
+        for name in json.load(open(p)):
+            last[name] = max(last.get(name, 0), r)
+    # rows-only queries form a contiguous tail
+    kinds = [n in o for n in q]
+    first_rows_only = kinds.index(False)
+    assert all(not k for k in kinds[first_rows_only:])
+    # oracled prefix is sorted by last-gated round (ties keep order)
+    rounds = [last.get(n, 0) for n in q[:first_rows_only]]
+    assert rounds == sorted(rounds)
+    # anything never gated leads the window
+    never = [n for n in q[:first_rows_only] if last.get(n, 0) == 0]
+    assert q[: len(never)] == never
