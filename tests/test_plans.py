@@ -476,3 +476,30 @@ def test_nation_market_share_single_fact_pass(spark):
     # a duplicated fact pipeline would double the lineitem scans net
     # of ReusedExchange subtree listings
     assert plan.count("lineitem.parquet") - plan.count("ReusedExchange") <= 2
+
+
+def test_no_plan_antipatterns_any_query(spark):
+    """Sweep EVERY registered query's physical plan for the two
+    unconditional anti-patterns: CartesianProduct (an unkeyed
+    data-x-data join — every intentional crossJoin in the tree is
+    against a broadcast 1-row/k-row aggregate and renders as
+    BroadcastNestedLoopJoin) and BatchEvalPython (a row-at-a-time
+    Python UDF — all Python in the engine must be Arrow-vectorized:
+    pandas_udf / mapInPandas / applyInPandas). Plans are inspected
+    un-executed, so the sweep costs seconds, not a suite run."""
+    from __spark_entry__ import queries
+
+    offenders = {}
+    for name, fn in queries().items():
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        flags = [
+            f
+            for f, marker in (
+                ("cartesian", "CartesianProduct"),
+                ("row-python-udf", "BatchEvalPython"),
+            )
+            if marker in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, f"plan anti-patterns: {offenders}"
