@@ -1222,6 +1222,21 @@ def kmeans_embeddings(spark, sf_dir):
     return CL.kmeans_fixed(_embs(spark, sf_dir), k=4, iters=2)
 
 
+@_q(
+    "contrastive_mining",
+    SIM.contrastive_pairs_sql("embeddings", "vec_id < 8"),
+)
+def contrastive_mining(spark, sf_dir):
+    """Contrastive training-pair mining: per anchor the top-3
+    most-similar same-label positives and top-5 highest-cosine
+    different-label HARD negatives — the pair-construction step of
+    embedding-model training. One corpus scan against the broadcast
+    anchor set; ranking windows partition per (anchor, polarity);
+    output bounded by anchors x (pos + neg)."""
+    e = _embs(spark, sf_dir)
+    return SIM.contrastive_pairs(e, e.filter(F.col("vec_id") < 8))
+
+
 @_q("mmr_rerank_cosine", None)  # iterative greedy: rows-only by design
 def mmr_rerank_cosine(spark, sf_dir):
     """MMR-diversified top-10 from exact cosine top-20 candidates

@@ -1117,3 +1117,89 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(qid).applyInPandas(rerank, schema=out_schema)
+
+
+def contrastive_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    pos_per_anchor: int = 3,
+    neg_per_anchor: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair mining: per anchor, the
+    ``pos_per_anchor`` most-similar SAME-label candidates (positives)
+    and the ``neg_per_anchor`` most-similar DIFFERENT-label candidates
+    (hard negatives — the highest-cosine impostors, the pairs that
+    actually move a contrastive loss [Robinson et al. 2021, hard
+    negative mixing]). Output: (query_id, cand_id, cosine,
+    is_positive, pair_rank).
+
+    Plan shape = :func:`topk_cosine` with one extra partition key: the
+    anchor set broadcasts against one corpus scan, and the per-anchor
+    ranking windows partition on (query_id, is_positive) — millions of
+    independent anchor groups, no global sort. Output is bounded by
+    |anchors| x (pos + neg)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec).alias("qv"),
+        F.col(label).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_array(vec).alias("cv"),
+        F.col(label).alias("c_label"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        (F.col("c_label") == F.col("q_label")).cast("int").alias("is_positive"),
+    )
+    w = Window.partitionBy("query_id", "is_positive").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    ranked = scored.withColumn(
+        "pair_rank", F.row_number().over(w).cast("bigint")
+    )
+    keep = F.when(
+        F.col("is_positive") == 1, F.col("pair_rank") <= pos_per_anchor
+    ).otherwise(F.col("pair_rank") <= neg_per_anchor)
+    return ranked.filter(keep).select(
+        "query_id", "cand_id", "cosine", "is_positive", "pair_rank"
+    )
+
+
+def contrastive_pairs_sql(
+    table: str,
+    query_pred: str,
+    pos_per_anchor: int = 3,
+    neg_per_anchor: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> str:
+    """DuckDB twin of :func:`contrastive_pairs`."""
+    return f"""
+WITH c AS (SELECT {id_col}, {vec}::DOUBLE[] AS v, {label} FROM {table}),
+q AS (SELECT {id_col} AS query_id, v AS qv, {label} AS q_label FROM c WHERE {query_pred}),
+scored AS (
+  SELECT q.query_id, c.{id_col} AS cand_id,
+         round(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine,
+         CAST(c.{label} = q.q_label AS INTEGER) AS is_positive
+  FROM c JOIN q ON c.{id_col} <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id, is_positive
+    ORDER BY cosine DESC, cand_id) AS BIGINT) AS pair_rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, is_positive, pair_rank FROM ranked
+WHERE (is_positive = 1 AND pair_rank <= {pos_per_anchor})
+   OR (is_positive = 0 AND pair_rank <= {neg_per_anchor})
+""".strip()

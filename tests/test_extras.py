@@ -1300,3 +1300,31 @@ def test_kmeans_fixed_separates_clusters(spark):
     assert by_cid[0][0][1] == 11 and by_cid[1][0][1] == 11
     assert abs(by_cid[0][0][0]) < 0.5 and abs(by_cid[1][0][0] - 10) < 0.5
     assert abs(by_cid[0][1][0]) < 0.5 and abs(by_cid[1][1][0] - 10) < 0.5
+
+
+def test_contrastive_pairs_semantics(spark):
+    """Positives share the anchor's label, negatives don't; hard
+    negatives are the HIGHEST-cosine impostors; per-anchor quotas."""
+    from mpes_spark.extras.similarity import contrastive_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in e.select("vec_id", "label").collect()}
+    out = contrastive_pairs(
+        e, e.filter(F.col("vec_id") < 4), pos_per_anchor=2, neg_per_anchor=3
+    ).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["query_id"], []).append(r)
+    assert set(by_anchor) == {0, 1, 2, 3}
+    for qid, rows in by_anchor.items():
+        pos = [r for r in rows if r["is_positive"] == 1]
+        neg = [r for r in rows if r["is_positive"] == 0]
+        assert len(pos) == 2 and len(neg) == 3
+        for r in pos:
+            assert labels[r["cand_id"]] == labels[qid]
+        for r in neg:
+            assert labels[r["cand_id"]] != labels[qid]
+        # hard negatives: ranked by descending cosine
+        neg_sorted = sorted(neg, key=lambda r: r["pair_rank"])
+        cosines = [r["cosine"] for r in neg_sorted]
+        assert cosines == sorted(cosines, reverse=True)
