@@ -435,3 +435,80 @@ def test_dq_oracle_sql_matches_python_reference(vals):
         want_ir = round(sum(1 for v in nn if 0.0 <= v <= 15.0) / len(nn), 6)
         assert rep["range_v"] == (want_ir, int(want_ir >= 1.0))
     assert rep["min_rows"] == (float(len(vals)), int(len(vals) >= 10))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(  # (qid, doc, rank-slot) ranking entries
+        st.tuples(st.integers(0, 3), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.lists(  # (qid, doc) relevant pairs
+        st.tuples(st.integers(0, 3), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+)
+def test_retrieval_metrics_python_reference(rank_pairs, rel_pairs):
+    """Property: the SQL-twin arithmetic of retrieval_metrics matches
+    a direct python computation of recall@k / RR@k / nDCG@k on random
+    ranking/relevance relations (DuckDB executes the twin; the Spark
+    side's parity with the twin is pinned by the retrieval_eval oracle
+    row and the hand-computed Spark test in test_extras)."""
+    import math
+
+    import duckdb
+
+    k = 5
+    # build a valid ranking: per qid, ranks 1..n in insertion order
+    seen: dict[int, int] = {}
+    ranking = []
+    for qid, doc in rank_pairs:
+        if any(q == qid and d == doc for q, d, _ in ranking):
+            continue
+        seen[qid] = seen.get(qid, 0) + 1
+        ranking.append((qid, doc, seen[qid]))
+    rel = [(q, d, 1.0) for q, d in rel_pairs]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE trk (query_id INT, neighbor_id INT, rank INT)"
+    )
+    con.executemany("INSERT INTO trk VALUES (?, ?, ?)", ranking)
+    con.execute("CREATE TABLE trl (query_id INT, neighbor_id INT, rel DOUBLE)")
+    con.executemany("INSERT INTO trl VALUES (?, ?, ?)", rel)
+
+    from mpes_spark.extras.search import retrieval_metrics_sql
+
+    sql = retrieval_metrics_sql(
+        "SELECT * FROM trk", "SELECT * FROM trl", k=k, qid="query_id"
+    )
+    got = {
+        row[0]: row[1:]
+        for row in con.execute(sql).fetchall()
+    }
+
+    # python reference
+    rel_by_q: dict[int, set] = {}
+    for q, d, _ in rel:
+        rel_by_q.setdefault(q, set()).add(d)
+    rank_by_q: dict[int, list] = {}
+    for q, d, r in ranking:
+        if r <= k:
+            rank_by_q.setdefault(q, []).append((r, d))
+    for q, docs in rel_by_q.items():
+        hits = sorted(
+            (r, d) for r, d in rank_by_q.get(q, []) if d in docs
+        )
+        n_rel = len(docs)
+        recall = round(len(hits) / n_rel, 6)
+        rr = round(1.0 / hits[0][0], 6) if hits else 0.0
+        dcg = sum(1.0 / math.log2(r + 1) for r, _ in hits)
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(min(k, n_rel)))
+        ndcg = round(dcg / idcg, 6)
+        want = (n_rel, recall, rr, ndcg)
+        assert got[q] == pytest.approx(want, abs=1e-9), (q, got[q], want)
+    assert set(got) == set(rel_by_q)
