@@ -139,3 +139,120 @@ def auto_salted_agg(
                 phase.append(getattr(F, how)(F.col(col)).alias(out))
         return df.groupBy(*keys).agg(*phase), decision
     return salted_agg(df, keys, aggs, salt_buckets=buckets, seed=seed), decision
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard data-drift monitor for feature/label
+    distributions between a training corpus and incoming data
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 action; the credit-
+    scoring folklore thresholds). Values bucket into ``nbins``
+    equal-width bins over [lo, hi) plus an ``-1`` outside-range bin,
+    counts get add-``smoothing`` Laplace mass (so an empty bin can't
+    produce log(0)/div-0), and each row reports
+    ``(bin, p_base, p_cur, psi_term)`` with ``psi = sum(psi_term)``.
+
+    Scale shape: one bounded aggregation per side (map-side combined,
+    nbins+1 output rows each), a broadcast-sized join on bin id, and
+    pure column math — monitoring a 100 TB snapshot pair costs two
+    column scans. Shares and terms are rounded (9/6) so the DuckDB
+    twin hash-matches."""
+    if nbins <= 0 or hi <= lo:
+        raise ValueError("need nbins > 0 and hi > lo")
+    step = (hi - lo) / nbins
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        x = F.col(col)
+        b = F.when(
+            (x >= lo) & (x < hi),
+            F.floor((x - F.lit(lo)) / F.lit(step)).cast("int"),
+        ).otherwise(F.lit(-1))
+        cnt = df.filter(x.isNotNull()).groupBy(b.alias("bin")).agg(
+            F.count(F.lit(1)).cast("double").alias("cnt")
+        )
+        tot = cnt.agg(
+            F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("nb")
+        )
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "bin",
+            (
+                (F.col("cnt") + F.lit(smoothing))
+                / (F.col("tot") + F.lit(smoothing) * (nbins + 1))
+            ).alias(name),
+        )
+
+    p = side(base, "p_raw")
+    q = side(current, "q_raw")
+    # full outer on bin: a bin empty on one side still gets its
+    # smoothed floor share from that side's total
+    joined = p.join(q, "bin", "outer")
+    base_n = base.filter(F.col(col).isNotNull()).count()
+    cur_n = current.filter(F.col(col).isNotNull()).count()
+    floor_p = smoothing / (base_n + smoothing * (nbins + 1))
+    floor_q = smoothing / (cur_n + smoothing * (nbins + 1))
+    pp = F.round(F.coalesce(F.col("p_raw"), F.lit(floor_p)), 9)
+    qq = F.round(F.coalesce(F.col("q_raw"), F.lit(floor_q)), 9)
+    return joined.select(
+        F.col("bin").cast("int").alias("bin"),
+        pp.alias("p_base"),
+        qq.alias("p_cur"),
+        F.round((pp - qq) * F.log(pp / qq), 6).alias("psi_term"),
+    )
+
+
+def psi_drift_sql(
+    base_sql: str,
+    current_sql: str,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    smoothing: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`psi_drift` — ``base_sql``/``current_sql``
+    are relations exposing ``col``. Constants are Python-precomputed
+    and inlined via CAST so DECIMAL parsing can't diverge."""
+    step = (hi - lo) / nbins
+
+    def side(src: str, name: str) -> str:
+        b = (
+            f"CASE WHEN {col} >= CAST({lo!r} AS DOUBLE)"
+            f" AND {col} < CAST({hi!r} AS DOUBLE)"
+            f" THEN CAST(floor(({col} - CAST({lo!r} AS DOUBLE))"
+            f" / CAST({step!r} AS DOUBLE)) AS INTEGER) ELSE -1 END"
+        )
+        return (
+            f"SELECT bin, (cnt + CAST({smoothing!r} AS DOUBLE))"
+            f" / (tot + CAST({smoothing!r} AS DOUBLE) * {nbins + 1}) AS {name} "
+            f"FROM (SELECT {b} AS bin, CAST(count(*) AS DOUBLE) AS cnt"
+            f" FROM ({src}) s WHERE {col} IS NOT NULL GROUP BY bin) c,"
+            f" (SELECT CAST(count(*) AS DOUBLE) AS tot FROM ({src}) s2"
+            f" WHERE {col} IS NOT NULL) t"
+        )
+
+    # smoothed floor shares for bins absent on one side
+    return f"""
+WITH pside AS ({side(base_sql, "p_raw")}),
+qside AS ({side(current_sql, "q_raw")}),
+bn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ({base_sql}) b WHERE {col} IS NOT NULL),
+cn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ({current_sql}) c WHERE {col} IS NOT NULL),
+j AS (
+  SELECT coalesce(pside.bin, qside.bin) AS bin,
+         round(coalesce(p_raw, CAST({smoothing!r} AS DOUBLE)
+               / ((SELECT n FROM bn) + CAST({smoothing!r} AS DOUBLE) * {nbins + 1})), 9) AS p_base,
+         round(coalesce(q_raw, CAST({smoothing!r} AS DOUBLE)
+               / ((SELECT n FROM cn) + CAST({smoothing!r} AS DOUBLE) * {nbins + 1})), 9) AS p_cur
+  FROM pside FULL OUTER JOIN qside ON pside.bin = qside.bin
+)
+SELECT CAST(bin AS INTEGER) AS bin, p_base, p_cur,
+       round((p_base - p_cur) * ln(p_base / p_cur), 6) AS psi_term
+FROM j
+""".strip()

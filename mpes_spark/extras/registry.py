@@ -1222,6 +1222,42 @@ def kmeans_embeddings(spark, sf_dir):
     return CL.kmeans_fixed(_embs(spark, sf_dir), k=4, iters=2)
 
 
+from mpes_spark.diagnostics import psi_drift as _psi_drift
+from mpes_spark.diagnostics import psi_drift_sql as _psi_drift_sql
+
+
+@_q(
+    "psi_value_drift",
+    _psi_drift_sql(
+        "SELECT value FROM events WHERE event_id % 2 = 0",
+        "SELECT value FROM events WHERE event_id % 2 = 1",
+        "value",
+        0.0,
+        500.0,
+        nbins=20,
+    ),
+)
+def psi_value_drift(spark, sf_dir):
+    """Population Stability Index between two event snapshots (the
+    data-drift monitor between a training corpus and incoming data):
+    per-bin base/current shares with Laplace smoothing and the PSI
+    contribution of each bin. Two bounded aggregations + a
+    broadcast-sized bin join — drift-checking 100 TB costs two column
+    scans. Split here is deterministic (event_id parity) so the twin
+    replays it."""
+    from mpes_spark.registry import t as _t
+
+    ev = _t(spark, sf_dir, "events")
+    return _psi_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        0.0,
+        500.0,
+        nbins=20,
+    )
+
+
 @_q(
     "contrastive_mining",
     SIM.contrastive_pairs_sql("embeddings", "vec_id < 8"),

@@ -254,3 +254,26 @@ def test_perplexity_sampled_no_sort_in_plan(spark):
     # contains it as a substring
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # thresholds join is broadcast
+
+
+# -- r5 additions: PSI drift monitor -------------------------------------
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from mpes_spark.diagnostics import psi_drift
+
+    a = spark.range(0, 2000).select((F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(0, 2000).select(((F.col("id") % 100) + 60).cast("double").alias("v"))
+    # identical distributions: PSI ~ 0 (exactly 0 up to smoothing)
+    same = psi_drift(a, a, "v", 0.0, 100.0, nbins=10)
+    total_same = same.agg(F.sum("psi_term")).collect()[0][0]
+    assert abs(total_same) < 1e-9
+    # disjoint-ish shift: large PSI, and the out-of-range bin (-1)
+    # appears for the shifted side
+    diff = psi_drift(a, b, "v", 0.0, 100.0, nbins=10)
+    rows = {r["bin"]: r for r in diff.collect()}
+    total_diff = sum(r["psi_term"] for r in rows.values())
+    assert total_diff > 0.25  # "action" threshold
+    assert -1 in rows and rows[-1]["p_cur"] > rows[-1]["p_base"]
+    with pytest.raises(ValueError, match="nbins"):
+        psi_drift(a, b, "v", 5.0, 1.0)
