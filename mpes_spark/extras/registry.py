@@ -1222,6 +1222,20 @@ def kmeans_embeddings(spark, sf_dir):
     return CL.kmeans_fixed(_embs(spark, sf_dir), k=4, iters=2)
 
 
+@_q(
+    "vocab_coverage_by_source",
+    TK.vocab_coverage_sql("documents", vocab_size=20),
+)
+def vocab_coverage_by_source(spark, sf_dir):
+    """Per-source vocabulary coverage against the corpus's top-20
+    token vocab (vocab_size chosen to exercise the OOV path on the
+    31-type synthetic corpus): OOV token/type rates — the tokenizer
+    and vocab-design feedback signal. One token explode feeds both
+    the TakeOrdered vocab construction and the per-source agg;
+    membership is a broadcast V-row left join."""
+    return TK.vocab_coverage(_docs(spark, sf_dir), vocab_size=20)
+
+
 from mpes_spark.diagnostics import psi_drift as _psi_drift
 from mpes_spark.diagnostics import psi_drift_sql as _psi_drift_sql
 

@@ -153,3 +153,86 @@ def bpe_token_stats(
         "chars_per_token",
         F.round(F.col("n_chars") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    by: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Per-``by`` vocabulary coverage against the corpus's own top-V
+    token vocabulary — the tokenizer/vocab evaluation staple: the OOV
+    token rate is what a fixed vocab costs each domain (an <unk>-heavy
+    domain trains badly; the CC-Net/tokenizer-design feedback loop).
+
+    Returns ``({by}, n_tokens, n_oov_tokens, oov_token_rate, n_types,
+    n_oov_types, oov_type_rate)``.
+
+    Scale shape: ONE token explode feeds both the global vocab
+    construction (groupBy token -> TakeOrdered top-V, never a global
+    sort) and the per-domain aggregation; membership is a broadcast
+    left join against the V-row vocab (runtime-filter shape). At a
+    real 100-TB corpus the vocab side is trained once on a sample and
+    broadcast — the scoring pass is unchanged."""
+    toks = docs.select(
+        F.col(by), F.explode(F.split(F.col(text), " ")).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("in_vocab").isNull().cast("int")
+    return flagged.groupBy(by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov_tokens"),
+        F.round(
+            F.sum(oov).cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_token_rate"),
+        F.countDistinct("tok").cast("bigint").alias("n_types"),
+        F.countDistinct(F.when(oov == 1, F.col("tok"))).cast("bigint").alias(
+            "n_oov_types"
+        ),
+        F.round(
+            F.countDistinct(F.when(oov == 1, F.col("tok"))).cast("double")
+            / F.countDistinct("tok"),
+            6,
+        ).alias("oov_type_rate"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str,
+    vocab_size: int = 500,
+    by: str = "source",
+    text: str = "text",
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage`."""
+    return f"""
+WITH toks AS (
+  SELECT {by}, unnest(string_split({text}, ' ')) AS tok FROM {table}
+),
+vocab AS (
+  SELECT tok, 1 AS in_vocab FROM (
+    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ORDER BY cnt DESC, tok LIMIT {vocab_size}) v
+),
+flagged AS (
+  SELECT t.{by}, t.tok,
+         CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+)
+SELECT {by},
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(oov) AS BIGINT) AS n_oov_tokens,
+  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_token_rate,
+  CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+  CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT) AS n_oov_types,
+  round(CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS DOUBLE)
+        / count(DISTINCT tok), 6) AS oov_type_rate
+FROM flagged GROUP BY {by}
+""".strip()

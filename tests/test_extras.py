@@ -1328,3 +1328,25 @@ def test_contrastive_pairs_semantics(spark):
         neg_sorted = sorted(neg, key=lambda r: r["pair_rank"])
         cosines = [r["cosine"] for r in neg_sorted]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from mpes_spark.extras.tokenizer import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x x x y"),   # source a: tokens x*3 y*1
+            ("a", "x z"),       # + x z  -> a: x*4 y z
+            ("b", "q q y"),     # source b: q*2 y
+        ],
+        "source string, text string",
+    )
+    # vocab_size=2 -> top-2 tokens by count: x(4), q(2)... y(2)? counts:
+    # x=4, q=2, y=2, z=1 -> tie q/y broken by token text: q < y -> vocab={x, q}
+    out = {r["source"]: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_tokens"] == 6 and a["n_oov_tokens"] == 2  # y, z OOV
+    assert a["oov_token_rate"] == pytest.approx(2 / 6, abs=1e-6)
+    assert a["n_types"] == 3 and a["n_oov_types"] == 2
+    assert b["n_tokens"] == 3 and b["n_oov_tokens"] == 1  # y OOV
+    assert b["n_types"] == 2 and b["n_oov_types"] == 1
