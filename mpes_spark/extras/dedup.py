@@ -1022,3 +1022,73 @@ SELECT r.cluster_id, r.{id_col} AS canonical_id,
        r._q AS canonical_quality, a.n_docs, a.total_quality
 FROM ranked r JOIN agg a USING (cluster_id) WHERE r.rk = 1
 """.strip()
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pairs rolled
+    up by the (source_a, source_b) of their endpoints — the crawl
+    -overlap diagnostic ('how much of dump B is already in dump A'),
+    which drives dedup ORDER (dedup the overlap-heavy pair first) and
+    provenance-aware retention. Symmetrized with source_a <= source_b
+    so each unordered source pair appears once.
+
+    Output bounded by |sources|^2: ``(source_a, source_b, n_pairs,
+    n_docs_a, n_docs_b)`` where n_docs_x counts DISTINCT docs of that
+    side appearing in the cross pairs. Scale shape: two broadcast-able
+    id->source lookups (the doc-id side prunes via semi-join pushdown)
+    and one grid-sized groupBy."""
+    src = docs.select(F.col(id_col), F.col(by))
+    a = src.select(F.col(id_col).alias("id_a"), F.col(by).alias("_sa"))
+    b = src.select(F.col(id_col).alias("id_b"), F.col(by).alias("_sb"))
+    lab = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            # keep endpoint ids aligned with the sorted source order
+            F.when(F.col("_sa") <= F.col("_sb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_a"),
+            F.when(F.col("_sa") <= F.col("_sb"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_b"),
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_a").cast("bigint").alias("n_docs_a"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_b"),
+    )
+
+
+def cross_source_dup_matrix_sql(
+    pairs_sql: str,
+    table: str,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`cross_source_dup_matrix`."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+src AS (SELECT {id_col}, {by} FROM (SELECT * FROM {table}) d),
+lab AS (
+  SELECT least(sa.{by}, sb.{by}) AS source_a,
+         greatest(sa.{by}, sb.{by}) AS source_b,
+         CASE WHEN sa.{by} <= sb.{by} THEN p.id_a ELSE p.id_b END AS doc_a,
+         CASE WHEN sa.{by} <= sb.{by} THEN p.id_b ELSE p.id_a END AS doc_b
+  FROM pairs p
+  JOIN src sa ON sa.{id_col} = p.id_a
+  JOIN src sb ON sb.{id_col} = p.id_b
+)
+SELECT source_a, source_b,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+FROM lab GROUP BY source_a, source_b
+""".strip()

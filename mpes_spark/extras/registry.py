@@ -1223,6 +1223,29 @@ def kmeans_embeddings(spark, sf_dir):
 
 
 @_q(
+    "cross_source_duplication",
+    DD.cross_source_dup_matrix_sql(
+        DD.blocked_jaccard_sql(
+            "documents", "duckdb", n=3, block_tokens=2, threshold=0.2
+        ),
+        "documents",
+    ),
+)
+def cross_source_duplication(spark, sf_dir):
+    """Crawl-overlap diagnostic: verified near-dup pairs rolled up by
+    the (source, source) of their endpoints — which dumps duplicate
+    into which, the signal that orders dedup passes and provenance-
+    aware retention. Two id->source lookups on the pair relation and
+    one |sources|^2-bounded groupBy on top of the oracled blocked-
+    Jaccard pair generator."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.blocked_jaccard_pairs(
+        d, n=3, block_tokens=2, threshold=0.2
+    ).select("id_a", "id_b")
+    return DD.cross_source_dup_matrix(d, pairs)
+
+
+@_q(
     "vocab_coverage_by_source",
     TK.vocab_coverage_sql("documents", vocab_size=20),
 )

@@ -1350,3 +1350,23 @@ def test_vocab_coverage_hand_computed(spark):
     assert a["n_types"] == 3 and a["n_oov_types"] == 2
     assert b["n_tokens"] == 3 and b["n_oov_tokens"] == 1  # y OOV
     assert b["n_types"] == 2 and b["n_oov_types"] == 1
+
+
+def test_cross_source_dup_matrix_hand_computed(spark):
+    from mpes_spark.extras.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "cc"), (2, "wiki"), (3, "cc"), (4, "books")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["n_docs_a"], r["n_docs_b"])
+        for r in cross_source_dup_matrix(docs, pairs).collect()
+    }
+    # (1,2): cc-wiki; (2,3): wiki-cc -> sorted cc-wiki; (1,3): cc-cc
+    assert got[("cc", "wiki")] == (2, 2, 1)  # docs 1,3 on cc side; doc 2 wiki
+    assert got[("cc", "cc")] == (1, 1, 1)
+    assert ("books", "cc") not in got  # doc 4 in no pair
