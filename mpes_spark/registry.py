@@ -2891,9 +2891,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py and the opt-in
     SPARK_GRAFT_FULL_PARITY=1 sf0.1 sweep.
     """
+    from mpes_spark.decision import decision_queries
     from mpes_spark.extras.registry import extras_queries
 
-    base = extras_queries() | {q.name: q.spark for q in _REGISTRY}
+    base = (
+        extras_queries()
+        | {q.name: q.spark for q in _REGISTRY}
+        | decision_queries()
+    )
     oracled = all_oracles()
     last = _last_gated_round()
     idx = {n: i for i, n in enumerate(base)}
@@ -2906,8 +2911,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def all_oracles() -> dict[str, str]:
+    from mpes_spark.decision import decision_oracles
     from mpes_spark.extras.registry import extras_oracles
 
-    return extras_oracles() | {
-        q.name: q.sql for q in _REGISTRY if q.sql is not None
-    }
+    return (
+        extras_oracles()
+        | {q.name: q.sql for q in _REGISTRY if q.sql is not None}
+        | decision_oracles()
+    )

@@ -503,3 +503,106 @@ def test_no_plan_antipatterns_any_query(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, f"plan anti-patterns: {offenders}"
+
+
+def test_forecast_revenue_pushdown(spark):
+    """Q6 shape: every predicate reaches the parquet scan and the
+    plan is scan -> partial agg -> 1-row final agg, join-free."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["forecast_revenue"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1].split("]")[0], col
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan
+
+
+def test_priority_order_count_semi_join(spark):
+    """Q4 shape: EXISTS renders as a LEFT SEMI hash join — the probe
+    row emits at first match, never multiplied by match count."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["priority_order_count"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_rich_customers_anti_join(spark):
+    """Q22 shape: NOT EXISTS renders as LEFT ANTI; the scalar avg is
+    a broadcast 1-row aggregate (BroadcastNestedLoopJoin over one
+    row), never a per-row subquery."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["idle_rich_customers"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_customer_order_counts_outer_join_survives(spark):
+    """Q13 shape: the priority predicate must stay in the join
+    condition — the plan keeps LeftOuter (a WHERE placement would
+    have let Catalyst rewrite it to Inner and drop 0-order rows)."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["customer_order_counts"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert "LeftOuter" in plan
+
+
+def test_small_qty_decorrelated_single_shuffle_family(spark):
+    """Q17 shape: the correlated avg is ONE partkey aggregate joined
+    back (broadcast under AQE at this scale) — the lineitem scan
+    appears at most twice net of exchange reuse, not once per row."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["small_qty_avg_yearly"](spark, SF_SMALL)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("lineitem.parquet") - final.count("ReusedExchange") <= 2
+    assert "CartesianProduct" not in final
+
+
+def test_top_supplier_single_fact_pass(spark):
+    """Q15 shape: the scalar max is a window over the aggregated
+    supplier grid — the fact pipeline appears once, not re-derived
+    for the max (the totals-self-join anti-pattern)."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["top_supplier_by_revenue"](spark, SF_SMALL)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" in final
+    assert final.count("lineitem.parquet") - final.count("ReusedExchange") <= 1
+
+
+def test_important_parts_single_fact_pass(spark):
+    """Q11 shape: the global total is a window over the |part|-sized
+    grid; the region-filtered supplier set broadcasts into the fact."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["important_parts_share"](spark, SF_SMALL)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" in final
+    assert final.count("lineitem.parquet") - final.count("ReusedExchange") <= 1
+    assert "BroadcastHashJoin" in final
+
+
+def test_volume_shipping_one_fact_shuffle(spark):
+    """Q7 shape: both nation legs broadcast; the only shuffle joins
+    the two fact tables on orderkey."""
+    from mpes_spark.decision import decision_queries
+
+    df = decision_queries()["volume_shipping_pairs"](spark, SF_SMALL)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
