@@ -1049,3 +1049,278 @@ def dataset_split_sql(
         case += f" WHEN {u} < CAST({cum!r} AS DOUBLE) THEN '{name}'"
     case += f" ELSE '{items[-1][0]}' END"
     return f"SELECT *, {case} AS split FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# line/segment-level boilerplate detection (CCNet-style cross-doc line dedup)
+# ---------------------------------------------------------------------------
+
+def _seg_hash_expr(seed: int, col: Column) -> Column:
+    """Engine-portable 60-bit segment key (md5-prefix family,
+    extras/dedup._md5_hash_sql): compact enough that the cross-doc
+    count shuffles 8-byte keys, never the segment text."""
+    inner = F.md5(F.concat(F.lit(f"{seed}|"), col))
+    return F.conv(F.substring(inner, 1, 15), 16, 10).cast("bigint")
+
+
+def token_window_segments_expr(
+    seg_tokens: int = 8, text: str | Column = "text"
+) -> Column:
+    """Segmenter for corpora without newlines: fixed ``seg_tokens``
+    token windows, built entirely in Catalyst (split -> sequence ->
+    slice -> array_join) — a per-row expression, zero shuffle. Real
+    web corpora pass ``F.split(text, '\\n')`` instead; the boilerplate
+    operator takes any array<string> segmenter."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(c, " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+
+
+def token_window_segments_sql(seg_tokens: int = 8, text: str = "text") -> str:
+    toks = f"string_split({text}, ' ')"
+    n_seg = f"CAST(ceil(len({toks}) / {float(seg_tokens)!r}) AS BIGINT)"
+    return (
+        f"list_transform(range(0, {n_seg}), "
+        f"i -> array_to_string({toks}[i*{seg_tokens}+1 : "
+        f"i*{seg_tokens}+{seg_tokens}], ' '))"
+    )
+
+
+_BOILER_SEED = 77
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    segments: Column | None = None,
+    min_docs: int = 3,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style boilerplate profiling (Wenzek et al. 2020 §4.1:
+    line-level dedup before LM filtering): a segment is boilerplate
+    within its ``by`` group (domain/source) when it appears in >=
+    ``min_docs`` DISTINCT documents of that group — navigation bars,
+    cookie banners, template footers. Returns one row per document:
+    total segments, boilerplate segments, and the fraction — the
+    column a curation pipeline filters or strips on.
+
+    Scale shape: segments explode to (group, seg_hash, doc) rows; the
+    cross-doc count is ONE agg on the 8-byte (group, hash) key with
+    map-side combine; the flag joins back on the same key, so AQE
+    reuses the exchange; the per-doc rollup is bounded by |docs|.
+    Never an all-pairs comparison; the segment TEXT never shuffles
+    (hash keys only). Hash collisions (60-bit) conflate unrelated
+    segments at ~2^-60 — the CCNet tradeoff."""
+    if segments is None:
+        segments = token_window_segments_expr()
+    seg = docs.select(
+        F.col(id_col), F.col(by), F.explode(segments).alias("seg")
+    ).select(
+        id_col, by, _seg_hash_expr(_BOILER_SEED, F.col("seg")).alias("segkey")
+    )
+    counts = seg.groupBy(by, "segkey").agg(
+        F.countDistinct(id_col).alias("seg_ndocs")
+    )
+    flagged = seg.join(counts, [by, "segkey"])
+    return (
+        flagged.groupBy(id_col, by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(
+                (F.col("seg_ndocs") >= min_docs).cast("bigint")
+            ).alias("n_boiler"),
+            F.round(
+                F.try_divide(
+                    F.sum((F.col("seg_ndocs") >= min_docs).cast("bigint")),
+                    F.count(F.lit(1)),
+                ),
+                6,
+            ).alias("boiler_frac"),
+        )
+        .withColumnRenamed(id_col, "doc_id")
+        .withColumnRenamed(by, "grp")
+    )
+
+
+def boilerplate_stats_sql(
+    table: str = "documents",
+    seg_tokens: int = 8,
+    min_docs: int = 3,
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    segs = token_window_segments_sql(seg_tokens)
+    h = _md5_hash_sql(_BOILER_SEED, "seg", "duckdb")
+    return (
+        f"WITH seg AS (SELECT {id_col}, {by}, {h} AS segkey FROM ("
+        f"  SELECT {id_col}, {by}, unnest({segs}) AS seg FROM {table}) e), "
+        f"cnt AS (SELECT {by}, segkey, "
+        f"  CAST(count(DISTINCT {id_col}) AS BIGINT) AS seg_ndocs "
+        f"  FROM seg GROUP BY {by}, segkey) "
+        f"SELECT s.{id_col} AS doc_id, s.{by} AS grp, "
+        f"CAST(count(*) AS BIGINT) AS n_segments, "
+        f"CAST(sum(CASE WHEN c.seg_ndocs >= {min_docs} THEN 1 ELSE 0 END) "
+        f"  AS BIGINT) AS n_boiler, "
+        f"round(sum(CASE WHEN c.seg_ndocs >= {min_docs} THEN 1 ELSE 0 END) "
+        f"  / nullif(count(*), 0), 6) AS boiler_frac "
+        f"FROM seg s JOIN cnt c ON c.{by} = s.{by} "
+        f"AND c.segkey = s.segkey "
+        f"GROUP BY s.{id_col}, s.{by}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + sharding (the final export step)
+# ---------------------------------------------------------------------------
+
+_SHARD_SEED = 1009
+
+
+def shuffle_shard(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: int = _SHARD_SEED,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic global shuffle + shard assignment — the
+    last step before a training run reads the corpus: every document
+    gets a (shard, pos) address that is a pure function of (seed,
+    id), so re-running the export bit-reproduces the epoch order.
+    shard = hash mod n_shards balances shards to ±O(sqrt) without any
+    size accounting; pos orders within the shard by a SECOND draw of
+    the same hash family (never the ingestion order, which carries
+    crawl locality — adjacent docs from one host would otherwise land
+    adjacent in the epoch).
+
+    Scale shape: one hash projection (no shuffle) + one window ranked
+    inside each shard partition — the sort is per-shard, bounded by
+    corpus/n_shards, exactly the partitioning the subsequent
+    partitioned write uses, so the exchange serves both."""
+    h1 = _seg_hash_expr(seed, F.col(id_col).cast("string"))
+    h2 = _seg_hash_expr(seed + 1, F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            F.pmod(h1, F.lit(n_shards)).cast("int").alias("shard"),
+            h2.alias("ord"),
+        )
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def shuffle_shard_sql(
+    table: str = "documents",
+    n_shards: int = 8,
+    seed: int = _SHARD_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    h1 = _md5_hash_sql(seed, f"CAST({id_col} AS VARCHAR)", "duckdb")
+    h2 = _md5_hash_sql(seed + 1, f"CAST({id_col} AS VARCHAR)", "duckdb")
+    return (
+        f"SELECT {id_col}, shard, CAST(row_number() OVER ("
+        f"  PARTITION BY shard ORDER BY ord, {id_col}) - 1 AS BIGINT) AS pos "
+        f"FROM (SELECT {id_col}, "
+        f"  CAST({h1} % {n_shards} AS INTEGER) AS shard, {h2} AS ord "
+        f"  FROM {table}) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batch packing (padding-efficiency batching)
+# ---------------------------------------------------------------------------
+
+_LB_BOUNDS = (32, 64, 128, 256, 512)
+_LB_SEED = 4241
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 16,
+    bounds=_LB_BOUNDS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching: group documents of similar token
+    length into fixed-size batches so per-batch padding (to the batch
+    max) stays small — the standard seq2seq/encoder batching trick.
+    Documents are bucketed by the smallest boundary >= their token
+    count (overflow -> top bucket), ordered within the bucket by a
+    seeded hash (deterministic, crawl-order-free), and cut into
+    batches of ``batch_size``. Output: one row per batch with its
+    padding-waste fraction = 1 - sum(tokens)/(n*max(tokens)).
+
+    Scale shape: token count + bucket are per-row expressions; the
+    only shuffle keys on the ~|bounds|-ary bucket, and the in-bucket
+    sort is the window's per-partition sort. A skewed bucket (most
+    of the web is short) is the known hotspot — production splits hot
+    buckets by hash-prefix salt; at gate scale AQE handles it."""
+    from mpes_spark.extras.text import token_count_expr
+
+    tok = token_count_expr(text)
+    bucket = F.lit(bounds[-1])
+    for b in reversed(bounds[:-1]):
+        bucket = F.when(tok <= b, F.lit(b)).otherwise(bucket)
+    h = _seg_hash_expr(_LB_SEED, F.col(id_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy("ord", id_col)
+    rows = docs.select(
+        F.col(id_col), tok.alias("n_tok"), bucket.alias("bucket"),
+        h.alias("ord"),
+    ).withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_size).cast("bigint"),
+    )
+    return rows.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("max_tok"),
+        F.sum("n_tok").cast("bigint").alias("sum_tok"),
+        F.round(
+            1
+            - F.try_divide(
+                F.sum("n_tok"), F.count(F.lit(1)) * F.max("n_tok")
+            ),
+            6,
+        ).alias("pad_waste"),
+    )
+
+
+def length_bucket_batches_sql(
+    table: str = "documents",
+    batch_size: int = 16,
+    bounds=_LB_BOUNDS,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from mpes_spark.extras.dedup import _md5_hash_sql
+    from mpes_spark.extras.text import token_count_sql
+
+    tok = token_count_sql(text)
+    case = "CASE"
+    for b in bounds[:-1]:
+        case += f" WHEN {tok} <= {b} THEN {b}"
+    case += f" ELSE {bounds[-1]} END"
+    h = _md5_hash_sql(_LB_SEED, f"CAST({id_col} AS VARCHAR)", "duckdb")
+    return (
+        f"WITH rows_ AS (SELECT {id_col}, {tok} AS n_tok, "
+        f"  {case} AS bucket, {h} AS ord FROM {table}), "
+        f"b AS (SELECT *, CAST(floor((row_number() OVER ("
+        f"  PARTITION BY bucket ORDER BY ord, {id_col}) - 1) "
+        f"  / {batch_size}) AS BIGINT) AS batch_id FROM rows_) "
+        f"SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        f"CAST(max(n_tok) AS BIGINT) AS max_tok, "
+        f"CAST(sum(n_tok) AS BIGINT) AS sum_tok, "
+        f"round(1 - sum(n_tok) / nullif(count(*) * max(n_tok), 0), 6) "
+        f"  AS pad_waste "
+        f"FROM b GROUP BY bucket, batch_id"
+    )

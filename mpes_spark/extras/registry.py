@@ -1403,6 +1403,50 @@ def table_profile(spark, sf_dir):
     )
 
 
+
+
+@_q("boilerplate_flags", CU.boilerplate_stats_sql("documents"))
+def boilerplate_flags(spark, sf_dir):
+    """CCNet-style cross-doc segment dedup (Wenzek et al. 2020 §4.1):
+    per-document boilerplate fraction, where a segment is boilerplate
+    when >= 3 distinct docs of the same source contain it. Segments
+    are fixed 8-token windows built in pure Catalyst (the corpus has
+    no newlines; web corpora pass split(text, '\\n')); the cross-doc
+    count shuffles 8-byte md5-family keys only and the flag join
+    reuses that exchange. The column a curation pipeline strips or
+    filters on before LM scoring."""
+    from mpes_spark.extras.curation import boilerplate_stats
+
+    return boilerplate_stats(_docs(spark, sf_dir))
+
+
+@_q("shuffle_shard_manifest", CU.shuffle_shard_sql("documents"))
+def shuffle_shard_manifest(spark, sf_dir):
+    """Deterministic global shuffle + shard export map: every doc gets
+    a (shard, pos) address that is a pure function of (seed, doc_id)
+    — re-running the export bit-reproduces the epoch order, and
+    in-shard order is a second independent hash draw, so crawl
+    locality never survives into training batches. One projection +
+    one per-shard window sort; the shard partitioning is exactly what
+    the partitioned write uses."""
+    from mpes_spark.extras.curation import shuffle_shard
+
+    return shuffle_shard(_docs(spark, sf_dir))
+
+
+@_q("length_bucket_packing", CU.length_bucket_batches_sql("documents"))
+def length_bucket_packing(spark, sf_dir):
+    """Length-bucketed batch packing: docs bucketed by token-length
+    boundary, hash-ordered within bucket, cut into 16-doc batches;
+    output is per-batch padding-waste — the metric that justifies
+    bucketed batching over random batching. Shuffle keys on the
+    |bounds|-ary bucket; hot short-text buckets are the documented
+    salting point at scale."""
+    from mpes_spark.extras.curation import length_bucket_batches
+
+    return length_bucket_batches(_docs(spark, sf_dir))
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 
