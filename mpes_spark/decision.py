@@ -757,6 +757,94 @@ def blame_single_return_supplier(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# relational-surface shapes: UNPIVOT (melt) and INTERSECT/EXCEPT audits
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_SQL = (
+    "SELECT measure, CAST(count(*) AS BIGINT) AS n, "
+    "round(sum(val), 2) AS total, "
+    "round(round(sum(val), 2) / count(*), 6) AS mean_val "
+    "FROM ("
+    "  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem "
+    "  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem "
+    "  UNION ALL SELECT 'l_discount', l_discount FROM lineitem "
+    "  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) u "
+    "GROUP BY measure"
+)
+
+
+@_q("unpivot_measures", _UNPIVOT_SQL)
+def unpivot_measures(spark, sf_dir):
+    """UNPIVOT (melt): wide measure columns to long (measure, value)
+    rows, then a per-measure profile — the inverse of `pivot_report`
+    and the shape every metrics-collection pipeline runs. Spark's
+    native unpivot is an Expand node: ONE scan emits all four
+    measure rows (the SQL twin's UNION ALL re-states it as four
+    logical scans; DuckDB reads the parquet once per branch, Spark
+    literally once). Output bounded by |measures|."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.round(F.sum("val"), 2) / F.count(F.lit(1)), 6).alias(
+            "mean_val"
+        ),
+    )
+
+
+_SETOPS_SQL = (
+    "WITH y96 AS (SELECT DISTINCT o_custkey FROM orders "
+    "  WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "  AND o_orderdate < TIMESTAMP '1997-01-01'), "
+    "y97 AS (SELECT DISTINCT o_custkey FROM orders "
+    "  WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "  AND o_orderdate < TIMESTAMP '1998-01-01') "
+    "SELECT 'retained' AS cohort, CAST(count(*) AS BIGINT) AS n_customers "
+    "FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97) a "
+    "UNION ALL "
+    "SELECT 'churned', CAST(count(*) AS BIGINT) "
+    "FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97) b"
+)
+
+
+@_q("customer_setops_audit", _SETOPS_SQL)
+def customer_setops_audit(spark, sf_dir):
+    """INTERSECT / EXCEPT as retention audit: customers active in
+    both years vs only the first. Spark compiles both set ops to
+    LeftSemi/LeftAnti joins over distinct key sets — key-column-only
+    shuffles; at 100 TB the two year extents come from partition
+    pruning on the date. The 2-row output is the sanity panel a
+    pipeline asserts on after a backfill."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_keys(lo, hi):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= _ts(o, "o_orderdate", lo))
+                & (F.col("o_orderdate") < _ts(o, "o_orderdate", hi))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96 = year_keys("1996-01-01", "1997-01-01")
+    y97 = year_keys("1997-01-01", "1998-01-01")
+    retained = y96.intersect(y97).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).select(F.lit("retained").alias("cohort"), "n_customers")
+    churned = y96.subtract(y97).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    ).select(F.lit("churned").alias("cohort"), "n_customers")
+    return retained.unionByName(churned)
+
+
 def decision_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

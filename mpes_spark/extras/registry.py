@@ -1447,6 +1447,21 @@ def length_bucket_packing(spark, sf_dir):
     return length_bucket_batches(_docs(spark, sf_dir))
 
 
+
+
+@_q("stupid_backoff_lm", SR.stupid_backoff_scores_sql("documents"))
+def stupid_backoff_lm(spark, sf_dir):
+    """Held-out Stupid Backoff trigram scoring (Brants et al. 2007
+    §4 — the distributed-LM design: unnormalized count-ratio backoff
+    c123/c12 -> 0.4·c23/c2 -> 0.16·c3/N -> OOV floor). Docs split
+    90/10 by seeded hash; count tables train on the 90, the 10 are
+    scored, so every backoff tier fires. Vocab-bounded count aggs +
+    three LEFT equi-joins on the held-out trigram stream, no UDFs."""
+    from mpes_spark.extras.search import stupid_backoff_scores
+
+    return stupid_backoff_scores(_docs(spark, sf_dir))
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

@@ -811,3 +811,171 @@ SELECT nr.{qid}, nr.n_rel,
 FROM nr LEFT JOIN pq ON pq.{qid} = nr.{qid}
 JOIN ideal ON ideal.{qid} = nr.{qid}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM (Brants et al. 2007, "Large Language
+# Models in Machine Translation" §4) — the distributed-LM scoring
+# shape: count tables from a train split, held-out docs scored with
+# backoff chains c3/c12 -> 0.4*c23/c2 -> 0.4^2*c3u/N -> 0.4^3/N.
+# ---------------------------------------------------------------------------
+
+_SB_SEED = 9173
+_SB_LAMBDA = 0.4
+
+
+def _sb_split_test_expr(seed: int, id_col: str) -> Column:
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    h = F.expr(_md5_hash_sql(seed, f"CAST({id_col} AS STRING)", "spark"))
+    return F.pmod(h, F.lit(10)) == 0
+
+
+def stupid_backoff_scores(
+    docs: DataFrame,
+    lam: float = _SB_LAMBDA,
+    seed: int = _SB_SEED,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out Stupid Backoff scoring (Brants et al. 2007 §4: the
+    score S(w3|w1 w2) = c123/c12 when the trigram was seen, else
+    lam * c23/c2, else lam^2 * c3/N, else lam^3/N for OOV — no
+    normalization, which is exactly what makes the model trainable
+    as plain count tables at web scale). Docs are split 90/10 by a
+    seeded hash draw; counts come from the train split only, so the
+    held-out docs genuinely exercise every backoff tier. Returns one
+    row per test doc (>= 3 tokens): (doc_id, n_trigrams,
+    avg_logscore) — the held-out fluency signal a curation pipeline
+    thresholds on.
+
+    Scale shape: the three count tables are vocab-bounded groupBys
+    with map-side combine; scoring joins the held-out trigram stream
+    to them with three LEFT equi-joins (count side far smaller ->
+    AQE broadcasts); N is a 1-row broadcast. Everything stays in
+    whole-stage codegen — no UDFs. At 100 TB the n-gram join keys
+    would be xxhash64-compressed to 8 bytes; the oracle keeps the
+    raw strings so DuckDB replays bit-for-bit."""
+    is_test = _sb_split_test_expr(seed, id_col)
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("ws"), is_test.alias("is_test")
+    )
+    train = base.filter(~F.col("is_test"))
+    toks = train.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("N"))
+    two = train.filter(F.size("ws") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> concat_ws(' ', slice(ws, i + 1, 2)))"
+            )
+        ).alias("pair")
+    )
+    bi = two.groupBy("pair").agg(F.count(F.lit(1)).alias("c2"))
+    three = train.filter(F.size("ws") >= 3).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> concat_ws(' ', slice(ws, i + 1, 3)))"
+            )
+        ).alias("tri")
+    )
+    tri = three.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+
+    pos = base.filter(F.col("is_test") & (F.size("ws") >= 3)).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3), "
+                "i -> struct("
+                "concat_ws(' ', slice(ws, i + 1, 3)) AS tri, "
+                "concat_ws(' ', slice(ws, i + 1, 2)) AS b12, "
+                "concat_ws(' ', slice(ws, i + 2, 2)) AS b23, "
+                "element_at(ws, i + 2) AS w2, "
+                "element_at(ws, i + 3) AS w3))"
+            )
+        ).alias("g"),
+    ).select(id_col, "g.tri", "g.b12", "g.b23", "g.w2", "g.w3")
+
+    b12 = bi.select(F.col("pair").alias("b12"), F.col("c2").alias("c12"))
+    b23 = bi.select(F.col("pair").alias("b23"), F.col("c2").alias("c23"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c2u"))
+    u3 = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c3u"))
+    j = (
+        pos.join(tri, "tri", "left")
+        .join(b12, "b12", "left")
+        .join(b23, "b23", "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    score = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c12"))
+        .when(F.col("c23").isNotNull(), lam * F.col("c23") / F.col("c2u"))
+        .when(F.col("c3u").isNotNull(), lam * lam * F.col("c3u") / F.col("N"))
+        .otherwise(F.lit(lam**3) / F.col("N"))
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.round(F.avg(F.log(score)), 6).alias("avg_logscore"),
+    )
+
+
+def stupid_backoff_scores_sql(
+    table: str = "documents",
+    lam: float = _SB_LAMBDA,
+    seed: int = _SB_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    h = _md5_hash_sql(seed, f"CAST({id_col} AS VARCHAR)", "duckdb")
+    return f"""
+WITH base AS (
+  SELECT {id_col}, string_split(text, ' ') AS ws,
+         ({h}) % 10 = 0 AS is_test
+  FROM {table}
+),
+toks AS (SELECT unnest(ws) AS w FROM base WHERE NOT is_test),
+uni AS (SELECT w, count(*) AS c1 FROM toks GROUP BY w),
+total AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM toks),
+two AS (
+  SELECT array_to_string(ws[i + 1: i + 2], ' ') AS pair
+  FROM (SELECT ws FROM base WHERE NOT is_test AND len(ws) >= 2) s,
+       unnest(range(len(ws) - 1)) AS r(i)
+),
+bi AS (SELECT pair, count(*) AS c2 FROM two GROUP BY pair),
+three AS (
+  SELECT array_to_string(ws[i + 1: i + 3], ' ') AS tri
+  FROM (SELECT ws FROM base WHERE NOT is_test AND len(ws) >= 3) s,
+       unnest(range(len(ws) - 2)) AS r(i)
+),
+tric AS (SELECT tri, count(*) AS c3 FROM three GROUP BY tri),
+pos AS (
+  SELECT {id_col},
+         array_to_string(ws[i + 1: i + 3], ' ') AS tri,
+         array_to_string(ws[i + 1: i + 2], ' ') AS b12,
+         array_to_string(ws[i + 2: i + 3], ' ') AS b23,
+         ws[i + 2] AS w2, ws[i + 3] AS w3
+  FROM (SELECT {id_col}, ws FROM base WHERE is_test AND len(ws) >= 3) s,
+       unnest(range(len(ws) - 2)) AS r(i)
+),
+j AS (
+  SELECT p.{id_col},
+         CASE WHEN t.c3 IS NOT NULL THEN t.c3 / b1.c2
+              WHEN b2.c2 IS NOT NULL THEN {lam!r} * b2.c2 / u2.c1
+              WHEN u3.c1 IS NOT NULL THEN {lam * lam!r} * u3.c1 / total.N
+              ELSE {lam**3!r} / total.N END AS s
+  FROM pos p
+  LEFT JOIN tric t ON t.tri = p.tri
+  LEFT JOIN bi b1 ON b1.pair = p.b12
+  LEFT JOIN bi b2 ON b2.pair = p.b23
+  LEFT JOIN uni u2 ON u2.w = p.w2
+  LEFT JOIN uni u3 ON u3.w = p.w3
+  CROSS JOIN total
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(ln(s)), 6) AS avg_logscore
+FROM j GROUP BY {id_col}
+""".strip()

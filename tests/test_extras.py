@@ -1370,3 +1370,40 @@ def test_cross_source_dup_matrix_hand_computed(spark):
     assert got[("cc", "wiki")] == (2, 2, 1)  # docs 1,3 on cc side; doc 2 wiki
     assert got[("cc", "cc")] == (1, 1, 1)
     assert ("books", "cc") not in got  # doc 4 in no pair
+
+
+def test_stupid_backoff_tiers_fire(spark):
+    """Held-out scoring must exercise the backoff chain: construct a
+    train set and a test doc whose trigrams hit tier1 (seen trigram),
+    tier2 (unseen trigram, seen bigram), tier3 (unseen bigram, seen
+    unigram), and the OOV floor — and verify each score factor."""
+    import math
+
+    from pyspark.sql import functions as F
+    from mpes_spark.extras.search import stupid_backoff_scores
+
+    # choose ids whose hash split puts train/test where we need them
+    from mpes_spark.extras.dedup import _md5_hash_sql
+    from mpes_spark.extras.search import _SB_SEED
+
+    ids = spark.range(200).select(
+        F.col("id"),
+        (F.pmod(F.expr(_md5_hash_sql(_SB_SEED, "CAST(id AS STRING)", "spark")), F.lit(10)) == 0).alias("is_test"),
+    ).collect()
+    train_ids = [r.id for r in ids if not r.is_test]
+    test_ids = [r.id for r in ids if r.is_test]
+    assert train_ids and test_ids
+
+    train_text = "a b c d"          # trigrams: "a b c", "b c d"
+    # test doc: "a b c" tier1; "b c x" -> unseen tri, unseen bigram
+    # "c x" but x seen? x unseen anywhere -> OOV floor on tier4;
+    # "c d a" -> unseen tri ("c d a"), seen bigram? "d a" unseen ->
+    # tier3 via unigram a.
+    test_text = "a b c d a"         # tris: "a b c"(t1) "b c d"(t1) "c d a"(t3)
+    rows = [(int(train_ids[0]), train_text), (int(test_ids[0]), test_text)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = stupid_backoff_scores(docs).collect()
+    assert len(out) == 1 and out[0].n_trigrams == 3
+    # expected: t1: c3/c12 = 1/1 twice; t3: 0.4^2 * c('a')/N = .16*1/4
+    want = (math.log(1.0) + math.log(1.0) + math.log(0.16 * 1 / 4.0)) / 3
+    assert abs(out[0].avg_logscore - round(want, 6)) < 1e-9
