@@ -230,3 +230,85 @@ def connected_components(
         driver_edge_limit=driver_edge_limit,
     )
     return out.select("node", F.col("cluster_id").alias("component"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    pin_edges: bool = True,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.
+    2007, "Near linear time algorithm to detect community structures
+    in large-scale networks") — the cheap community detector for
+    near-dup cluster refinement and domain grouping. Every node
+    starts labeled with itself; each round it adopts the most common
+    label among its neighbors, ties broken by the smallest label —
+    the deterministic variant (random tie-breaking in the paper),
+    which is what makes the computation oracle-replayable. Pass a
+    SYMMETRIZED edge list for undirected semantics.
+
+    Returns ``(node, label)`` after ``iters`` rounds.
+
+    Scale shape: per round ONE edge⋈labels equi-join (labels stays
+    node-sized) + one (src, label)-keyed count with map-side combine
+    + a per-src window argmax — the same join+groupBy skeleton as
+    :func:`pagerank`, but all-integer, so the cross-engine hash gate
+    is exact with no rounding at all. Edges are localCheckpoint-
+    pinned once (``pin_edges``); label lineage grows one
+    join+window per round, so production callers at high ``iters``
+    should set ``checkpoint_every``."""
+    from pyspark.sql.window import Window as W
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if pin_edges:
+        e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for i in range(1, iters + 1):
+        nb = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+        if checkpoint_every and i % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB oracle twin of :func:`label_propagation`: the same k
+    rounds textually unrolled — neighbor-label counts, then the
+    (count DESC, label ASC) argmax via row_number. Integer counts and
+    string labels only: bit-exact across engines by construction."""
+    parts = [
+        f"WITH e AS ({edges_sql})",
+        "l0 AS (SELECT node, node AS label FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e) n)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.src, l.label, count(*) AS cnt"
+            f" FROM e JOIN {p} l ON e.dst = l.node GROUP BY e.src, l.label)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT src AS node, label FROM ("
+            f"SELECT src, label, row_number() OVER (PARTITION BY src"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) q"
+            f" WHERE rn = 1)"
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, label FROM l{iters}"

@@ -1437,6 +1437,41 @@ def pagerank_custsupp(spark, sf_dir):
     return pr.select("node", F.round("rank_norm", 6).alias("rank_norm"))
 
 
+from mpes_spark.analysis.graph import label_propagation_sql as _lpa_sql
+
+
+@_q("label_communities", _lpa_sql(_PR_EDGES_SQL, iters=3))
+def label_communities(spark, sf_dir):
+    """Synchronous label propagation (Raghavan et al. 2007,
+    deterministic min-tie variant; 3 rounds) over the same
+    customer<->supplier trade graph as `pagerank_custsupp` — the
+    community detector that refines near-dup clusters and groups
+    domains. Per round: one node-sized label join + one integer
+    (src, label) count + a per-src window argmax; all-integer, so the
+    oracle hash gate is exact with zero rounding."""
+    from mpes_spark.analysis.graph import label_propagation
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    return label_propagation(edges, iters=3)
+
+
 # -- anti join (set difference at data scale — the FileCollection
 #    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
 #    to relations): customers with no orders ------------------------------

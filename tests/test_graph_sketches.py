@@ -512,3 +512,35 @@ def test_retrieval_metrics_python_reference(rank_pairs, rel_pairs):
         want = (n_rel, recall, rr, ndcg)
         assert got[q] == pytest.approx(want, abs=1e-9), (q, got[q], want)
     assert set(got) == set(rel_by_q)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 rounds each
+    clique converges to one label and the two labels differ."""
+    from mpes_spark.analysis.graph import label_propagation
+
+    def clique(names):
+        return [
+            (a, b) for a in names for b in names if a < b
+        ]
+
+    e = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    e.append(("a1", "b1"))
+    sym = e + [(b, a) for a, b in e]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    out = {r.node: r.label for r in label_propagation(edges, iters=3).collect()}
+    a_labels = {out[n] for n in ["a2", "a3", "a4"]}
+    b_labels = {out[n] for n in ["b2", "b3", "b4"]}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_label_propagation_deterministic(spark):
+    from mpes_spark.analysis.graph import label_propagation
+
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("x", "a")]
+    sym = e + [(b, a) for a, b in e]
+    edges = spark.createDataFrame(sym, ["src", "dst"])
+    r1 = sorted(map(tuple, label_propagation(edges, iters=4).collect()))
+    r2 = sorted(map(tuple, label_propagation(edges, iters=4).collect()))
+    assert r1 == r2
