@@ -322,3 +322,69 @@ def profile_sql(
             ]
     body = " UNION ALL ".join(rows)
     return f'SELECT * FROM ({body}) p ORDER BY "column", metric'
+
+
+# ---------------------------------------------------------------------------
+# order-insensitive table checksum (migration / replication validation)
+# ---------------------------------------------------------------------------
+
+_CKSUM_SEED = 271
+
+
+def _cksum_cols(cols, money_cols, dialect: str) -> str:
+    """Row canonicalization both engines render identically: ints and
+    strings concat as-is; 2-decimal money doubles become exact cent
+    BIGINTs (float-to-string rendering is NOT engine-portable, cents
+    are)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    parts = []
+    for c in cols:
+        if c in money_cols:
+            parts.append(f"CAST(CAST(round({c} * 100) AS BIGINT) AS {s})")
+        else:
+            parts.append(f"CAST({c} AS {s})")
+    return ", '|', ".join(parts)
+
+
+def table_checksum_sql(
+    table: str,
+    cols,
+    money_cols=(),
+    dialect: str = "duckdb",
+) -> str:
+    """One-line order-insensitive digest of a relation: bit_xor over
+    the seeded 60-bit md5-family hash of each canonicalized row, plus
+    the row count (XOR alone can't see a row repeated twice — the
+    count disambiguates). The cross-engine/cross-cluster answer to
+    "is the replica identical?": O(1) state per partition, map-side
+    combined, no sort, no collect — where a sort-and-compare
+    validation would be a full-table global sort at 100 TB.
+
+    Shared template: the SAME expression string renders for Spark and
+    DuckDB (the md5-prefix hash is the one family both engines
+    compute bit-for-bit), so the driver's gate pins the digest
+    itself."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    row = f"concat({_cksum_cols(cols, money_cols, dialect)})"
+    h = _md5_hash_sql(_CKSUM_SEED, row, dialect)
+    return (
+        f"SELECT '{table}' AS table_name, "
+        f"CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(bit_xor({h}) AS BIGINT) AS checksum FROM {table}"
+    )
+
+
+def table_checksum(df: DataFrame, name: str, cols, money_cols=()) -> DataFrame:
+    """Spark side of :func:`table_checksum_sql` (same expression
+    text, evaluated as a Column)."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    row = f"concat({_cksum_cols(cols, money_cols, 'spark')})"
+    h = _md5_hash_sql(_CKSUM_SEED, row, "spark")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(f"bit_xor({h})").cast("bigint").alias("checksum"),
+    ).select(
+        F.lit(name).alias("table_name"), "n_rows", "checksum"
+    )

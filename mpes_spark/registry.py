@@ -1759,6 +1759,69 @@ def grouping_sets_report(spark, sf_dir):
     )
 
 
+from mpes_spark.dq import table_checksum_sql as _cksum_sql
+
+_CKSUM_TABLES = {'customer': (['c_custkey', 'c_name', 'c_nationkey', 'c_mktsegment', 'c_acctbal'], ['c_acctbal']), 'supplier': (['s_suppkey', 's_name', 's_nationkey', 's_acctbal'], ['s_acctbal']), 'part': (['p_partkey', 'p_name', 'p_brand', 'p_type', 'p_size', 'p_retailprice'], ['p_retailprice']), 'nation': (['n_nationkey', 'n_name', 'n_regionkey'], [])}
+
+_CKSUM_SQL = " UNION ALL ".join(
+    _cksum_sql(tbl, cs, ms) for tbl, (cs, ms) in _CKSUM_TABLES.items()
+)
+
+
+@_q("table_checksums", _CKSUM_SQL)
+def table_checksums(spark, sf_dir):
+    """Order-insensitive table digests for migration/replication
+    validation: bit_xor over the seeded md5-family row hash + row
+    count, one row per audited dimension table. O(1) aggregate state
+    per partition, map-side combined — the scale-correct alternative
+    to sort-and-diff, and the exact check a 100-TB cross-cluster copy
+    runs on both sides. Money doubles canonicalize to cent BIGINTs
+    (float rendering is not engine-portable; cents are)."""
+    from mpes_spark.dq import table_checksum
+
+    outs = [
+        table_checksum(t(spark, sf_dir, tbl), tbl, cs, ms)
+        for tbl, (cs, ms) in _CKSUM_TABLES.items()
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_CORR_SQL = (
+    "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+    "round(corr(l_quantity, l_discount), 6) AS corr_qty_disc, "
+    "round(corr(l_quantity, l_tax), 6) AS corr_qty_tax, "
+    "round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc, "
+    "round(corr(l_extendedprice, l_tax), 6) AS corr_price_tax, "
+    "round(corr(l_discount, l_tax), 6) AS corr_disc_tax "
+    "FROM lineitem"
+)
+
+
+@_q("measure_corr_matrix", _CORR_SQL)
+def measure_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the four lineitem measures in
+    ONE aggregation pass (six co-moment accumulators riding a single
+    scan) — the profiling step before feature selection / drift
+    modeling. Rounded to 6: both engines run numerically stable
+    co-moment updates whose only divergence is summation order."""
+    li = t(spark, sf_dir, "lineitem")
+    m = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    short = {"l_quantity": "qty", "l_extendedprice": "price",
+             "l_discount": "disc", "l_tax": "tax"}
+    aggs = []
+    for i in range(len(m)):
+        for j in range(i + 1, len(m)):
+            aggs.append(
+                F.round(F.corr(m[i], m[j]), 6).alias(
+                    f"corr_{short[m[i]]}_{short[m[j]]}"
+                )
+            )
+    return li.agg(*aggs)
+
+
 # -- top event paths (3-step journey mining: two leads + bounded agg) ----
 
 _TOP_PATHS_SQL = (

@@ -244,3 +244,24 @@ def test_twap_weights_by_holding_time(spark, tmp_path):
     out = all_queries()["time_weighted_avg"](spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0]["twap"] == 19.0 and out[0]["n_intervals"] == 2
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_rows(spark):
+    from mpes_spark.dq import table_checksum
+
+    rows = [(1, "a", 10.25), (2, "b", -3.5), (3, "c", 0.0)]
+    df1 = spark.createDataFrame(rows, ["id", "name", "bal"])
+    df2 = spark.createDataFrame(list(reversed(rows)), ["id", "name", "bal"])
+    c1 = table_checksum(df1, "t", ["id", "name", "bal"], ["bal"]).collect()[0]
+    c2 = table_checksum(df2, "t", ["id", "name", "bal"], ["bal"]).collect()[0]
+    assert (c1.n_rows, c1.checksum) == (c2.n_rows, c2.checksum)
+    # one cent of corruption flips the digest
+    bad = spark.createDataFrame(
+        [(1, "a", 10.26), (2, "b", -3.5), (3, "c", 0.0)], ["id", "name", "bal"]
+    )
+    c3 = table_checksum(bad, "t", ["id", "name", "bal"], ["bal"]).collect()[0]
+    assert c3.checksum != c1.checksum
+    # a duplicated row XORs itself away -- the row count catches it
+    dup = spark.createDataFrame(rows + [rows[0], rows[0]], ["id", "name", "bal"])
+    c4 = table_checksum(dup, "t", ["id", "name", "bal"], ["bal"]).collect()[0]
+    assert c4.checksum == c1.checksum and c4.n_rows != c1.n_rows
