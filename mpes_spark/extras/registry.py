@@ -1462,6 +1462,21 @@ def stupid_backoff_lm(spark, sf_dir):
     return stupid_backoff_scores(_docs(spark, sf_dir))
 
 
+
+
+@_q("jl_projection", SIM.jl_project_sql("embeddings"))
+def jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss Rademacher projection (Achlioptas 2003):
+    64 -> 8 dims via seeded +-1 sign literals inlined into both
+    dialects — a stateless, shuffle-free, UDF-free projection pass
+    that cuts downstream clustering/LSH shuffle bytes 8x within the
+    JL distance bound. Each dim is the same left-to-right fold DuckDB
+    runs, so the gate hash-matches bit-for-bit."""
+    return SIM.jl_project(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 

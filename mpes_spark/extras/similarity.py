@@ -1203,3 +1203,69 @@ SELECT query_id, cand_id, cosine, is_positive, pair_rank FROM ranked
 WHERE (is_positive = 1 AND pair_rank <= {pos_per_anchor})
    OR (is_positive = 0 AND pair_rank <= {neg_per_anchor})
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding compression)
+# ---------------------------------------------------------------------------
+
+_JL_SEED = 23
+
+
+def jl_signs(dim: int, k: int, seed: int = _JL_SEED) -> np.ndarray:
+    """Deterministic Rademacher (+-1) projection matrix (k x dim) —
+    Achlioptas 2003's database-friendly JL variant: sign entries
+    preserve pairwise distances within (1 +- eps) at k = O(ln n /
+    eps^2), with no Gaussian sampling and integer-friendly
+    arithmetic. Generated driver-side from a fixed seed and inlined
+    as literals into BOTH dialects, so the projection is a pure
+    engine-independent expression."""
+    rs = np.random.RandomState(seed)
+    return rs.choice(np.array([-1.0, 1.0]), size=(k, dim))
+
+
+def jl_project(
+    df: DataFrame,
+    k: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = _JL_SEED,
+    dim: int = 64,
+) -> DataFrame:
+    """Project embeddings to ``k`` dims: p_j = <v, s_j> / sqrt(k).
+    One stateless projection pass — no shuffle, no UDF; each output
+    dim is a left-to-right JVM fold (bit-matching DuckDB's sequential
+    list_dot_product). The standard pre-step before clustering /
+    coarse ANN when the full dim is too wide to shuffle at 100 TB:
+    projecting 64->8 dims cuts the downstream k-means / LSH shuffle
+    bytes 8x while keeping relative distances within the JL bound."""
+    signs = jl_signs(dim, k, seed)
+    inv = 1.0 / float(np.sqrt(k))
+    v = as_double_array(vec)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.round(dot_expr(v, _lit_array(signs[j])) * inv, 6).alias(
+                f"p{j}"
+            )
+            for j in range(k)
+        ],
+    )
+
+
+def jl_project_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = _JL_SEED,
+    dim: int = 64,
+) -> str:
+    signs = jl_signs(dim, k, seed)
+    inv = 1.0 / float(np.sqrt(k))
+    cols = ", ".join(
+        f"round(list_dot_product({vec}::DOUBLE[], {_sql_array(signs[j])}) "
+        f"* CAST({inv!r} AS DOUBLE), 6) AS p{j}"
+        for j in range(k)
+    )
+    return f"SELECT {id_col}, {cols} FROM {table}"

@@ -1407,3 +1407,28 @@ def test_stupid_backoff_tiers_fire(spark):
     # expected: t1: c3/c12 = 1/1 twice; t3: 0.4^2 * c('a')/N = .16*1/4
     want = (math.log(1.0) + math.log(1.0) + math.log(0.16 * 1 / 4.0)) / 3
     assert abs(out[0].avg_logscore - round(want, 6)) < 1e-9
+
+
+def test_jl_projection_preserves_distances(spark):
+    """JL lemma sanity at loose tolerance: with k=32 on unit-ish
+    random vectors, projected pairwise distances track originals
+    within a generous band for most pairs."""
+    import numpy as np
+
+    from mpes_spark.extras.similarity import jl_project
+
+    rs = np.random.RandomState(5)
+    vecs = rs.normal(size=(40, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = jl_project(df, k=32).collect()
+    proj = {r.vec_id: np.array([r[f"p{j}"] for j in range(32)]) for r in out}
+    ratios = []
+    for i in range(0, 40, 3):
+        for j in range(i + 1, 40, 7):
+            d0 = np.linalg.norm(vecs[i] - vecs[j])
+            d1 = np.linalg.norm(proj[i] - proj[j])
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert 0.8 < np.median(ratios) < 1.2
+    assert (np.abs(ratios - 1) < 0.6).mean() > 0.9
