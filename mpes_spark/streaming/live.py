@@ -194,8 +194,9 @@ def interval_attribution_join(
     horizon: str = "30 minutes",
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each left event with every right
+    """Stream-stream join: pair each left event with every right
     event of the same key whose event time falls within
     ``[left_time, left_time + horizon]`` — the click-to-purchase
     attribution shape, and the streaming twin of
@@ -209,6 +210,14 @@ def interval_attribution_join(
     without the time bound is an unbounded-state plan Spark rejects in
     append mode. State per key is O(events within the horizon), not
     O(stream length).
+
+    With ``how="leftOuter"`` unmatched left events are ALSO emitted
+    (NULL right columns) — but only once the watermark passes their
+    match window's expiry, i.e. a click's "no purchase followed" row
+    appears (horizon + watermark) after the click, when no matching
+    right event can still arrive. That deferral is the semantic price
+    of bounded state; the batch twin emits unmatched rows
+    immediately because it sees the complete input.
 
     Works identically on batch DataFrames (the same plan minus state
     management), which is how the parity test pins its semantics.
@@ -253,7 +262,9 @@ def interval_attribution_join(
         & (F.col(rt) >= F.col(lt))
         & (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {horizon}"))
     )
-    return l_.join(r_, cond, "inner")
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"unsupported join type {how!r}")
+    return l_.join(r_, cond, how)
 
 
 def enrich_stream(

@@ -621,3 +621,78 @@ def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
     assert all(c == 1 for _, c in audit_many)
     # batch-partitioning independence
     assert kept_one == kept_many and audit_one == audit_many
+
+
+def test_interval_attribution_left_outer_stream_matches_batch(spark, tmp_path):
+    """leftOuter stream-stream time-range join: matched pairs emit
+    in-batch; unmatched clicks emit with NULL right columns once the
+    watermark passes their match-window expiry. Two far-future
+    sentinel files advance the watermark in two steps (state expired
+    under a watermark only flushes in a LATER batch that still has
+    data), after which the stream output must equal the batch
+    left-outer twin on the real events. Timestamps are modern-epoch:
+    Spark initializes the watermark at epoch 0, so 1970-era rows
+    would start out 'late'."""
+    import time as _time
+
+    from mpes_spark.streaming.live import interval_attribution_join
+
+    src = str(tmp_path / "outer_attrib")
+    ev = t(spark, SF_SMALL, "events")
+    day_ns = 86_400_000_000_000
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sent1 = [(-1, max_ts + 30 * day_ns, -1, "click", 0.0, "{}")]
+    sent2 = [(-2, max_ts + 60 * day_ns, -2, "click", 0.0, "{}")]
+    ev.repartitionByRange(1, "ts").write.parquet(src)
+    for rows in (sent1, sent2):
+        _time.sleep(1.2)
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        return clicks, buys
+
+    s_clicks, s_buys = sides(
+        read_event_stream(spark, src, _SCHEMA, max_files_per_trigger=1)
+    )
+    joined = interval_attribution_join(
+        s_clicks, s_buys, horizon="30 minutes", watermark="1 hour",
+        how="leftOuter",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("outer_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql(
+            "SELECT event_id, event_id_r FROM outer_attrib"
+        ).collect()
+        if r["event_id"] >= 0
+    }
+    b_clicks, b_buys = sides(ev)
+    want = {
+        (r["event_id"], r["event_id_r"])
+        for r in interval_attribution_join(
+            b_clicks, b_buys, horizon="30 minutes", watermark="1 hour",
+            how="leftOuter",
+        )
+        .select("event_id", "event_id_r")
+        .collect()
+    }
+    unmatched = {p for p in want if p[1] is None}
+    assert unmatched, "batch twin has no unmatched clicks - test is vacuous"
+    assert got == want
