@@ -1822,6 +1822,57 @@ def measure_corr_matrix(spark, sf_dir):
     return li.agg(*aggs)
 
 
+_WINSOR_SQL = (
+    "WITH b AS (SELECT event_type, "
+    "  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi "
+    "  FROM events GROUP BY event_type) "
+    "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, "
+    "round(round(sum(least(greatest(e.value, b.lo), b.hi)), 4) "
+    "  / count(*), 6) AS winsor_mean, "
+    "CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped "
+    "FROM events e JOIN b ON b.event_type = e.event_type "
+    "GROUP BY e.event_type"
+)
+
+
+@_q("winsorized_stats", _WINSOR_SQL)
+def winsorized_stats(spark, sf_dir):
+    """Robust (5%-95% winsorized) per-group mean — the
+    outlier-resistant profile a DQ pipeline trends instead of the raw
+    mean a single corrupt reading can drag. Two passes over the
+    group: exact interpolated percentiles (Spark `percentile` and
+    DuckDB `quantile_cont` share the interpolation rule) produce a
+    |group|-bounded clip-bound relation that broadcasts back; clip +
+    sum rides the second scan. Percentile bounds are exact on both
+    engines (interpolation of identical sorted doubles); the clipped
+    sum is rounded before the divide, per the determinism rule. At
+    100 TB the exact percentile becomes approx_percentile and the
+    bounds relation is unchanged — the documented swap point."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("lo"),
+        F.expr("percentile(value, 0.95D)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.round(F.sum(clipped), 4) / F.count(F.lit(1)), 6
+            ).alias("winsor_mean"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi"))
+                ).cast("bigint")
+            ).alias("n_clipped"),
+        )
+    )
+
+
 # -- top event paths (3-step journey mining: two leads + bounded agg) ----
 
 _TOP_PATHS_SQL = (
