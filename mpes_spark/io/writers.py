@@ -62,6 +62,47 @@ def split_table(df: DataFrame, nsplit: int, path: str, **kw) -> None:
     write_table(df.repartition(nsplit), path, **kw)
 
 
+def compact_table(
+    spark,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+    partition_by: str | None = None,
+) -> int:
+    """Small-file compaction — the maintenance dual of
+    :func:`split_table`: re-shard a directory of accumulated small
+    files (streaming sinks, per-batch appends) into files of
+    ~``target_mb`` on disk. File count derives from the INPUT byte
+    size (driver-side listing, no data read), so the operation is one
+    round-robin shuffle to exactly the output width; with
+    ``partition_by`` the repartition keys on the partition column so
+    each Hive partition compacts to its own file set.
+
+    Why it matters at 100 TB: a streaming sink appending every minute
+    yields ~1e6 files/week; scans then pay per-file open/footer costs
+    and the driver pays listing memory. Periodic compaction is how
+    every production lake keeps scan parallelism at
+    ``bytes / maxPartitionBytes`` instead of ``n_files``.
+
+    Returns the number of output files requested."""
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += _os.path.getsize(_os.path.join(root, f))
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if partition_by:
+        out = df.repartition(n, partition_by)
+        out.write.mode("overwrite").partitionBy(partition_by).parquet(out_path)
+    else:
+        out = df.repartition(n)
+        out.write.mode("overwrite").parquet(out_path)
+    return n
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

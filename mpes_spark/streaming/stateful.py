@@ -132,3 +132,34 @@ def dq_monitor_sink(checks, on_violation=None):
             on_violation(batch_id, bad)
 
     return handle, history
+
+
+def checksum_maintenance_sink(*, cols, money_cols=(), name: str = "stream"):
+    """``foreachBatch`` incremental table digest: per micro-batch,
+    compute the batch's order-insensitive (bit_xor row-hash, count)
+    checksum (:func:`mpes_spark.dq.table_checksum`) and fold it into
+    a running digest with XOR / addition — both merges are exact and
+    associative, so the accumulated digest equals the batch digest of
+    everything ingested so far, at O(1) driver state and a 1-row
+    collect per batch. The streaming half of replication validation:
+    run the batch checksum on the sink table at any point and compare.
+
+    Returns ``(handle, current)``: ``current()`` yields
+    (name, n_rows, checksum) or None before the first batch."""
+    from mpes_spark.dq import table_checksum
+
+    state = {"n": 0, "x": 0, "seen": False}
+
+    def handle(batch, _batch_id: int) -> None:
+        row = table_checksum(batch, name, cols, money_cols).collect()[0]
+        state["n"] += row.n_rows
+        if row.checksum is not None:
+            state["x"] ^= row.checksum
+        state["seen"] = True
+
+    def current():
+        if not state["seen"]:
+            return None
+        return (name, state["n"], state["x"])
+
+    return handle, current

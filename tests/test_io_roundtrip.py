@@ -246,3 +246,27 @@ def test_binned_h5_gated_or_roundtrips(tmp_path):
     assert np.array_equal(back.data, arr.data)
     assert np.array_equal(back.coords["k"], arr.coords["k"])
     assert back.attrs == arr.attrs
+
+
+def test_compact_table_reshards_and_preserves_data(spark, tmp_path):
+    """Many small files -> ~target-sized files; row count and the
+    order-insensitive digest survive the rewrite."""
+    from mpes_spark.dq import table_checksum
+    from mpes_spark.io.writers import compact_table, split_table
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 0.25).alias("v")
+    )
+    split_table(df, 40, src)
+    import glob
+
+    n_small = len(glob.glob(src + "/*.parquet"))
+    assert n_small == 40
+    n = compact_table(spark, src, dst, target_mb=1)
+    n_out = len(glob.glob(dst + "/*.parquet"))
+    assert n_out == n <= 5
+    before = table_checksum(spark.read.parquet(src), "t", ["id", "k"], []).collect()[0]
+    after = table_checksum(spark.read.parquet(dst), "t", ["id", "k"], []).collect()[0]
+    assert (before.n_rows, before.checksum) == (after.n_rows, after.checksum)

@@ -696,3 +696,22 @@ def test_interval_attribution_left_outer_stream_matches_batch(spark, tmp_path):
     unmatched = {p for p in want if p[1] is None}
     assert unmatched, "batch twin has no unmatched clicks - test is vacuous"
     assert got == want
+
+
+def test_checksum_maintenance_sink_matches_batch_digest(spark, stream_dir):
+    """Incremental XOR/count digest folded per micro-batch equals the
+    one-shot batch checksum of everything ingested."""
+    from mpes_spark.dq import table_checksum
+    from mpes_spark.streaming.stateful import checksum_maintenance_sink
+
+    cols = ["event_id", "user_id", "event_type"]
+    handle, current = checksum_maintenance_sink(cols=cols, name="ev")
+    stream = read_event_stream(spark, stream_dir, _SCHEMA, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert q.exception() is None
+    name, n, x = current()
+    want = table_checksum(
+        spark.read.parquet(stream_dir), "ev", cols, []
+    ).collect()[0]
+    assert (n, x) == (want.n_rows, want.checksum)
