@@ -1873,6 +1873,65 @@ def winsorized_stats(spark, sf_dir):
     )
 
 
+_OVERLAP_SQL = (
+    "WITH iv AS (SELECT user_id, epoch_ns(ts) AS s, "
+    "  lead(epoch_ns(ts)) OVER (PARTITION BY user_id "
+    "    ORDER BY epoch_ns(ts), event_id) AS e "
+    "  FROM events WHERE user_id < 10), "
+    "a AS (SELECT * FROM iv WHERE e IS NOT NULL) "
+    "SELECT x.user_id AS u1, y.user_id AS u2, "
+    "CAST(count(*) AS BIGINT) AS n_overlaps "
+    "FROM a x JOIN a y ON x.user_id < y.user_id "
+    "AND x.s < y.e AND y.s < x.e "
+    "GROUP BY x.user_id, y.user_id"
+)
+
+
+@_q("session_overlap_pairs", _OVERLAP_SQL)
+def session_overlap_pairs(spark, sf_dir):
+    """Interval-interval overlap join (the two-sided sibling of
+    `range_join_binned` — genomics/session-overlap shape) over
+    per-user validity intervals: for each user pair, how many of
+    their intervals overlap in time. Both interval sides explode to
+    covering day-bins and equi-join on the bin id; each pair is
+    emitted in exactly ONE canonical bin (the bin of the overlap's
+    first instant), so the output needs NO distinct pass. The oracle
+    is the plain inequality join DuckDB can afford at sf0.01 and a
+    1000-executor cluster cannot at 100 TB."""
+    from pyspark.sql.window import Window as W
+
+    from mpes_spark.transforms.joins import overlap_join_binned
+
+    day_ns = 86_400_000_000_000
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("e", F.lead("ts").over(w))
+        .filter(F.col("e").isNotNull())
+        .select(F.col("user_id"), F.col("ts").alias("s"), F.col("e"))
+    )
+    a = iv.select(
+        F.col("user_id").alias("u1"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("u2"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = overlap_join_binned(
+        a, b,
+        left_start="a_s", left_end="a_e",
+        right_start="b_s", right_end="b_e",
+        bin_width=float(day_ns),
+    ).filter(F.col("u1") < F.col("u2"))
+    return pairs.groupBy("u1", "u2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
+    )
+
+
 # -- top event paths (3-step journey mining: two leads + bounded agg) ----
 
 _TOP_PATHS_SQL = (

@@ -198,3 +198,68 @@ def range_join_binned(
         .filter((F.col(point) >= F.col(start)) & (F.col(point) < F.col(end)))
         .drop("__bin")
     )
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-interval overlap join (half-open:
+    ``l_start < r_end AND r_start < l_end``) WITHOUT a nested-loop
+    join — the two-sided sibling of :func:`range_join_binned`, the
+    genomics/session-overlap shape.
+
+    Both sides explode to the bins they cover; the join is a plain
+    equi-join on the bin id plus the exact overlap post-filter. An
+    overlapping pair shares MANY bins, so a naive bin join needs a
+    distinct pass over the pair relation; instead each pair is
+    emitted in exactly ONE canonical bin — the bin containing
+    ``greatest(l_start, r_start)`` (the overlap's first instant),
+    which both sides cover by construction — so the output is
+    duplicate-free with no extra shuffle.
+
+    Cost model matches :func:`range_join_binned`: each side
+    replicates ``ceil(len/w) + 1``x, pick ``bin_width`` near the
+    median interval length; both sides shuffle by a uniform integer
+    key, AQE-splittable, and a small side still broadcasts."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    _ensure_disjoint(left, [c for c in right.columns])
+
+    w = F.lit(float(bin_width))
+    la = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / w).cast("long"),
+                F.floor(F.col(left_end) / w).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__rbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / w).cast("long"),
+                F.floor(F.col(right_end) / w).cast("long"),
+            )
+        ),
+    )
+    canon = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / w
+    ).cast("long")
+    return (
+        la.join(rb, la["__bin"] == rb["__rbin"])
+        .filter(
+            (F.col(left_start) < F.col(right_end))
+            & (F.col(right_start) < F.col(left_end))
+            & (F.col("__bin") == canon)
+        )
+        .drop("__bin", "__rbin")
+    )

@@ -167,3 +167,57 @@ def test_range_join_rejects_bad_width(spark, range_data):
             end="e",
             bin_width=0.0,
         )
+
+
+def test_overlap_join_binned_matches_bruteforce_no_dups(spark):
+    """Random intervals: the binned overlap join must equal the
+    brute-force inequality join exactly — including multiplicity
+    (the canonical-bin rule emits each pair once, no distinct)."""
+    import random
+
+    from mpes_spark.transforms.joins import overlap_join_binned
+
+    rnd = random.Random(11)
+    left = [(i, rnd.uniform(0, 100), 0.0) for i in range(60)]
+    left = [(i, s, s + rnd.uniform(0.1, 25)) for i, s, _ in left]
+    right = [(j, rnd.uniform(0, 100), 0.0) for j in range(60)]
+    right = [(j, s, s + rnd.uniform(0.1, 25)) for j, s, _ in right]
+    ldf = spark.createDataFrame(left, ["lid", "ls", "le"])
+    rdf = spark.createDataFrame(right, ["rid", "rs", "re"])
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_join_binned(
+            ldf, rdf, left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bin_width=7.0,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, ls, le in left
+        for j, rs, re in right
+        if ls < re and rs < le
+    )
+    assert got == want and len(want) > 100
+
+
+def test_overlap_join_binned_no_nested_loop(spark):
+    from mpes_spark.transforms.joins import overlap_join_binned
+
+    ldf = spark.range(50).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 2.0).alias("ls"),
+        (F.col("id") * 2.0 + 3.0).alias("le"),
+    )
+    rdf = spark.range(50).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 1.7).alias("rs"),
+        (F.col("id") * 1.7 + 2.0).alias("re"),
+    )
+    df = overlap_join_binned(
+        ldf, rdf, left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bin_width=4.0,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
