@@ -1477,6 +1477,63 @@ def jl_projection(spark, sf_dir):
     )
 
 
+
+_DIVERSITY_SQL = (
+    "WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n "
+    "  FROM documents GROUP BY lang, source), "
+    "tot AS (SELECT lang, sum(n) AS tn, "
+    "  CAST(count(*) AS BIGINT) AS n_sources FROM c GROUP BY lang), "
+    "sh AS (SELECT c.lang, c.n / tot.tn AS p, tot.n_sources, "
+    "  row_number() OVER (PARTITION BY c.lang ORDER BY c.n, c.source) "
+    "    AS rk, tot.tn "
+    "  FROM c JOIN tot ON tot.lang = c.lang) "
+    "SELECT lang, CAST(max(n_sources) AS BIGINT) AS n_sources, "
+    "round(-sum(p * ln(p)), 6) AS shannon_entropy, "
+    "round((2.0 * sum(rk * p) - (max(n_sources) + 1)) "
+    "  / max(n_sources), 6) AS gini "
+    "FROM sh GROUP BY lang"
+)
+
+
+@_q("source_diversity", _DIVERSITY_SQL)
+def source_diversity(spark, sf_dir):
+    """Corpus-balance diagnostics: per-language Shannon entropy and
+    Gini coefficient of the source-share distribution — the numbers a
+    mixing policy (temperature_mix, token_budget_mix) is judged by.
+    Two bounded aggregations (|lang x source| then |lang|) plus a
+    per-lang rank window over the tiny grid; the fact table is
+    scanned once. Shares divide exact integer counts, so both
+    engines rank and sum identical doubles (rounded at the edge)."""
+    from pyspark.sql.window import Window as W
+
+    c = (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = c.groupBy("lang").agg(
+        F.sum("n").alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    w = W.partitionBy("lang").orderBy("n", "source")
+    sh = (
+        c.join(tot, "lang")
+        .withColumn("p", F.col("n") / F.col("tn"))
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return sh.groupBy("lang").agg(
+        F.max("n_sources").cast("bigint").alias("n_sources"),
+        F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias(
+            "shannon_entropy"
+        ),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("p")) - (F.max("n_sources") + 1))
+            / F.max("n_sources"),
+            6,
+        ).alias("gini"),
+    )
+
+
 def extras_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 
