@@ -174,3 +174,79 @@ def test_shirley_piecewise_and_bounded_area():
     assert np.nansum(sym) == pytest.approx(4.0, rel=0.2)
     np.testing.assert_allclose(sym[10, 20], sym[30, 20], atol=1e-6)
     np.testing.assert_allclose(sym[20, 10], sym[20, 30], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# pure-logic lemmas behind round-5 operators (no Spark per example)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.tuples(
+        st.floats(0, 1000, allow_nan=False),
+        st.floats(0.01, 500, allow_nan=False),
+        st.floats(0, 1000, allow_nan=False),
+        st.floats(0.01, 500, allow_nan=False),
+        st.floats(0.1, 200, allow_nan=False),
+    )
+)
+@settings(max_examples=500, deadline=None)
+def test_overlap_canonical_bin_lemma(args):
+    """The dedup rule of overlap_join_binned: for ANY overlapping
+    interval pair, the bin of greatest(l_start, r_start) lies inside
+    BOTH sides' covering bin ranges — so emitting only in that bin
+    never loses a pair (and uniqueness is by construction)."""
+    import math
+
+    ls, llen, rs, rlen, w = args
+    le, re_ = ls + llen, rs + rlen
+    if not (ls < re_ and rs < le):  # no overlap: nothing to prove
+        return
+    canon = math.floor(max(ls, rs) / w)
+    assert math.floor(ls / w) <= canon <= math.floor(le / w)
+    assert math.floor(rs / w) <= canon <= math.floor(re_ / w)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 8),   # orderkey
+            st.integers(0, 5),   # suppkey
+            st.booleans(),       # returnflag == 'R'
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_blame_two_level_rollup_equals_distinct_formulation(lines):
+    """blame_single_return_supplier's (orderkey, suppkey) rollup
+    formulation must equal the direct double-countDistinct reading of
+    'sole returning supplier among >= 2 suppliers'."""
+    from collections import defaultdict
+
+    # direct formulation
+    supps = defaultdict(set)
+    r_supps = defaultdict(set)
+    for o, s, r in lines:
+        supps[o].add(s)
+        if r:
+            r_supps[o].add(s)
+    direct = defaultdict(int)
+    for o in supps:
+        if len(supps[o]) >= 2 and len(r_supps[o]) == 1:
+            direct[next(iter(r_supps[o]))] += 1
+
+    # two-level rollup formulation (the shipped plan)
+    has_r = defaultdict(bool)
+    for o, s, r in lines:
+        has_r[(o, s)] = has_r[(o, s)] or r
+    per_order = defaultdict(lambda: [0, 0])
+    for (o, s), hr in has_r.items():
+        per_order[o][0] += 1
+        per_order[o][1] += int(hr)
+    rolled = defaultdict(int)
+    for (o, s), hr in has_r.items():
+        if hr and per_order[o][0] >= 2 and per_order[o][1] == 1:
+            rolled[s] += 1
+
+    assert dict(direct) == dict(rolled)
