@@ -256,3 +256,86 @@ SELECT CAST(bin AS INTEGER) AS bin, p_base, p_cur,
        round((p_base - p_cur) * ln(p_base / p_cur), 6) AS psi_term
 FROM j
 """.strip()
+
+
+def exact_quantile(
+    df: DataFrame,
+    col: str,
+    q: float,
+    nbins: int = 1024,
+    passes: int = 2,
+    tail_limit: int = 2_000_000,
+) -> float:
+    """EXACT quantile of an arbitrarily large column with NO global
+    sort: iterative histogram narrowing (the classic distributed
+    selection algorithm — Blum et al.'s selection problem done with
+    histograms). Each pass bins the surviving range into ``nbins``
+    equal-width cells (one scan, map-side combined, ``nbins`` longs
+    to the driver), locates the cell containing the target rank, and
+    recurses into it; after ``passes`` rounds the survivors shrink by
+    ~``nbins^passes`` and the k-th element is taken exactly from the
+    remainder. Returns the element at 0-indexed rank
+    ``floor((n-1) * q)`` (lower/type-1 quantile — an actual data
+    value, which is what makes the result engine-exact with no
+    float-interpolation drift).
+
+    At 100 TB: 2 passes x one column scan + a ``tail_limit``-bounded
+    ordered take — vs a full-sort quantile whose exchange IS the 100
+    TB. approx_percentile answers fast with error; this answers
+    exactly with two scans. NULLs are excluded (SQL semantics).
+
+    Raises if the remainder still exceeds ``tail_limit`` (pathological
+    duplicate-heavy columns: one value occupying a whole cell can't
+    narrow further — its cell IS the answer then, handled below)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    base = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    n = base.count()
+    if n == 0:
+        raise ValueError("exact_quantile of an empty column")
+    k = int((n - 1) * q)  # 0-indexed target rank
+
+    agg = base.agg(F.min("v"), F.max("v")).collect()[0]
+    lo, hi = float(agg[0]), float(agg[1])
+    cur = base
+    for _ in range(passes):
+        if lo == hi:
+            return lo
+        w = (hi - lo) / nbins
+        hist = (
+            cur.groupBy(
+                F.least(
+                    F.floor((F.col("v") - F.lit(lo)) / F.lit(w)),
+                    F.lit(nbins - 1),
+                ).cast("int").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {r.b: r.c for r in hist}
+        cum = 0
+        for b in range(nbins):
+            c = counts.get(b, 0)
+            if cum + c > k:
+                k -= cum
+                lo2 = lo + b * w
+                hi2 = hi if b == nbins - 1 else lo + (b + 1) * w
+                # half-open cells except the last (max must survive)
+                cond = (F.col("v") >= F.lit(lo2)) & (
+                    (F.col("v") <= F.lit(hi))
+                    if b == nbins - 1
+                    else (F.col("v") < F.lit(hi2))
+                )
+                cur = cur.filter(cond)
+                lo, hi = lo2, hi2
+                break
+            cum += c
+    remainder = cur.count()
+    if remainder > tail_limit:
+        raise ValueError(
+            f"remainder {remainder} exceeds tail_limit {tail_limit}; "
+            "raise passes/nbins (duplicate-heavy cell: every survivor "
+            "shares the cell, so its bounds already bracket the answer)"
+        )
+    vals = [r.v for r in cur.orderBy("v").limit(k + 1).collect()]
+    return float(vals[k])

@@ -1932,6 +1932,31 @@ def session_overlap_pairs(spark, sf_dir):
     )
 
 
+_EXACT_MEDIAN_SQL = (
+    "SELECT round(value, 6) AS median_value FROM ("
+    "  SELECT value, row_number() OVER (ORDER BY value) AS rn, "
+    "  count(*) OVER () AS n FROM events WHERE value IS NOT NULL) t "
+    "WHERE rn = ((n - 1) // 2) + 1"
+)
+
+
+@_q("exact_median_value", _EXACT_MEDIAN_SQL)
+def exact_median_value(spark, sf_dir):
+    """EXACT distributed median with no global sort: iterative
+    histogram narrowing (diagnostics.exact_quantile — two binned
+    scans shrink the candidate range ~1024^2x, then a bounded ordered
+    take). The lower/type-1 quantile is an actual data element, so
+    the result is engine-exact by construction; the oracle states the
+    rank definition directly. At 100 TB this is two column scans
+    where a sort-based median is a full-table exchange."""
+    from mpes_spark.diagnostics import exact_quantile
+
+    m = exact_quantile(t(spark, sf_dir, "events"), "value", 0.5)
+    return spark.createDataFrame(
+        [(round(m, 6),)], "median_value double"
+    )
+
+
 # -- top event paths (3-step journey mining: two leads + bounded agg) ----
 
 _TOP_PATHS_SQL = (

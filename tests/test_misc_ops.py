@@ -265,3 +265,32 @@ def test_table_checksum_order_insensitive_and_sensitive_to_rows(spark):
     dup = spark.createDataFrame(rows + [rows[0], rows[0]], ["id", "name", "bal"])
     c4 = table_checksum(dup, "t", ["id", "name", "bal"], ["bal"]).collect()[0]
     assert c4.checksum == c1.checksum and c4.n_rows != c1.n_rows
+
+
+def test_exact_quantile_matches_numpy(spark):
+    import numpy as np
+
+    from mpes_spark.diagnostics import exact_quantile
+
+    rs = np.random.RandomState(3)
+    vals = np.concatenate([
+        rs.normal(50, 10, 4000),
+        rs.uniform(0, 1, 1000),      # heavy low cluster
+        np.full(500, 42.0),          # duplicate spike
+    ])
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    s = np.sort(vals)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        k = int((len(vals) - 1) * q)
+        got = exact_quantile(df, "x", q, nbins=64, passes=2)
+        assert got == s[k], (q, got, s[k])
+
+
+def test_exact_quantile_duplicate_heavy_cell(spark):
+    from mpes_spark.diagnostics import exact_quantile
+
+    # 90% of the column is one value: the median's cell never narrows,
+    # but the ordered tail take still answers exactly
+    rows = [(7.5,)] * 900 + [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, ["x"])
+    assert exact_quantile(df, "x", 0.5, nbins=16, passes=2) == 7.5
