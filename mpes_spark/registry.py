@@ -1957,6 +1957,61 @@ def exact_median_value(spark, sf_dir):
     )
 
 
+_CDF_SQL = (
+    "WITH a AS (SELECT user_id, value FROM ("
+    "  SELECT user_id, value, row_number() OVER (PARTITION BY user_id "
+    "    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn "
+    f"  FROM events WHERE epoch_ns(ts) < {_T1_NS}) q WHERE rn = 1), "
+    "b AS (SELECT user_id, value FROM ("
+    "  SELECT user_id, value, row_number() OVER (PARTITION BY user_id "
+    "    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn "
+    f"  FROM events WHERE epoch_ns(ts) < {_T2_NS}) q WHERE rn = 1) "
+    "SELECT coalesce(a.user_id, b.user_id) AS user_id, "
+    "CASE WHEN a.user_id IS NULL THEN 'insert' "
+    "     WHEN b.user_id IS NULL THEN 'delete' ELSE 'update' END AS op, "
+    "a.value AS old_value, b.value AS new_value "
+    "FROM a FULL OUTER JOIN b ON a.user_id = b.user_id "
+    "WHERE NOT (a.user_id IS NOT NULL AND b.user_id IS NOT NULL "
+    "  AND a.value IS NOT DISTINCT FROM b.value)"
+)
+
+
+@_q("change_data_feed", _CDF_SQL)
+def change_data_feed(spark, sf_dir):
+    """Row-level change feed between two snapshot cutoffs — the
+    record-level companion of `snapshot_diff` (which only counts):
+    (key, op, before, after) for every key whose latest state
+    changed, unchanged keys filtered BEFORE the feed materializes so
+    the output is delta-sized. One full-outer key join; NULL-safe
+    comparison registers value<->NULL transitions as updates. The
+    relation a search-index/cache/replication consumer applies
+    (transforms/cdc.apply_diff_feed round-trips it exactly)."""
+    from pyspark.sql.window import Window as W
+
+    from mpes_spark.transforms.cdc import table_diff_feed
+
+    ev = t(spark, sf_dir, "events")
+
+    def snap(cut_ns):
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter(F.col("ts") < cut_ns)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    feed = table_diff_feed(
+        snap(_T1_NS), snap(_T2_NS), key="user_id", compare=["value"]
+    )
+    return feed.select(
+        "user_id", "op",
+        F.col("old_value"), F.col("new_value"),
+    )
+
+
 # -- top event paths (3-step journey mining: two leads + bounded agg) ----
 
 _TOP_PATHS_SQL = (

@@ -294,3 +294,27 @@ def test_exact_quantile_duplicate_heavy_cell(spark):
     rows = [(7.5,)] * 900 + [(float(i),) for i in range(100)]
     df = spark.createDataFrame(rows, ["x"])
     assert exact_quantile(df, "x", 0.5, nbins=16, passes=2) == 7.5
+
+
+def test_diff_feed_roundtrip_and_semantics(spark):
+    """apply_diff_feed(old, table_diff_feed(old, new)) == new, and
+    the feed rows carry the right ops including NULL transitions."""
+    from mpes_spark.transforms.cdc import apply_diff_feed, table_diff_feed
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 3.5), (4, 4.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 2.0), (3, 3.5), (4, None), (5, 5.0)], "k long, v double"
+    )
+    feed = table_diff_feed(old, new, key="k", compare=["v"]).collect()
+    ops = {r.k: r.op for r in feed}
+    assert ops == {1: "delete", 2: "update", 4: "update", 5: "insert"}
+    assert 3 not in ops  # unchanged never enters the feed
+    applied = apply_diff_feed(
+        old, table_diff_feed(old, new, key="k", compare=["v"]),
+        key="k", compare=["v"],
+    )
+    got = sorted((r.k, r.v) for r in applied.collect())
+    want = sorted((r.k, r.v) for r in new.collect())
+    assert got == want
