@@ -174,3 +174,68 @@ def test_powerlaw_connected_components_two_tiers(spark):
         star = {r["component"]: r["count"] for r in sizes}
         assert star[0] == N_HUB_SPOKES + 1  # hub + spokes (+ mid hubs, ids <= 20 are spokes too)
         assert star[10_000_000] == N_CHAIN
+
+
+def test_decision_shapes_survive_hub_key_skew(spark):
+    """Hub-customer skew through the semi-join + HAVING shapes: one
+    customer owns 30% of all orders and one order carries 2000 lines.
+    The Q4/Q18-shaped plans key their shuffles on orderkey (never on
+    the skewed custkey before reduction), so results stay exact and
+    no plan degenerates to a nested loop. AQE's skew-split handles
+    the hot orderkey partition at scale; here we assert correctness
+    under the same distribution plus the no-NLJ invariant."""
+    import random
+
+    from mpes_spark.decision import decision_queries  # noqa: F401
+
+    rnd = random.Random(7)
+    orders, lines = [], []
+    # 3000 orders for 100 customers; customer 0 takes ~30%
+    for ok in range(3000):
+        ck = 0 if rnd.random() < 0.3 else rnd.randint(1, 99)
+        orders.append((ok, ck, "P%d" % (ok % 5)))
+    # order 0 is a monster: 2000 lines; others 1-4 lines
+    for ok in range(3000):
+        n = 2000 if ok == 0 else rnd.randint(1, 4)
+        for ln in range(n):
+            lines.append(
+                (ok, rnd.randint(1, 50), float(rnd.randint(1, 50)),
+                 "R" if rnd.random() < 0.25 else "N")
+            )
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderpriority string"
+    )
+    ldf = spark.createDataFrame(
+        lines, "l_orderkey long, l_suppkey long, l_quantity double, "
+        "l_returnflag string"
+    )
+
+    # Q4 shape: orders with a returned line, counted per priority
+    r = ldf.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    semi = (
+        odf.join(r, odf.o_orderkey == r.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r_.o_orderpriority: r_.n for r_ in semi.collect()}
+    want = {}
+    r_orders = {o for o, _s, _q, f in lines if f == "R"}
+    for ok, _ck, pr in orders:
+        if ok in r_orders:
+            want[pr] = want.get(pr, 0) + 1
+    assert got == want
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # Q18 shape: qty-sum HAVING against the monster order
+    big = (
+        ldf.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300.0)
+    )
+    got_big = {r_.l_orderkey for r_ in big.collect()}
+    sums = {}
+    for ok, _s, q, _f in lines:
+        sums[ok] = sums.get(ok, 0.0) + q
+    assert got_big == {ok for ok, s in sums.items() if s > 300.0}
+    assert 0 in got_big  # the monster order qualifies
