@@ -270,3 +270,24 @@ def test_compact_table_reshards_and_preserves_data(spark, tmp_path):
     before = table_checksum(spark.read.parquet(src), "t", ["id", "k"], []).collect()[0]
     after = table_checksum(spark.read.parquet(dst), "t", ["id", "k"], []).collect()[0]
     assert (before.n_rows, before.checksum) == (after.n_rows, after.checksum)
+
+
+def test_compact_table_partitioned_layout(spark, tmp_path):
+    """partition_by branch: each Hive partition compacts to its own
+    file set and the partition column survives the rewrite."""
+    import glob
+
+    from mpes_spark.io.writers import compact_table, split_table
+
+    src = str(tmp_path / "psmall")
+    dst = str(tmp_path / "pcompacted")
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 3).alias("p"), (F.col("id") * 1.5).alias("v")
+    )
+    split_table(df.withColumn("p", F.col("p")), 12, src)
+    compact_table(spark, src, dst, target_mb=1, partition_by="p")
+    parts = sorted(glob.glob(dst + "/p=*"))
+    assert [p.split("/")[-1] for p in parts] == ["p=0", "p=1", "p=2"]
+    back = spark.read.parquet(dst)
+    assert back.count() == 5_000
+    assert set(r.p for r in back.select("p").distinct().collect()) == {0, 1, 2}
