@@ -284,9 +284,14 @@ def exact_quantile(
     TB. approx_percentile answers fast with error; this answers
     exactly with two scans. NULLs are excluded (SQL semantics).
 
-    Raises if the remainder still exceeds ``tail_limit`` (pathological
-    duplicate-heavy columns: one value occupying a whole cell can't
-    narrow further — its cell IS the answer then, handled below)."""
+    The surviving cell is re-filtered with the SAME
+    ``floor((v - lo) / w)`` expression the histogram binned with —
+    recomputing the cell's [lo2, hi2) bounds in float can disagree
+    with the floor assignment by one ulp at cell edges, silently
+    shifting the target rank. Duplicate-heavy columns (one value
+    filling a whole cell, so narrowing stalls) are handled: if the
+    oversized remainder is a single distinct value, that value IS the
+    answer; otherwise raises with a passes/nbins hint."""
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
     base = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
@@ -302,40 +307,57 @@ def exact_quantile(
         if lo == hi:
             return lo
         w = (hi - lo) / nbins
-        hist = (
-            cur.groupBy(
+        # Bin expression: clamped at BOTH ends — survivors of a prior
+        # pass can sit one ulp outside the rescaled [lo, hi) (the
+        # bounds are derived, the membership predicate was the floor),
+        # and an unclamped floor would drop them into bins the rank
+        # walk never visits.
+        bexpr = (
+            F.greatest(
                 F.least(
                     F.floor((F.col("v") - F.lit(lo)) / F.lit(w)),
                     F.lit(nbins - 1),
-                ).cast("int").alias("b")
+                ),
+                F.lit(0),
             )
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+            .cast("int")
+            .alias("b")
         )
+        hist = cur.groupBy(bexpr).agg(F.count(F.lit(1)).alias("c")).collect()
         counts = {r.b: r.c for r in hist}
         cum = 0
         for b in range(nbins):
             c = counts.get(b, 0)
             if cum + c > k:
                 k -= cum
-                lo2 = lo + b * w
-                hi2 = hi if b == nbins - 1 else lo + (b + 1) * w
-                # half-open cells except the last (max must survive)
-                cond = (F.col("v") >= F.lit(lo2)) & (
-                    (F.col("v") <= F.lit(hi))
-                    if b == nbins - 1
-                    else (F.col("v") < F.lit(hi2))
+                # Re-filter with the EXACT binning expression, not
+                # recomputed [lo + b*w, lo + (b+1)*w) range bounds —
+                # float re-derivation of the bounds can disagree with
+                # the floor by one ulp at cell edges, shifting ranks.
+                cur = cur.filter(
+                    F.greatest(
+                        F.least(
+                            F.floor((F.col("v") - F.lit(lo)) / F.lit(w)),
+                            F.lit(nbins - 1),
+                        ),
+                        F.lit(0),
+                    ).cast("int")
+                    == F.lit(b)
                 )
-                cur = cur.filter(cond)
-                lo, hi = lo2, hi2
+                lo = lo + b * w
+                hi = hi if b == nbins - 1 else lo + w
                 break
             cum += c
     remainder = cur.count()
     if remainder > tail_limit:
+        # Duplicate-heavy stall: a single value filling the cell can't
+        # narrow further — but then that value IS the k-th element.
+        mm = cur.agg(F.min("v"), F.max("v")).collect()[0]
+        if mm[0] == mm[1]:
+            return float(mm[0])
         raise ValueError(
-            f"remainder {remainder} exceeds tail_limit {tail_limit}; "
-            "raise passes/nbins (duplicate-heavy cell: every survivor "
-            "shares the cell, so its bounds already bracket the answer)"
+            f"remainder {remainder} exceeds tail_limit {tail_limit} "
+            "with >1 distinct value in the cell; raise passes/nbins"
         )
     vals = [r.v for r in cur.orderBy("v").limit(k + 1).collect()]
     return float(vals[k])

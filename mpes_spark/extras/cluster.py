@@ -58,6 +58,13 @@ def kmeans_fixed(
     dimension), n_points from the final assignment."""
     from mpes_spark.extras.similarity import as_double_array
 
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        # iters=0 would leave `assigned` undefined (no final
+        # assignment to count) — reject rather than crash later.
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
     e = df.select(F.col(id_col), as_double_array(vec).alias("v"))
     init_rows = e.orderBy(id_col).limit(k).collect()
     centroids: list[tuple[int, list[float]]] = [
@@ -118,6 +125,12 @@ def kmeans_fixed_sql(
 ) -> str:
     """DuckDB twin of :func:`kmeans_fixed`: the same k/iters unrolled
     as chained CTEs over the dimension-exploded relation."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        # mirror kmeans_fixed: iters=0 would reference a{0}, which is
+        # never generated
+        raise ValueError(f"iters must be >= 1, got {iters}")
     parts = [
         f"WITH e AS (SELECT {id_col}, {vec}::DOUBLE[] AS v FROM {table})",
         f"ex AS (SELECT {id_col}, unnest(v) AS x,"

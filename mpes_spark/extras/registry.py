@@ -991,6 +991,9 @@ def vocab_topk(spark, sf_dir):
     CU.dsir_weights_sql("documents"),
 )
 def dsir_weights_q(spark, sf_dir):
+    """DSIR importance-sampling weights: hashed-feature
+    log-likelihood-ratio scores of documents toward a target distribution.
+    """
     return CU.dsir_weights(_docs(spark, sf_dir))
 
 
@@ -1008,6 +1011,10 @@ def dsir_weights_q(spark, sf_dir):
     "FROM documents))",
 )
 def heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters via a Misra-Gries candidate pass: only
+    candidate occurrences cross the shuffle; completeness from 1/(k+1) <
+    min_frac.
+    """
     from mpes_spark.extras.frequent import frequent_items
 
     tokens = _docs(spark, sf_dir).select(

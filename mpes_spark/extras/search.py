@@ -964,9 +964,9 @@ pos AS (
 j AS (
   SELECT p.{id_col},
          CASE WHEN t.c3 IS NOT NULL THEN t.c3 / b1.c2
-              WHEN b2.c2 IS NOT NULL THEN {lam!r} * b2.c2 / u2.c1
-              WHEN u3.c1 IS NOT NULL THEN {lam * lam!r} * u3.c1 / total.N
-              ELSE {lam**3!r} / total.N END AS s
+              WHEN b2.c2 IS NOT NULL THEN CAST('{lam!r}' AS DOUBLE) * b2.c2 / u2.c1
+              WHEN u3.c1 IS NOT NULL THEN CAST('{lam * lam!r}' AS DOUBLE) * u3.c1 / total.N
+              ELSE CAST('{lam**3!r}' AS DOUBLE) / total.N END AS s
   FROM pos p
   LEFT JOIN tric t ON t.tri = p.tri
   LEFT JOIN bi b1 ON b1.pair = p.b12

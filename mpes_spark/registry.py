@@ -92,6 +92,10 @@ _AX_V1D = BinAxis("value", nbins=1000, lo=0.0, hi=500.0)
 
 @_q("hist_1d_edc", bin_sparse_sql("events", [_AX_V1D]))
 def hist_1d_edc(spark, sf_dir):
+    """1-D sparse histogram of events.value — the EDC shape of
+    localBinning as one hash aggregation (reference
+    mpes/fprocessing.py:1077-1115).
+    """
     return bin_sparse(t(spark, sf_dir, "events"), [_AX_V1D])
 
 
@@ -102,6 +106,9 @@ _AX_PRICE = BinAxis("l_extendedprice", nbins=100, lo=900.0, hi=105000.0)
 
 @_q("hist_2d", bin_sparse_sql("lineitem", [_AX_QTY, _AX_PRICE]))
 def hist_2d(spark, sf_dir):
+    """2-D sparse histogram over (l_quantity, l_extendedprice) —
+    binPartition's N-D grid as a composite-key hash agg.
+    """
     return bin_sparse(t(spark, sf_dir, "lineitem"), [_AX_QTY, _AX_PRICE])
 
 
@@ -115,6 +122,9 @@ _AX3 = [
 
 @_q("hist_3d", bin_sparse_sql("lineitem", _AX3))
 def hist_3d(spark, sf_dir):
+    """3-D sparse histogram — the production (X, Y, t) grid shape of
+    distributedBinning.
+    """
     return bin_sparse(t(spark, sf_dir, "lineitem"), _AX3)
 
 
@@ -130,6 +140,9 @@ _AX4 = [
 
 @_q("hist_4d", bin_sparse_sql("lineitem", _AX4))
 def hist_4d(spark, sf_dir):
+    """4-D sparse histogram — the full (X, Y, t, ADC) binDataframe grid,
+    still one hash agg.
+    """
     return bin_sparse(t(spark, sf_dir, "lineitem"), _AX4)
 
 
@@ -147,6 +160,9 @@ _AX_W = BinAxis("l_quantity", nbins=49, lo=1.0, hi=50.0)
     ),
 )
 def hist_weighted(spark, sf_dir):
+    """Weighted 1-D histogram: per-bin SUM of l_extendedprice instead of a
+    count (binPartition's weights= path).
+    """
     h = bin_sparse(
         t(spark, sf_dir, "lineitem"), [_AX_W], count_name="wsum",
         weight="l_extendedprice",
@@ -165,6 +181,9 @@ _FLT_SQL = "value > 50.0 AND value < 300.0"
     bin_sparse_sql("events", [_AX_FLT], where=_FLT_SQL),
 )
 def filter_bin(spark, sf_dir):
+    """Range filter (applyFilter, reference mpes/fprocessing.py:2343-2368)
+    pushed to the scan, then 1-D binning.
+    """
     ev = apply_filter(t(spark, sf_dir, "events"), "value", lb=50.0, ub=300.0)
     return bin_sparse(ev, [_AX_FLT])
 
@@ -179,6 +198,9 @@ _AX_PG = BinAxis("value", nbins=100, lo=0.0, hi=500.0)
     bin_sparse_sql("events", [_AX_PG], extra_keys=["event_type"]),
 )
 def hist_per_group(spark, sf_dir):
+    """Per-group histogram matrix — one EDC per event_type via extra
+    grouping keys (extractEDC batch shape).
+    """
     return histogram_per_group(t(spark, sf_dir, "events"), _AX_PG, "event_type")
 
 
@@ -190,6 +212,9 @@ def hist_per_group(spark, sf_dir):
     f"{_AX_V1D.out} >= 200 AND {_AX_V1D.out} < 600",
 )
 def hist_crop(spark, sf_dir):
+    """Histogram cropped to a bin-index range after aggregation
+    (updateHistogram, reference mpes/fprocessing.py:1324-1343).
+    """
     sp = bin_sparse(t(spark, sf_dir, "events"), [_AX_V1D])
     return sp.filter((F.col(_AX_V1D.out) >= 200) & (F.col(_AX_V1D.out) < 600))
 
@@ -203,6 +228,9 @@ def hist_crop(spark, sf_dir):
     "GROUP BY coarse_bin",
 )
 def hist_rebin(spark, sf_dir):
+    """Rebin to a coarser grid by regrouping bin//k (u.arraybin 'sum',
+    reference mpes/utils.py:295-333).
+    """
     sp = bin_sparse(t(spark, sf_dir, "events"), [_AX_V1D])
     return sp.groupBy(
         F.floor(F.col(_AX_V1D.out) / 10).cast("bigint").alias("coarse_bin")
@@ -228,6 +256,9 @@ _AX_E = BinAxis("E", nbins=100, lo=0.0, hi=30.0)
     ),
 )
 def calib_energy_poly(spark, sf_dir):
+    """Polynomial ToF->energy calibration (tof2evpoly, reference
+    mpes/base.py:413-433) as pure column math, then 1-D binning.
+    """
     ev = t(spark, sf_dir, "events").select(
         EN.tof2ev_poly_expr(_POLY_A, _POLY_E0, "value").alias("E")
     )
@@ -249,6 +280,9 @@ _AX_E2 = BinAxis("E", nbins=500, lo=0.0, hi=100.0)
     ),
 )
 def calib_energy_tof2ev(spark, sf_dir):
+    """Drift-distance ToF->energy calibration (tof2ev, reference
+    mpes/base.py:435-458) with NULL-safe pole, then 1-D binning.
+    """
     ev = t(spark, sf_dir, "events").select(
         EN.tof2ev_expr(_T2E["d"], _T2E["t0"], _T2E["E0"], "value").alias("E")
     )
@@ -271,6 +305,9 @@ _AX_KY = BinAxis("ky", nbins=50, lo=-0.05, hi=0.06)
     ),
 )
 def calib_kxy(spark, sf_dir):
+    """Detector->momentum coordinate calibration (detxy2kxy, reference
+    mpes/base.py:480-503) of two columns, binned to a kx-ky grid.
+    """
     kx, ky = KM.detxy2kxy_expr("l_quantity", "l_extendedprice", **_KPAR)
     li = t(spark, sf_dir, "lineitem").select(kx.alias("kx"), ky.alias("ky"))
     return bin_sparse(li, [_AX_KX, _AX_KY])
@@ -292,6 +329,10 @@ _AX_TC = BinAxis("tc", nbins=200, lo=900.0, hi=105000.0)
     ),
 )
 def tof_corr_spherical(spark, sf_dir):
+    """Spherical photoemission energy-correction profile
+    (applyECorrection, reference mpes/fprocessing.py:1761-1847), then
+    binning.
+    """
     li = t(spark, sf_dir, "lineitem").select(
         XC.tof_correction_expr("spherical", amplitude=-500.0, d=10.0, t0=1.0, **_CORR_COMMON).alias("tc")
     )
@@ -308,6 +349,9 @@ def tof_corr_spherical(spark, sf_dir):
     ),
 )
 def tof_corr_gaussian(spark, sf_dir):
+    """Gaussian energy-correction profile of applyECorrection, then
+    binning.
+    """
     li = t(spark, sf_dir, "lineitem").select(
         XC.tof_correction_expr("gaussian", amplitude=-5000.0, sigma=20.0, **_CORR_COMMON).alias("tc")
     )
@@ -324,6 +368,9 @@ def tof_corr_gaussian(spark, sf_dir):
     ),
 )
 def tof_corr_lorentzian(spark, sf_dir):
+    """Lorentzian energy-correction profile of applyECorrection, then
+    binning.
+    """
     li = t(spark, sf_dir, "lineitem").select(
         XC.tof_correction_expr("lorentzian", amplitude=-2000.0, gamma=15.0, **_CORR_COMMON).alias("tc")
     )
@@ -346,6 +393,9 @@ _hx_sql, _hy_sql = XC.perspective_sql("l_quantity", "l_linenumber", _HOMOG)
     ),
 )
 def perspective_bin(spark, sf_dir):
+    """Perspective (homography) detector-plane correction
+    (perspectiveTransform) as column math, then 2-D binning.
+    """
     xt, yt = XC.perspective_expr("l_quantity", "l_linenumber", _HOMOG)
     li = t(spark, sf_dir, "lineitem").select(xt.alias("xt"), yt.alias("yt"))
     return bin_sparse(li, [_AX_HX, _AX_HY])
@@ -362,6 +412,9 @@ _MK = dict(lbs=[0.0, 100.0, 250.0], ubs=[100.0, 250.0, 500.0], ths=[1.0, 2.0, 3.
     "FROM events GROUP BY marker",
 )
 def marker_multithresh(spark, sf_dir):
+    """Piecewise multi-threshold marker column (appendMarker/multithresh,
+    reference mpes/fprocessing.py:2435-2445), counted per marker.
+    """
     ev = t(spark, sf_dir, "events").select(
         multithresh_expr("value", **_MK).alias("marker")
     )
@@ -372,6 +425,10 @@ def marker_multithresh(spark, sf_dir):
 #    /root/reference/mpes/fprocessing.py:1849-1870): RNG -> no SQL oracle ---
 @_q("jitter_bin", None)
 def jitter_bin(spark, sf_dir):
+    """Seeded uniform jitter before binning (applyJitter, reference
+    mpes/fprocessing.py:1849-1870) — RNG, so rows-only with a determinism
+    pytest.
+    """
     from mpes_spark.transforms.columns import apply_jitter
 
     ev = apply_jitter(t(spark, sf_dir, "events"), {"value": 0.25}, seed=42)
@@ -392,6 +449,9 @@ def jitter_bin(spark, sf_dir):
     "GROUP BY n.n_name",
 )
 def lookup_join(spark, sf_dir):
+    """Broadcast dimension lookup equi-join (the dfieldapply shape,
+    reference mpes/base.py:530-539) with a rollup on the looked-up key.
+    """
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     return (
@@ -415,6 +475,9 @@ def lookup_join(spark, sf_dir):
     "GROUP BY p.p_brand",
 )
 def part_brand_rollup(spark, sf_dir):
+    """Mid-size dimension broadcast join + brand rollup — the
+    dfield-lookup plan at realistic (~20k-row) dimension cardinality.
+    """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
     return (
@@ -437,6 +500,9 @@ def part_brand_rollup(spark, sf_dir):
     "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
 )
 def region_rollup(spark, sf_dir):
+    """Three-way broadcast-chain join customer->nation->region with a
+    per-region rollup (config-hierarchy resolution).
+    """
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -464,6 +530,9 @@ _APERTURE_SQL = (
 
 @_q("interval_lookup", _APERTURE_SQL)
 def interval_lookup(spark, sf_dir):
+    """Point-in-interval metadata resolution — aperture interval lookup
+    (gather_metadata shape) against a literal VALUES relation.
+    """
     # literal dims as a VALUES relation: a JVM-side LocalTableScan,
     # where createDataFrame would plan a Python-RDD scan that pays a
     # Python-worker roundtrip on EVERY execution (measured 0.57 s vs
@@ -492,6 +561,9 @@ _CUTOFF_SQL = (
 
 @_q("orders_before_cutoff", _CUTOFF_SQL)
 def orders_before_cutoff(spark, sf_dir):
+    """Semi-join of event users onto orders with a timestamp-cutoff
+    predicate cast to the column's own timestamp flavor.
+    """
     ev = t(spark, sf_dir, "events").select("user_id").distinct()
     o = t(spark, sf_dir, "orders")
     return (
@@ -788,6 +860,9 @@ _LENS_SQL = (
 
 @_q("lens_mode_match", _LENS_SQL)
 def lens_mode_match(spark, sf_dir):
+    """Nearest-config tolerance match: events joined to lens-mode
+    setpoints within an absolute tolerance (gather_metadata lens matching).
+    """
     # VALUES relation, not createDataFrame — see interval_lookup
     cfg = spark.sql(
         "SELECT * FROM VALUES ('A', 50.0D), ('B', 150.0D), ('C', 300.0D) "
@@ -1483,6 +1558,9 @@ def label_communities(spark, sf_dir):
     "GROUP BY c.c_mktsegment",
 )
 def customers_without_orders(spark, sf_dir):
+    """Anti join — relation-level set difference (FileCollection 'remove'
+    semantics, reference mpes/base.py:166-182): customers with no orders.
+    """
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
@@ -1521,6 +1599,9 @@ def top_spenders(spark, sf_dir):
     "GROUP BY event_type",
 )
 def union_append(spark, sf_dir):
+    """Union of event tables with a distinguishing source tag (appendRow,
+    reference mpes/fprocessing.py:2413-2433).
+    """
     ev = t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "view")
@@ -1588,6 +1669,9 @@ _AX_MA = BinAxis("value", nbins=100, lo=0.0, hi=500.0)
     f"FROM ({bin_sparse_sql('events', [_AX_MA], extra_keys=['event_type'])}) h",
 )
 def hist_moving_avg(spark, sf_dir):
+    """Centered 5-bin moving average over per-type histogram counts — a
+    partitioned window over the aggregated grid.
+    """
     from pyspark.sql.window import Window
 
     h = bin_sparse(t(spark, sf_dir, "events"), [_AX_MA], extra_keys=["event_type"])
@@ -1690,6 +1774,9 @@ def elapsed_time(spark, sf_dir):
     "FROM events GROUP BY event_type",
 )
 def value_quantiles(spark, sf_dir):
+    """Exact interpolating per-group quartiles — Spark percentile() and
+    DuckDB quantile_cont share the interpolation rule.
+    """
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.25D)"), 6).alias("q25"),
@@ -1708,6 +1795,9 @@ def value_quantiles(spark, sf_dir):
     "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
 )
 def cube_rollup(spark, sf_dir):
+    """CUBE over two keys in one pass, subtotal keys coalesced to
+    sentinels so the hash compare never sees NULL grouping keys.
+    """
     li = t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -2105,6 +2195,9 @@ def first_touch_attribution(spark, sf_dir):
     "FROM events GROUP BY event_type",
 )
 def distinct_users(spark, sf_dir):
+    """Exact per-type distinct-user counts (the oracled twin of the HLL
+    sketch variant).
+    """
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
@@ -2148,6 +2241,9 @@ def key_skew_profile_suppkey(spark, sf_dir):
     "round(sum(value), 4) AS sum_value FROM events GROUP BY event_type",
 )
 def salted_agg_counts(spark, sf_dir):
+    """Skew-salted two-phase aggregation: hot keys spread over salt
+    buckets then merged — result provably equals the plain GROUP BY.
+    """
     from mpes_spark.transforms.columns import salted_agg
 
     out = salted_agg(
@@ -2231,6 +2327,9 @@ _AX_ESOLVED = BinAxis("E", nbins=120, lo=15.0, hi=45.0)
     ),
 )
 def calib_energy_solved(spark, sf_dir):
+    """End-to-end energy calibration: coefficients SOLVED by calibrateE's
+    least-squares fit, then applied and binned.
+    """
     ev = t(spark, sf_dir, "events").select(
         EN.tof2ev_poly_expr(list(_ECAL["coeffs"]), _ECAL["E0"], "value").alias("E")
     )
@@ -2258,6 +2357,9 @@ _AX_KSC = BinAxis("ky", nbins=30, lo=-0.12, hi=0.12)
     ),
 )
 def calib_k_solved(spark, sf_dir):
+    """End-to-end momentum calibration: two-point scale solve (calibrateK,
+    reference mpes/analysis.py:486-566), applied and binned.
+    """
     kx, ky = KM.imxy2kxy_expr("l_quantity", "l_linenumber", 25.0, 4.0, _KF_R, _KF_C)
     li = t(spark, sf_dir, "lineitem").select(kx.alias("kx"), ky.alias("ky"))
     return bin_sparse(li, [_AX_KSR, _AX_KSC])
@@ -2289,6 +2391,9 @@ _tps_y_sql = XC.tps_sql("l_quantity", "l_linenumber", _TPS_CO, _TPS_SRC, which=1
     ),
 )
 def tps_warp_bin(spark, sf_dir):
+    """Thin-plate-spline warp (Bookstein solve, reference
+    mpes/dask_tps.py:67-97) evaluated as column math, then 2-D binning.
+    """
     spark = heavy_expr_session(spark)
     li = t(spark, sf_dir, "lineitem").select(
         XC.tps_expr("l_quantity", "l_linenumber", _TPS_CO, _TPS_SRC, which=0).alias("xt"),
@@ -2312,6 +2417,9 @@ def tps_warp_bin(spark, sf_dir):
     ),
 )
 def tof_corr_lorentzian_asym(spark, sf_dir):
+    """Asymmetric-Lorentzian energy-correction profile — the 4th
+    applyECorrection variant — then binning.
+    """
     li = t(spark, sf_dir, "lineitem").select(
         XC.tof_correction_expr(
             "lorentzian_asymmetric", amplitude=-2000.0, gamma=15.0,
@@ -2346,6 +2454,9 @@ _DFIELD_ORACLE = (
 
 @_q("dfield_join_bin", bin_sparse_sql(_DFIELD_ORACLE, [_AX_DFX]))
 def dfield_join_bin(spark, sf_dir):
+    """Deformation-field lookup join: nearest-cell broadcast join against
+    a generated dfield table, then binning (dfieldapply).
+    """
     lookup = XC.dfield_table(spark, _formula_dfield())
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("X"), F.col("l_linenumber").alias("Y")
@@ -2419,6 +2530,9 @@ _AX_PF = BinAxis("value", nbins=80, lo=0.0, hi=400.0)
     ),
 )
 def per_file_hist(spark, sf_dir):
+    """Per-source-file histograms via input_file_name as a grouping key —
+    parallelBinning's multi-file union shape.
+    """
     from mpes_spark.io.readers import read_table
 
     ev = read_table(spark, f"{sf_dir}/events.parquet", with_file=True)

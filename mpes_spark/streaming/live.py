@@ -348,28 +348,43 @@ def neardup_ingest_sink(
     bands: int = 8,
     threshold: float = 0.7,
 ):
-    """NEAR-duplicate ingest dedup against a static corpus — the LSH
-    upgrade of :func:`ingest_dedup_stream` (which catches only exact
-    content): each micro-batch is MinHash-bucketed and joined against
-    the corpus's precomputed bucket table; bucket collisions are
-    verified with exact Jaccard (cross-relation form, so stream and
-    corpus id spaces never conflate) and verified near-dups are
-    dropped. Returns ``(handle, novel, flagged)`` for
+    """NEAR-duplicate ingest dedup — the LSH upgrade of
+    :func:`ingest_dedup_stream` (which catches only exact content).
+    A streamed doc is dropped iff it is a verified near-dup of
+    anything previously SEEN: the static corpus, any doc from an
+    earlier micro-batch, or a lower-id doc in the SAME batch. Each
+    micro-batch is MinHash-bucketed, joined against the persisted
+    seen-bucket table AND self-joined within the batch; bucket
+    collisions are verified with exact Jaccard (cross-relation form,
+    so id spaces never conflate), and every batch doc's shingles /
+    buckets — kept or dropped — are folded into the seen relations
+    afterwards. "Seen, not kept" is deliberate: it collapses a
+    transitive near-dup chain to its earliest element (the
+    connected-component canonical convention of
+    :func:`mpes_spark.extras.dedup.dedup_canonical`), and it makes
+    the kept set independent of micro-batch partitioning whenever
+    arrival order is monotone in doc id — what the parity test pins.
+
+    Returns ``(handle, novel, flagged)`` for
     ``writeStream.foreachBatch``: ``novel()`` is the accumulated
-    DataFrame of kept docs, ``flagged()`` the (stream_id, corpus_id,
-    jaccard) audit relation.
+    DataFrame of kept docs, ``flagged()`` the (stream_id, matched_id,
+    jaccard) audit relation — ``matched_id`` is a corpus doc id or an
+    earlier stream doc id, whichever the collision verified against.
 
     Why foreachBatch rather than a streaming plan: the signature
     aggregation + bucket join + verify aggregation is two streaming
     aggregations deep — beyond what append-mode streaming plans allow
     — while per micro-batch it is ordinary bounded work. Scale shape:
-    the corpus shingle/bucket relations are computed ONCE and
-    persisted (at 10^9 docs these are the things to keep bucketed on
-    disk; refreshing them between batches picks up corpus appends);
-    per batch the work is batch-sized — bucket join keyed on
+    the corpus shingle/bucket relations are computed ONCE up front
+    (at 10^9 docs these are the things to keep bucketed on disk);
+    each batch appends behind an eager localCheckpoint, so the seen
+    relations stay materialized and lineage stays one batch deep;
+    per batch the work is batch-sized — bucket joins keyed on
     (band, bucket), candidates only within buckets, never all-pairs.
-    Per-doc decisions depend only on (doc, corpus), so the result is
-    batch-partitioning-independent — what the parity test pins."""
+    Long-running production streams should periodically rewrite the
+    seen relations to a bucketed table instead of chaining
+    checkpoints forever (checkpoint blocks are executor-local and
+    non-replicated)."""
     from mpes_spark.extras.dedup import (
         lsh_buckets,
         minhash_signatures,
@@ -377,28 +392,52 @@ def neardup_ingest_sink(
         verify_jaccard_cross,
     )
 
-    corpus_sh = shingle_table(corpus, text, n, id_col).persist()
-    corpus_buckets = (
-        lsh_buckets(minhash_signatures(corpus_sh, k, id_col), k, bands, id_col)
-        .withColumnRenamed(id_col, "corpus_id")
+    state: dict[str, DataFrame | None] = {
+        "novel": None,
+        "flagged": None,
+        "seen_sh": shingle_table(corpus, text, n, id_col).persist(),
+    }
+    state["seen_buckets"] = (
+        lsh_buckets(minhash_signatures(state["seen_sh"], k, id_col), k, bands, id_col)
+        .withColumnRenamed(id_col, "matched_id")
         .persist()
     )
-    state: dict[str, DataFrame | None] = {"novel": None, "flagged": None}
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
-        sh = shingle_table(batch, text, n, id_col)
-        bks = lsh_buckets(minhash_signatures(sh, k, id_col), k, bands, id_col)
-        cand = (
-            bks.join(corpus_buckets, ["band", "bucket"])
-            .select(F.col(id_col).alias("id_a"), F.col("corpus_id").alias("id_b"))
+        seen_sh, seen_buckets = state["seen_sh"], state["seen_buckets"]
+        sh = shingle_table(batch, text, n, id_col).localCheckpoint(eager=True)
+        bks = lsh_buckets(
+            minhash_signatures(sh, k, id_col), k, bands, id_col
+        ).localCheckpoint(eager=True)
+        # candidates vs everything seen before this batch
+        cand_seen = (
+            bks.join(seen_buckets, ["band", "bucket"])
+            .select(F.col(id_col).alias("id_a"), F.col("matched_id").alias("id_b"))
             .distinct()
         )
-        verified = verify_jaccard_cross(cand, sh, corpus_sh, threshold, id_col)
+        # candidates within the batch: doc vs lower-id batch doc
+        a, b = bks.alias("a"), bks.alias("b")
+        cand_within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        verified = verify_jaccard_cross(
+            cand_seen, sh, seen_sh, threshold, id_col
+        ).unionByName(verify_jaccard_cross(cand_within, sh, sh, threshold, id_col))
         dup_ids = verified.select(F.col("id_a").alias(id_col)).distinct()
         novel = batch.join(dup_ids, id_col, "left_anti")
         flagged = verified.select(
             F.col("id_a").alias("stream_id"),
-            F.col("id_b").alias("corpus_id"),
+            F.col("id_b").alias("matched_id"),
             "jaccard",
         )
         # accumulate with a pinned cut so lineage stays one batch deep
@@ -411,6 +450,11 @@ def neardup_ingest_sink(
             flagged
             if state["flagged"] is None
             else state["flagged"].unionByName(flagged)
+        ).localCheckpoint(eager=True)
+        # fold ALL batch docs (kept or dropped) into the seen relations
+        state["seen_sh"] = seen_sh.unionByName(sh).localCheckpoint(eager=True)
+        state["seen_buckets"] = seen_buckets.unionByName(
+            bks.withColumnRenamed(id_col, "matched_id")
         ).localCheckpoint(eager=True)
 
     def novel() -> DataFrame | None:

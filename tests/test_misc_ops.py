@@ -296,6 +296,60 @@ def test_exact_quantile_duplicate_heavy_cell(spark):
     assert exact_quantile(df, "x", 0.5, nbins=16, passes=2) == 7.5
 
 
+def test_exact_quantile_duplicate_stall_single_value_fallback(spark):
+    """A cell whose survivors exceed tail_limit but are ALL one value
+    returns that value (narrowing stalled, but the cell IS the
+    answer) instead of raising; >1 distinct value still raises."""
+    import pytest
+
+    from mpes_spark.diagnostics import exact_quantile
+
+    rows = [(7.5,)] * 900 + [(float(i),) for i in range(100)]
+    df = spark.createDataFrame(rows, ["x"])
+    assert exact_quantile(df, "x", 0.5, nbins=16, passes=2, tail_limit=10) == 7.5
+    with pytest.raises(ValueError, match="distinct"):
+        # q=0.93 lands in the 90..99 spread with a 5-row budget and
+        # one pass over 2 bins: the surviving cell holds many
+        # distinct values, so no single-value fallback applies
+        exact_quantile(df, "x", 0.97, nbins=2, passes=1, tail_limit=5)
+
+
+def test_exact_quantile_cell_edge_values(spark):
+    """Values sitting exactly ON histogram cell edges (the ulp-
+    disagreement zone between floor-binning and recomputed range
+    bounds): the re-filter now uses the binning expression itself, so
+    every rank stays exact."""
+    import numpy as np
+
+    from mpes_spark.diagnostics import exact_quantile
+
+    # span [0, 16) with nbins=16 -> every integer is a cell edge
+    vals = [float(v) for v in range(17)] * 3
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    s = np.sort(vals)
+    for q in (0.0, 0.2, 0.33, 0.5, 0.77, 1.0):
+        k = int((len(vals) - 1) * q)
+        assert exact_quantile(df, "x", q, nbins=16, passes=2) == s[k], q
+
+
+def test_kmeans_rejects_degenerate_params(spark):
+    import pytest
+
+    from mpes_spark.extras.cluster import kmeans_fixed, kmeans_fixed_sql
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fixed(df, k=2, iters=0)
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_fixed(df, k=0, iters=1)
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fixed_sql("embeddings", k=2, iters=0)
+    with pytest.raises(ValueError, match="k must"):
+        kmeans_fixed_sql("embeddings", k=0, iters=1)
+
+
 def test_diff_feed_roundtrip_and_semantics(spark):
     """apply_diff_feed(old, table_diff_feed(old, new)) == new, and
     the feed rows carry the right ops including NULL transitions."""

@@ -568,23 +568,28 @@ def test_attribution_to_rollup_composition(spark, stream_dir):
 
 def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
     """LSH near-dup ingest dedup: streamed docs that are near-copies
-    of corpus docs are dropped (with an audit row), novel docs pass,
-    and the result is independent of micro-batch partitioning (per-doc
-    decisions depend only on (doc, corpus))."""
+    of corpus docs OR of previously-seen stream docs (earlier batch
+    or lower id in the same batch) are dropped with an audit row;
+    novel docs pass. With id-monotone arrival, the kept set and audit
+    are independent of micro-batch partitioning."""
     import time as _time
 
     from mpes_spark.streaming.live import neardup_ingest_sink
 
     base = " ".join(f"tok{i}" for i in range(30))
     mutated = base.replace("tok7", "changed")  # near-dup of base
+    fresh = " ".join(f"fresh{i}" for i in range(30))
     corpus = spark.createDataFrame(
         [(1, base), (2, "completely different words " + " ".join(f"z{i}" for i in range(27)))],
         "doc_id long, text string",
     )
     stream_rows = [
         [(100, base), (101, mutated)],  # both near-dup corpus doc 1
-        [(102, " ".join(f"fresh{i}" for i in range(30)))],  # novel
+        [(102, fresh)],  # novel
         [(103, mutated + " extra tail tokens here"), (104, "tiny")],
+        # near-dup of NOVEL STREAM doc 102, not of any corpus doc —
+        # the stream-vs-stream case the sink must also catch
+        [(105, fresh.replace("fresh9", "altered"))],
     ]
     src = str(tmp_path / "neardup_src")
     for i, rows in enumerate(stream_rows):
@@ -608,18 +613,25 @@ def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
         assert q.exception() is None
         kept = sorted(r["doc_id"] for r in novel().select("doc_id").collect())
         audit = {
-            (r["stream_id"], r["corpus_id"]) for r in flagged().collect()
+            (r["stream_id"], r["matched_id"]) for r in flagged().collect()
         }
         return kept, audit
 
     kept_many, audit_many = run(max_files=1)  # one file per micro-batch
     kept_one, audit_one = run(max_files=8)  # all files in one batch
-    # 100/101/103 are near-dups of corpus doc 1; 102 novel; 104 too
-    # short to shingle (< n tokens) -> no candidates -> kept
+    # 100/101/103 are near-dups of corpus doc 1 (101/103 also of the
+    # earlier-seen 100/101); 102 novel; 104 too short to shingle
+    # (< n tokens) -> no candidates -> kept; 105 near-dups stream doc
+    # 102 only.
     assert kept_many == [102, 104]
-    assert {s for s, _ in audit_many} == {100, 101, 103}
-    assert all(c == 1 for _, c in audit_many)
-    # batch-partitioning independence
+    assert {s for s, _ in audit_many} == {100, 101, 103, 105}
+    # each dropped doc is flagged against its earliest seen match
+    assert (100, 1) in audit_many
+    assert (101, 100) in audit_many  # same-batch lower-id match
+    assert (105, 102) in audit_many  # cross-batch stream-stream match
+    # 105 matches nothing in the static corpus — only stream doc 102
+    assert {m for s, m in audit_many if s == 105} == {102}
+    # batch-partitioning independence (id-monotone arrival)
     assert kept_one == kept_many and audit_one == audit_many
 
 
