@@ -274,6 +274,19 @@ def perplexity_buckets(spark, sf_dir):
     return SR.perplexity_buckets(_docs(spark, sf_dir), nbuckets=3)
 
 
+@_q("perplexity_buckets_sampled", None)  # sketch thresholds: rows-only
+def perplexity_buckets_sampled(spark, sf_dir):
+    """The PRODUCTION rendering of the CC-Net head/middle/tail split:
+    bucket thresholds from one approx_percentile sketch aggregation
+    (no per-lang ntile sort — the path that survives 10^9 docs per
+    language), then the same (lang, bucket) rollup as
+    `perplexity_buckets`. Registered rows-only so the scale path
+    carries a bench number next to its exact twin; the <=1%
+    assignment-disagreement bound vs exact ntile is asserted in
+    tests/test_extras.py."""
+    return SR.perplexity_buckets_sampled(_docs(spark, sf_dir), nbuckets=3)
+
+
 @_q(
     "tfidf_topterms",
     SR.tfidf_topk_sql("documents", k=3),
@@ -1335,6 +1348,29 @@ def mmr_rerank_cosine(spark, sf_dir):
         "neighbor_id",
     )
     return SIM.mmr_rerank(cand, k=10, lam=0.7)
+
+
+@_q(
+    "mmr_rerank_oracle",
+    SIM.mmr_rerank_unrolled_sql("embeddings", "vec_id < 8", depth=10, k=5, lam=0.7),
+)
+def mmr_rerank_oracle(spark, sf_dir):
+    """Oracle-replayable MMR re-rank: top-5 MMR selection from exact
+    cosine top-10 candidates (lambda=0.7) with every decision quantity
+    rounded to 6 before the argmax and the 5 greedy steps executed as
+    relational argmax rounds (kmeans float-sync playbook) — the
+    hash-gated twin of `mmr_rerank_cosine`'s applyInPandas greedy.
+    The DuckDB twin textually unrolls the same 5 steps as chained
+    CTEs."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    cand = SIM.topk_cosine(e, q, k=10).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        ),
+        "neighbor_id",
+    )
+    return SIM.mmr_rerank_unrolled(cand, k=5, lam=0.7)
 
 
 _EVAL_RELEVANCE_SQL = (

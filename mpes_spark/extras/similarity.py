@@ -1119,6 +1119,205 @@ def mmr_rerank(
     return candidates.groupBy(qid).applyInPandas(rerank, schema=out_schema)
 
 
+def _pround6(c: Column) -> Column:
+    """Portable round-half-up to 6 dp: ``floor(x * 1e6 + 0.5) / 1e6``.
+    Unlike engine ``round()``, identical input doubles give identical
+    results in Spark and DuckDB — their round() implementations
+    disagree on half-ulp boundary inputs (Spark rounds the shortest
+    decimal repr, DuckDB the binary value; hit by mmr_rerank_oracle
+    at sf0.01). Used for decision quantities that must re-sync
+    bit-for-bit across the unrolled-CTE oracle."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def mmr_rerank_unrolled(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    qid: str = "query_id",
+    doc: str = "neighbor_id",
+    score: str = "cosine",
+    vec: str = "cv",
+) -> DataFrame:
+    """Oracle-replayable MMR: the same greedy as :func:`mmr_rerank`
+    but with every decision quantity rounded to 6 dp BEFORE the
+    argmax, pairwise similarities computed with the left-to-right JVM
+    fold (:func:`cosine_expr` — bit-identical to DuckDB's
+    ``list_dot_product``), and the k selection steps executed as k
+    relational argmax rounds with the (queries x 1)-sized pick set
+    re-synced through the driver each step — the kmeans float-sync
+    playbook (:func:`mpes_spark.extras.cluster.kmeans_fixed`), so
+    :func:`mmr_rerank_unrolled_sql` can unroll the identical k steps
+    as chained CTEs and hash-match exactly.
+
+    Scale shape: the candidate relation is retrieval-depth-bounded
+    (queries x depth rows), the pairwise sim relation queries x
+    depth^2, the per-step driver round-trip queries-sized; nothing
+    scales with the corpus. For millions of queries use
+    :func:`mmr_rerank` (one applyInPandas group per query, no
+    driver sync); this variant exists for cross-engine exactness."""
+    spark = candidates.sparkSession
+    one_minus = 1.0 - lam
+    cand = (
+        candidates.select(
+            F.col(qid).alias("query_id"),
+            F.col(doc).alias("neighbor_id"),
+            F.round(F.col(score), 6).alias("rel"),
+            as_double_array(vec).alias("cv"),
+        )
+        # consumed k+1 times (sims + one argmax per step) — pin it
+        .localCheckpoint(eager=True)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("i"),
+            F.col("b.neighbor_id").alias("j"),
+            _pround6(
+                dot_expr(F.col("a.cv"), F.col("b.cv"))
+                / (norm_expr(F.col("a.cv")) * norm_expr(F.col("b.cv")))
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mmr").desc(), F.col("rel").desc(), F.col("neighbor_id")
+    )
+    selected: list[tuple] = []  # (query_id, neighbor_id, rank, mmr)
+    for step in range(1, k + 1):
+        if not selected:
+            scored = cand.select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                _pround6(F.lit(lam) * F.col("rel")).alias("mmr"),
+            )
+        else:
+            sel_vals = ", ".join(
+                f"(CAST({q} AS BIGINT), CAST({d} AS BIGINT))"
+                for q, d, _, _ in selected
+            )
+            sel = spark.sql(
+                f"SELECT * FROM VALUES {sel_vals} AS sel(query_id, neighbor_id)"
+            )
+            remaining = cand.join(sel, ["query_id", "neighbor_id"], "left_anti")
+            ms = (
+                sims.join(
+                    F.broadcast(sel.withColumnRenamed("neighbor_id", "j")),
+                    ["query_id", "j"],
+                )
+                .groupBy("query_id", F.col("i").alias("neighbor_id"))
+                .agg(F.max("s").alias("maxsim"))
+            )
+            scored = remaining.join(ms, ["query_id", "neighbor_id"], "left").select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                _pround6(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(one_minus) * F.coalesce(F.col("maxsim"), F.lit(0.0))
+                ).alias("mmr"),
+            )
+        picks = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        for r in picks:
+            selected.append((r["query_id"], r["neighbor_id"], step, r["mmr"]))
+    out_vals = ", ".join(
+        f"(CAST({q} AS BIGINT), CAST({d} AS BIGINT), "
+        f"CAST({rk} AS INT), CAST('{m!r}' AS DOUBLE))"
+        for q, d, rk, m in selected
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {out_vals} "
+        "AS mmr(query_id, neighbor_id, mmr_rank, mmr_score)"
+    )
+
+
+def mmr_rerank_unrolled_sql(
+    table: str,
+    query_pred: str,
+    depth: int = 10,
+    k: int = 5,
+    lam: float = 0.7,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank_unrolled` over cosine top-
+    ``depth`` candidates: the same k greedy steps textually unrolled
+    as chained CTEs (sel1..selk), decision quantities rounded to 6
+    before each argmax, ties resolved (mmr DESC, rel DESC, id)."""
+    LAM = f"CAST('{lam!r}' AS DOUBLE)"
+    OM = f"CAST('{1.0 - lam!r}' AS DOUBLE)"
+    parts = [
+        f"WITH c AS (SELECT {id_col}, {vec}::DOUBLE[] AS v FROM {table})",
+        f"q AS (SELECT {id_col} AS query_id, v AS qv FROM c WHERE {query_pred})",
+        f"scored0 AS (SELECT q.query_id, c.{id_col} AS neighbor_id, c.v AS cv,"
+        " round(list_dot_product(q.qv, c.v) /"
+        " (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6)"
+        f" AS rel FROM c JOIN q ON c.{id_col} <> q.query_id)",
+        "cand AS (SELECT query_id, neighbor_id, rel, cv FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY rel DESC, neighbor_id) AS rn FROM scored0) r"
+        f" WHERE rn <= {depth})",
+        # floor-based half-up round (see _pround6): engine round()
+        # disagrees across Spark/DuckDB on half-ulp boundary doubles
+        "sims AS (SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,"
+        " floor(list_dot_product(a.cv, b.cv) /"
+        " (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))"
+        " * 1000000.0 + 0.5) / 1000000.0"
+        " AS s FROM cand a JOIN cand b ON a.query_id = b.query_id"
+        " AND a.neighbor_id <> b.neighbor_id)",
+        f"p1 AS (SELECT query_id, neighbor_id, mmr FROM ("
+        f"SELECT query_id, neighbor_id, rel,"
+        f" floor({LAM} * rel * 1000000.0 + 0.5) / 1000000.0 AS mmr,"
+        " row_number() OVER (PARTITION BY query_id ORDER BY"
+        f" floor({LAM} * rel * 1000000.0 + 0.5) / 1000000.0 DESC,"
+        " rel DESC, neighbor_id) AS rn"
+        " FROM cand) r WHERE rn = 1)",
+        "sel1 AS (SELECT query_id, neighbor_id, 1 AS mmr_rank, mmr FROM p1)",
+    ]
+    for j in range(2, k + 1):
+        prev = f"sel{j - 1}"
+        parts.append(
+            f"p{j} AS (SELECT query_id, neighbor_id, mmr FROM ("
+            f"SELECT r.query_id, r.neighbor_id, r.rel,"
+            f" floor(({LAM} * r.rel - {OM} * coalesce(ms.maxsim, 0.0))"
+            " * 1000000.0 + 0.5) / 1000000.0 AS mmr,"
+            " row_number() OVER (PARTITION BY r.query_id ORDER BY"
+            f" floor(({LAM} * r.rel - {OM} * coalesce(ms.maxsim, 0.0))"
+            " * 1000000.0 + 0.5) / 1000000.0 DESC,"
+            " r.rel DESC, r.neighbor_id) AS rn"
+            " FROM cand r"
+            " LEFT JOIN (SELECT s.query_id, s.i AS neighbor_id, max(s.s) AS maxsim"
+            f" FROM sims s JOIN {prev} ON {prev}.query_id = s.query_id"
+            f" AND {prev}.neighbor_id = s.j"
+            " GROUP BY s.query_id, s.i) ms"
+            " ON ms.query_id = r.query_id AND ms.neighbor_id = r.neighbor_id"
+            f" WHERE NOT EXISTS (SELECT 1 FROM {prev}"
+            f" WHERE {prev}.query_id = r.query_id"
+            f" AND {prev}.neighbor_id = r.neighbor_id)) t WHERE rn = 1)"
+        )
+        parts.append(
+            f"sel{j} AS (SELECT * FROM {prev} UNION ALL"
+            f" SELECT query_id, neighbor_id, {j} AS mmr_rank, mmr FROM p{j})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        "SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,"
+        f" mmr AS mmr_score FROM sel{k}"
+    )
+
+
 def contrastive_pairs(
     corpus: DataFrame,
     queries: DataFrame,

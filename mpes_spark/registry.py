@@ -2047,6 +2047,30 @@ def exact_median_value(spark, sf_dir):
     )
 
 
+@_q("approx_vs_exact_median", None)  # sketch: engine-specific, rows-only
+def approx_vs_exact_median(spark, sf_dir):
+    """Comparative row for the two production median paths: the exact
+    histogram-narrowing answer (diagnostics.exact_quantile, two
+    binned scans) next to the approx_percentile sketch (one scan,
+    bounded error) and their relative error. The sketch is the
+    default at 100 TB (one pass); the exact path is the audit tool —
+    this row keeps BOTH under the bench clock so the speed/accuracy
+    trade carries numbers. Rows-only: sketch internals are
+    engine-specific."""
+    from mpes_spark.diagnostics import exact_quantile
+
+    ev = t(spark, sf_dir, "events")
+    exact = exact_quantile(ev, "value", 0.5)
+    approx = ev.agg(
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("a")
+    ).collect()[0]["a"]
+    rel_err = abs(approx - exact) / abs(exact) if exact else 0.0
+    return spark.createDataFrame(
+        [(round(exact, 6), round(float(approx), 6), round(rel_err, 9))],
+        "exact_median double, approx_median double, rel_err double",
+    )
+
+
 _CDF_SQL = (
     "WITH a AS (SELECT user_id, value FROM ("
     "  SELECT user_id, value, row_number() OVER (PARTITION BY user_id "

@@ -727,3 +727,64 @@ def test_checksum_maintenance_sink_matches_batch_digest(spark, stream_dir):
         spark.read.parquet(stream_dir), "ev", cols, []
     ).collect()[0]
     assert (n, x) == (want.n_rows, want.checksum)
+
+
+def test_cdc_feed_apply_converges_under_streaming(spark, tmp_path):
+    """CDC loop end-to-end under streaming: a drifting source emits
+    full snapshot versions; each micro-batch derives the record-level
+    diff feed against the maintained replica and applies it. After
+    every batch the replica must equal that batch's snapshot (exact
+    convergence), and each feed must be delta-sized — the
+    attribution->rollup composition pattern applied to
+    table_diff_feed/apply_diff_feed."""
+    import time as _time
+
+    from mpes_spark.transforms.cdc import apply_diff_feed, table_diff_feed
+
+    versions = [
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        # v1: update 2, delete 3, insert 4 -> 3 feed rows
+        [(1, "a", 10.0), (2, "B", 21.0), (4, "d", 40.0)],
+        # v2: delete 1, insert 5 -> 2 feed rows
+        [(2, "B", 21.0), (4, "d", 40.0), (5, "e", 50.0)],
+    ]
+    schema = "k long, name string, amount double"
+    src = str(tmp_path / "cdc_src")
+    for i, rows in enumerate(versions):
+        if i:
+            _time.sleep(1.1)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = {
+        "replica": spark.createDataFrame([], schema).localCheckpoint(eager=True),
+        "feed_sizes": [],
+        "converged": [],
+    }
+
+    def handle(batch, _bid):
+        feed = table_diff_feed(
+            state["replica"], batch, key="k", compare=["name", "amount"]
+        ).localCheckpoint(eager=True)
+        state["feed_sizes"].append(feed.count())
+        state["replica"] = apply_diff_feed(
+            state["replica"], feed, key="k", compare=["name", "amount"]
+        ).localCheckpoint(eager=True)
+        got = sorted(map(tuple, state["replica"].collect()))
+        want = sorted(map(tuple, batch.collect()))
+        state["converged"].append(got == want)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert q.exception() is None
+    assert len(state["feed_sizes"]) == 3
+    # delta-sized feeds: full first load, then 3- and 2-row deltas
+    assert state["feed_sizes"] == [3, 3, 2]
+    # replica == snapshot after EVERY batch, including the last
+    assert state["converged"] == [True, True, True]
