@@ -1478,7 +1478,15 @@ def pagerank_custsupp(spark, sf_dir):
     iteration: one co-partitioned rank-edge join + one groupBy(dst)
     shuffle; rank stays node-sized; dangling mass is a 1-row
     broadcast agg. Normalized ranks (mean 1.0) rounded to 6 — see
-    analysis/graph.py for the 100-TB notes."""
+    analysis/graph.py for the 100-TB notes.
+
+    checkpoint_every=1 keeps the plan one-iteration deep: the
+    node-sized rank relation is localCheckpoint-pinned each round, so
+    codegen compiles three shallow plans instead of one deep unrolled
+    one and the lineage no longer grows with iters — the shape that
+    survives high iteration counts in production. Measured faster
+    locally too (r6 A/B, SCALING.md §"pagerank_custsupp r5 driver-flag
+    adjudication": cold 9.18 vs 11.34, warm ~6.5 vs ~7.4)."""
     from mpes_spark.analysis.graph import pagerank
 
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -1508,6 +1516,7 @@ def pagerank_custsupp(spark, sf_dir):
         damping=0.85,
         normalize=True,
         partitions=spark.sparkContext.defaultParallelism,
+        checkpoint_every=1,
     )
     return pr.select("node", F.round("rank_norm", 6).alias("rank_norm"))
 
