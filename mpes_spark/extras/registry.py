@@ -1330,6 +1330,26 @@ def contrastive_mining(spark, sf_dir):
     return SIM.contrastive_pairs(e, e.filter(F.col("vec_id") < 8))
 
 
+@_q(
+    "contrastive_mining_ann",
+    SIM.contrastive_pairs_ann_sql(
+        "embeddings", "vec_id < 8", _BANDED_PLANES, bands=8
+    ),
+)
+def contrastive_mining_ann(spark, sf_dir):
+    """ANN-backed contrastive mining (8-band x 3-plane hyperplane LSH
+    candidates, exact-cosine verify, same (anchor, polarity) ranking)
+    — the variant whose anchor set SHUFFLES on (band, bucket) instead
+    of broadcasting, so billions of anchors work. Full oracle twin:
+    bucket ids are integer sign-bit words, so both engines form the
+    identical candidate set; recall vs the exact miner asserted in
+    tests/test_extras.py."""
+    e = _embs(spark, sf_dir)
+    return SIM.contrastive_pairs_ann(
+        e, e.filter(F.col("vec_id") < 8), _BANDED_PLANES, bands=8
+    )
+
+
 @_q("mmr_rerank_cosine", None)  # iterative greedy: rows-only by design
 def mmr_rerank_cosine(spark, sf_dir):
     """MMR-diversified top-10 from exact cosine top-20 candidates

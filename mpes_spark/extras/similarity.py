@@ -1404,6 +1404,152 @@ WHERE (is_positive = 1 AND pair_rank <= {pos_per_anchor})
 """.strip()
 
 
+def contrastive_pairs_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    bands: int = 4,
+    pos_per_anchor: int = 3,
+    neg_per_anchor: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> DataFrame:
+    """ANN-backed contrastive mining — :func:`contrastive_pairs`'s
+    escape hatch for anchor sets too large to broadcast: candidates
+    come from the banded hyperplane-LSH construction
+    (:func:`embedding_neardup_banded`) instead of an anchors x corpus
+    product, then the same exact-cosine verify + per-(anchor,
+    polarity) ranking. Output schema is identical:
+    (query_id, cand_id, cosine, is_positive, pair_rank); ranks are
+    over the LSH-surfaced candidate set, which concentrates on
+    exactly the high-cosine region contrastive mining wants (the
+    top positives and the HARDEST negatives are the highest-cosine
+    pairs — the ones banding is tuned to recall).
+
+    Scale shape: both sides compute band signatures once (Arrow
+    pandas UDF, plane matrix in the closure); the candidate join is
+    equi-keyed on (band, bucket) — a plain shuffle join that
+    co-partitions BILLIONS of anchors against the corpus, where
+    :func:`contrastive_pairs` requires the anchor relation to fit in
+    a broadcast. Vector payloads are not carried through the bucket
+    explode; candidates are distinct'd before the verify joins.
+    Recall per pair at bit-agreement prob p: 1 - (1 - p^w)^bands —
+    size w to bucket-capacity, bands to recall (sizing math in
+    :func:`embedding_neardup_banded`). Verified against the exact
+    miner in tests/test_extras.py (deterministic recall on the
+    seeded plane set)."""
+    nplanes = len(planes)
+    if nplanes % bands:
+        raise ValueError(f"bands={bands} must divide nplanes={nplanes}")
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_array(vec).alias("cv"),
+        F.col(label).alias("c_label"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec).alias("qv"),
+        F.col(label).alias("q_label"),
+    )
+    sig = signature_udf(planes, bands)
+    cb = c.select(
+        "cand_id", F.posexplode(sig("cv")).alias("band", "bucket")
+    )
+    qb = q.select(
+        "query_id", F.posexplode(sig("qv")).alias("band", "bucket")
+    )
+    cand = (
+        cb.join(qb, ["band", "bucket"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    cos = cosine_verify_udf()
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            (F.col("c_label") == F.col("q_label")).cast("int").alias("is_positive"),
+        )
+    )
+    w = Window.partitionBy("query_id", "is_positive").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    ranked = scored.withColumn(
+        "pair_rank", F.row_number().over(w).cast("bigint")
+    )
+    keep = F.when(
+        F.col("is_positive") == 1, F.col("pair_rank") <= pos_per_anchor
+    ).otherwise(F.col("pair_rank") <= neg_per_anchor)
+    return ranked.filter(keep).select(
+        "query_id", "cand_id", "cosine", "is_positive", "pair_rank"
+    )
+
+
+def contrastive_pairs_ann_sql(
+    table: str,
+    query_pred: str,
+    planes: np.ndarray,
+    bands: int = 4,
+    pos_per_anchor: int = 3,
+    neg_per_anchor: int = 5,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    label: str = "label",
+) -> str:
+    """DuckDB twin of :func:`contrastive_pairs_ann`: the band explode
+    rendered as a UNION ALL over the fixed band count (the
+    :func:`embedding_neardup_banded_sql` idiom), then the identical
+    candidate join, exact-cosine scoring and (anchor, polarity)
+    ranking — both engines form the same candidate set because bucket
+    ids are integer sign-bit words of fold-exact dot products."""
+    nplanes = len(planes)
+    if nplanes % bands:
+        raise ValueError(f"bands={bands} must divide nplanes={nplanes}")
+    w = nplanes // bands
+    band_selects = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, "
+        f"{bucket_sql('v', planes[b * w : (b + 1) * w])} AS bucket FROM c"
+        for b in range(bands)
+    )
+    cos = (
+        "list_dot_product(q.qv, cc.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cc.v, cc.v)))"
+    )
+    return f"""
+WITH c AS (SELECT {id_col}, {vec}::DOUBLE[] AS v, {label} FROM {table}),
+cb AS ({band_selects}),
+q AS (SELECT {id_col} AS query_id, v AS qv, {label} AS q_label FROM c WHERE {query_pred}),
+qb AS (SELECT q.query_id, cb.band, cb.bucket FROM cb JOIN q ON cb.{id_col} = q.query_id),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.{id_col} AS cand_id
+  FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket
+  WHERE cb.{id_col} <> qb.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         round({cos}, 6) AS cosine,
+         CAST(cc.{label} = q.q_label AS INTEGER) AS is_positive
+  FROM cand
+  JOIN c cc ON cc.{id_col} = cand.cand_id
+  JOIN q ON q.query_id = cand.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id, is_positive
+    ORDER BY cosine DESC, cand_id) AS BIGINT) AS pair_rank
+  FROM scored
+)
+SELECT query_id, cand_id, cosine, is_positive, pair_rank FROM ranked
+WHERE (is_positive = 1 AND pair_rank <= {pos_per_anchor})
+   OR (is_positive = 0 AND pair_rank <= {neg_per_anchor})
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss random projection (embedding compression)
 # ---------------------------------------------------------------------------
