@@ -452,6 +452,118 @@ def blocked_jaccard_pairs(
     return verify_jaccard(cand, sh, threshold, id_col)
 
 
+def blocked_containment_sql(
+    table: str,
+    dialect: str,
+    n: int = 3,
+    block_tokens: int = 2,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> str:
+    """Asymmetric near-dup: word-``n``-gram CONTAINMENT
+    ``|A ∩ B| / min(|A|, |B|)`` over prefix-blocked candidate pairs
+    (Broder 1997's containment coefficient). This is the measure
+    symmetric Jaccard structurally misses: a short document quoted
+    verbatim inside a long one has Jaccard ~= |A|/|B| -> 0 but
+    containment = 1 — exactly the embedded-duplication case
+    training-data dedup must catch (boilerplate-wrapped articles,
+    quoted posts, README prefixes). Output: (id_a, id_b,
+    containment) for pairs at or above ``threshold``.
+
+    Same scale shape as :func:`blocked_jaccard_sql`: candidate join
+    equi-keyed on the block key, intersection join equi-keyed on
+    (pair, shingle), never all-pairs; at 100 TB the block key becomes
+    an LSH band."""
+    if dialect == "spark":
+        block = f"concat_ws(' ', slice(split(text, ' '), 1, {block_tokens}))"
+    else:
+        block = f"array_to_string(string_split(text, ' ')[1:{block_tokens}], ' ')"
+    sh = _shingle_cte(table, n, dialect, id_col)
+    return f"""
+WITH shingles AS ({sh}),
+sizes AS (SELECT {id_col}, count(*) AS nsh FROM shingles GROUP BY {id_col}),
+blocks AS (SELECT {id_col}, {block} AS bk FROM {table}),
+cand AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS icnt
+  FROM cand c
+  JOIN shingles sa ON sa.{id_col} = c.id_a
+  JOIN shingles sb ON sb.{id_col} = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.icnt AS DOUBLE) / least(za.nsh, zb.nsh), 6) AS containment
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.id_a
+JOIN sizes zb ON zb.{id_col} = i.id_b
+WHERE CAST(i.icnt AS DOUBLE) / least(za.nsh, zb.nsh) >= {threshold!r}
+""".strip()
+
+
+def ngram_novelty(
+    df: DataFrame, text: str = "text", n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT word
+    ``n``-gram shingles that occur in no other document (corpus
+    frequency 1). Low novelty flags template/boilerplate-dominated or
+    heavily-duplicated documents; the same corpus-frequency counting
+    is the core of exact substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+    Output: (doc_id, n_shingles, n_unique, novelty); docs shorter
+    than ``n`` tokens have no shingle set and are absent.
+
+    Scale shape — two aggregations, no join back on the shingle key:
+    the frequency agg keeps ``min(doc_id)`` as the unique shingle's
+    OWNER, so df=1 rows re-aggregate straight to per-doc counts and
+    the (potentially huge, skewed) shingle relation is never joined
+    against itself. A ubiquitous shingle costs one map-side-combined
+    count, not a skewed join partition. The shingle relation is
+    persisted across its two consumers."""
+    sh = shingle_table(df, text, n, id_col).persist()
+    freq = sh.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("df_cnt"), F.min(id_col).alias("owner")
+    )
+    uniq = (
+        freq.filter(F.col("df_cnt") == 1)
+        .groupBy(F.col("owner").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sizes.join(uniq, id_col, "left").select(
+        id_col,
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce(F.col("n_unique"), F.lit(0)).cast("bigint").alias("n_unique"),
+        F.round(
+            F.coalesce(F.col("n_unique"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )
+
+
+def ngram_novelty_sql(
+    table: str, dialect: str, n: int = 3, id_col: str = "doc_id"
+) -> str:
+    """Dual-dialect SQL twin of :func:`ngram_novelty` (same
+    owner-reaggregation shape: frequency agg carries min(doc_id), df=1
+    rows re-group per owner — no shingle self-join)."""
+    sh = _shingle_cte(table, n, dialect, id_col)
+    return f"""
+WITH shingles AS ({sh}),
+freq AS (SELECT sh, count(*) AS df_cnt, min({id_col}) AS owner
+         FROM shingles GROUP BY sh),
+sizes AS (SELECT {id_col}, count(*) AS n_shingles FROM shingles GROUP BY {id_col}),
+uniq AS (SELECT owner AS {id_col}, count(*) AS n_unique
+         FROM freq WHERE df_cnt = 1 GROUP BY owner)
+SELECT s.{id_col},
+       CAST(s.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
+       round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / s.n_shingles, 6) AS novelty
+FROM sizes s LEFT JOIN uniq u ON u.{id_col} = s.{id_col}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

@@ -415,6 +415,36 @@ def neardup_jaccard(spark, sf_dir):
 
 
 @_q(
+    "neardup_containment",
+    DD.blocked_containment_sql(
+        "documents", "duckdb", n=3, block_tokens=2, threshold=0.3
+    ),
+)
+def neardup_containment(spark, sf_dir):
+    """Asymmetric near-dup: n-gram CONTAINMENT |A∩B| / min(|A|,|B|)
+    over prefix-blocked pairs — catches a short document embedded
+    verbatim in a long one, where symmetric Jaccard tends to 0
+    (boilerplate-wrapped articles, quoted posts). Same
+    blocked-candidate scale shape as neardup_jaccard."""
+    return spark.sql(
+        DD.blocked_containment_sql(
+            _pq(sf_dir, "documents"), "spark", n=3, block_tokens=2, threshold=0.3
+        )
+    )
+
+
+@_q("ngram_novelty", DD.ngram_novelty_sql("documents", "duckdb", n=3))
+def ngram_novelty(spark, sf_dir):
+    """Per-document novelty: fraction of the doc's distinct 3-gram
+    shingles with corpus frequency 1 (Lee et al. 2022 counting
+    shape). Two aggregations, no shingle self-join: the frequency agg
+    carries min(doc_id) as each unique shingle's owner, so df=1 rows
+    re-aggregate straight to per-doc counts — a ubiquitous shingle
+    costs one map-side-combined count, never a skewed join."""
+    return DD.ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+@_q(
     "minhash_lsh_oracle",
     DD.minhash_lsh_sql("documents", "duckdb", n=3, k=8, bands=4, threshold=0.2),
 )

@@ -1476,3 +1476,59 @@ def test_contrastive_pairs_ann_recall_vs_exact(spark):
     # narrow bands are needed for recall on ~0.3-cosine "hard"
     # negatives) — assert a floor with margin
     assert recall >= 0.85, f"recall {recall:.3f}"
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """The motivating case: a short doc quoted verbatim inside a long
+    one has containment 1.0 but tiny Jaccard — blocked_containment
+    must surface the pair at a threshold where blocked_jaccard does
+    not."""
+    from mpes_spark.extras.dedup import (
+        blocked_containment_sql,
+        blocked_jaccard_sql,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("cont_docs")
+    cont = spark.sql(
+        blocked_containment_sql("cont_docs", "spark", n=3, block_tokens=2,
+                                threshold=0.9)
+    ).collect()
+    jac = spark.sql(
+        blocked_jaccard_sql("cont_docs", "spark", n=3, block_tokens=2,
+                            threshold=0.9)
+    ).collect()
+    # doc1 (3 shingles) fully contained in doc2 -> containment 1.0
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    # Jaccard for the same pair = 3 / 63 ~= 0.048 -> absent at 0.9
+    assert jac == []
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from mpes_spark.extras.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: "a b c", "b c d"
+            (2, "a b c e"),        # shingles: "a b c", "b c e"
+            (3, "x y z q"),        # shingles: "x y z", "y z q" (all unique)
+            (4, "a b"),            # < n tokens: absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # "a b c" occurs in docs 1 and 2 -> df=2; each doc's other shingle
+    # is unique -> novelty 1/2
+    assert out[1]["n_shingles"] == 2 and out[1]["n_unique"] == 1
+    assert out[1]["novelty"] == 0.5
+    assert out[2]["n_shingles"] == 2 and out[2]["n_unique"] == 1
+    assert out[3]["n_shingles"] == 2 and out[3]["n_unique"] == 2
+    assert out[3]["novelty"] == 1.0
