@@ -105,6 +105,80 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def byte_accumulators(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """Integer-exact projection of the feature-extraction plumbing for
+    cross-engine gating: per asset the positional byte-sum
+    accumulators ``acc_j = sum of payload bytes at positions ≡ j
+    (mod dim)`` plus n_bytes and checksum — ALL integers, so the
+    oracle hash gate is exact with zero rounding (the all-integer
+    playbook label_propagation uses). :func:`extract_features`'s
+    float features are exactly ``round(acc_j / n, 6)`` — the tie is
+    asserted in tests/test_extras.py. Same ``mapInPandas`` Arrow
+    batch shape as the float path; partition-preserving."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            out = {
+                "asset_id": pdf["asset_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "checksum": payloads.map(
+                    lambda b: sum(b) % (1 << 31)
+                ).astype("int64"),
+            }
+            for j in range(dim):
+                out[f"acc{j}"] = payloads.map(
+                    lambda b, j=j: sum(b[j::dim])
+                ).astype("int64")
+            yield pd.DataFrame(out)
+
+    schema = "asset_id bigint, n_bytes bigint, checksum bigint, " + ", ".join(
+        f"acc{j} bigint" for j in range(dim)
+    )
+    return assets.mapInPandas(batches, schema=schema)
+
+
+def byte_accumulators_sql(table: str, dim: int = 8, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`byte_accumulators` over the
+    documents-derived asset table (payload = utf-8 text, which the
+    test data guarantees is pure ASCII, so byte i = ascii(char i)):
+    one char explode via the unnest/generate_subscripts zip, then an
+    integer conditional-sum rollup per asset."""
+    accs = ", ".join(
+        f"CAST(sum(CASE WHEN i % {dim} = {j} THEN byte ELSE 0 END) AS BIGINT)"
+        f" AS acc{j}"
+        for j in range(dim)
+    )
+    return f"""
+WITH chars AS (
+  SELECT {id_col} AS asset_id,
+         generate_subscripts(cs, 1) - 1 AS i,
+         ascii(unnest(cs)) AS byte
+  FROM (SELECT {id_col}, string_split(text, '') AS cs FROM {table}) t
+)
+SELECT asset_id,
+       CAST(count(*) AS BIGINT) AS n_bytes,
+       CAST(sum(byte) % 2147483648 AS BIGINT) AS checksum,
+       {accs}
+FROM chars GROUP BY asset_id
+""".strip()
+
+
+def frame_manifest_sql(
+    table: str, every_n: int = 10, frames_mod: int = 90, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of the :func:`sample_frames` manifest over the
+    documents-derived asset table (n_frames = length(text) %
+    ``frames_mod``, matching :func:`assets_from_documents`)."""
+    return f"""
+SELECT {id_col} AS asset_id,
+       CAST(unnest(range(0, length(text) % {frames_mod}, {every_n})) AS BIGINT)
+         AS frame_idx
+FROM {table}
+WHERE length(text) % {frames_mod} > 0
+""".strip()
+
+
 def resize_images(
     assets: DataFrame, width: int = 224, height: int = 224
 ) -> DataFrame:

@@ -1082,6 +1082,39 @@ def multimodal_meta(spark, sf_dir):
     return MM.modality_stats(MM.assets_from_documents(_docs(spark, sf_dir)))
 
 
+@_q(
+    "multimodal_features",
+    MM.byte_accumulators_sql("documents", dim=8),
+)
+def multimodal_features(spark, sf_dir):
+    """The feature-extraction seam under the full hash gate: the
+    mapInPandas Arrow-batch pipeline (documents -> binary assets ->
+    per-asset byte statistics) emitting INTEGER positional byte-sum
+    accumulators, n_bytes and checksum — the all-integer projection
+    of extract_features, exact across engines with zero rounding
+    (extract_features' floats are round(acc_j/n, 6); tie asserted in
+    tests/test_extras.py). The DuckDB twin re-derives the bytes from
+    the text chars (payloads are pure-ASCII utf-8 by construction)."""
+    assets = MM.assets_from_documents(_docs(spark, sf_dir))
+    return MM.byte_accumulators(assets, dim=8)
+
+
+@_q(
+    "frame_sample_manifest",
+    MM.frame_manifest_sql("documents", every_n=10, frames_mod=90),
+)
+def frame_sample_manifest(spark, sf_dir):
+    """Video frame-sampling manifest (every-10th-frame indices per
+    asset) — the JVM-side explode that fans one asset row into its
+    sampled frame rows without copying the payload per frame. Gated
+    on the (asset_id, frame_idx) manifest; the payload decode itself
+    is the documented env seam."""
+    assets = MM.assets_from_documents(_docs(spark, sf_dir))
+    return MM.sample_frames(assets, every_n=10).select(
+        "asset_id", F.col("frame_idx").cast("bigint").alias("frame_idx")
+    )
+
+
 # ===========================================================================
 # portable sketches (extras/sketches.py) — HLL + count-min with every
 # stage (registers, integer-domain harmonic sum, cells, min-over-rows)

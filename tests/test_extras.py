@@ -1532,3 +1532,28 @@ def test_ngram_novelty_hand_computed(spark):
     assert out[2]["n_shingles"] == 2 and out[2]["n_unique"] == 1
     assert out[3]["n_shingles"] == 2 and out[3]["n_unique"] == 2
     assert out[3]["novelty"] == 1.0
+
+
+def test_byte_accumulators_tie_to_float_features(spark):
+    """The gated integer accumulators and the float feature path must
+    describe the same computation: extract_features' feat[j] ==
+    round(acc_j / n_bytes, 6) for every asset."""
+    from mpes_spark.extras.multimodal import (
+        assets_from_documents,
+        byte_accumulators,
+        extract_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assets = assets_from_documents(docs)
+    feats = {
+        r["asset_id"]: r for r in extract_features(assets, dim=8).collect()
+    }
+    accs = {r["asset_id"]: r for r in byte_accumulators(assets, dim=8).collect()}
+    assert set(feats) == set(accs)
+    for aid, fr in feats.items():
+        ar = accs[aid]
+        assert fr["n_bytes"] == ar["n_bytes"]
+        assert fr["checksum"] == ar["checksum"]
+        for j in range(8):
+            assert fr["feat"][j] == round(ar[f"acc{j}"] / ar["n_bytes"], 6)
