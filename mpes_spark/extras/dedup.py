@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from mpes_spark.extras.text import fingerprint_expr
 
@@ -500,6 +501,118 @@ FROM inter i
 JOIN sizes za ON za.{id_col} = i.id_a
 JOIN sizes zb ON zb.{id_col} = i.id_b
 WHERE CAST(i.icnt AS DOUBLE) / least(za.nsh, zb.nsh) >= {threshold!r}
+""".strip()
+
+
+def token_sets(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word (unigram) set per document: (id, sh) — the
+    token-set analog of :func:`shingle_table`, shared by the
+    prefix-filtered similarity join."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text), " "))).alias("sh"),
+    )
+
+
+def prefix_filtered_pairs(
+    df: DataFrame,
+    text: str = "text",
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs set-similarity join via RARE-TOKEN prefix filtering
+    (PPJoin-family, Bayardo et al. WWW'07 / Xiao et al. 2008): order
+    each doc's token set by ascending global document frequency, keep
+    only the first ``p = n - ceil(t*n) + 1`` tokens as the PREFIX,
+    generate candidates only from prefix-token collisions, then
+    verify exact Jaccard. COMPLETE for Jaccard >= t: two sets with
+    J >= t must overlap in at least ``ceil(t/(1+t)*(na+nb))``
+    elements, so under any consistent global token order each must
+    keep at least one shared token inside its prefix — the
+    completeness property test in tests/test_extras.py checks the
+    output equals brute-force all-pairs exactly.
+
+    Why this is a different scale tool than LSH or first-tokens
+    blocking: candidate volume concentrates on RARE tokens — a token
+    with document frequency d contributes at most d^2/2 candidate
+    pairs, and prefixes preferentially hold the rarest tokens — so
+    ubiquitous tokens (stopwords, boilerplate markers) never generate
+    candidates at all, with zero recall loss (LSH trades recall;
+    first-token blocking misses reordered text). Shuffles: one df
+    agg, one doc-keyed window for prefixes, one equi-join on prefix
+    token, then :func:`verify_jaccard` on the candidate set."""
+    toks = token_sets(df, text, id_col).persist()
+    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
+    prefix = (
+        toks.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+        )
+        .select(F.col(id_col), "sh")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh")
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+    cand = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(cand, toks, threshold, id_col)
+
+
+def prefix_filtered_pairs_sql(
+    table: str, dialect: str, threshold: float = 0.9, id_col: str = "doc_id"
+) -> str:
+    """Dual-dialect SQL twin of :func:`prefix_filtered_pairs`. The
+    threshold is inlined as ``CAST(repr AS DOUBLE)`` (the shared-SQL
+    convention) and the prefix bound ``n - ceil(n*t) + 1`` evaluates
+    identically in both engines on the same doubles."""
+    t_lit = f"CAST('{threshold!r}' AS DOUBLE)"
+    if dialect == "spark":
+        tok = f"explode(array_distinct(split(text, ' ')))"
+    elif dialect == "duckdb":
+        tok = f"unnest(list_distinct(string_split(text, ' ')))"
+    else:
+        raise ValueError(dialect)
+    return f"""
+WITH toks AS (SELECT {id_col}, {tok} AS sh FROM {table}),
+dfreq AS (SELECT sh, count(*) AS tdf FROM toks GROUP BY sh),
+sizes AS (SELECT {id_col}, count(*) AS n FROM toks GROUP BY {id_col}),
+prefix AS (
+  SELECT {id_col}, sh FROM (
+    SELECT t.{id_col}, t.sh, s.n,
+           row_number() OVER (PARTITION BY t.{id_col}
+                              ORDER BY d.tdf, t.sh) AS rn
+    FROM toks t
+    JOIN dfreq d ON d.sh = t.sh
+    JOIN sizes s ON s.{id_col} = t.{id_col}
+  ) r WHERE rn <= n - ceil(n * {t_lit}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS icnt
+  FROM cand c
+  JOIN toks ta ON ta.{id_col} = c.id_a
+  JOIN toks tb ON tb.{id_col} = c.id_b AND tb.sh = ta.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.id_a
+JOIN sizes zb ON zb.{id_col} = i.id_b
+WHERE CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) >= {t_lit}
 """.strip()
 
 

@@ -433,6 +433,21 @@ def neardup_containment(spark, sf_dir):
     )
 
 
+@_q(
+    "neardup_prefix_filter",
+    DD.prefix_filtered_pairs_sql("documents", "duckdb", threshold=0.9),
+)
+def neardup_prefix_filter(spark, sf_dir):
+    """All-pairs token-set similarity join via rare-token PREFIX
+    filtering (PPJoin family): candidates only from collisions among
+    each doc's p = n - ceil(t*n) + 1 globally-rarest tokens — COMPLETE
+    at Jaccard >= t (no recall trade, unlike LSH), and ubiquitous
+    tokens never generate candidates. Exact-Jaccard verify on the
+    candidate set; completeness-vs-brute-force property test in
+    tests/test_extras.py."""
+    return DD.prefix_filtered_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
 @_q("ngram_novelty", DD.ngram_novelty_sql("documents", "duckdb", n=3))
 def ngram_novelty(spark, sf_dir):
     """Per-document novelty: fraction of the doc's distinct 3-gram

@@ -1557,3 +1557,40 @@ def test_byte_accumulators_tie_to_float_features(spark):
         assert fr["checksum"] == ar["checksum"]
         for j in range(8):
             assert fr["feat"][j] == round(ar[f"acc{j}"] / ar["n_bytes"], 6)
+
+
+def test_prefix_filter_complete_vs_brute_force(spark):
+    """Prefix filtering is COMPLETE for Jaccard >= t: the
+    prefix-filtered join must return exactly the pairs a brute-force
+    all-pairs token-set Jaccard finds — no recall trade (the property
+    that separates it from LSH)."""
+    import itertools
+
+    from mpes_spark.extras.dedup import prefix_filtered_pairs
+
+    rows = [
+        (1, "quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over the lazy cat"),       # ~0.8 vs 1
+        (3, "quick brown fox leaps over the lazy dog today"),  # high vs 1
+        (4, "entirely different tokens appear here now"),
+        (5, "entirely different tokens appear here now"),      # exact dup of 4
+        (6, "the dog and the cat share stopwords only"),
+        (7, "quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (8, "alpha beta gamma delta"),
+        (9, "alpha beta gamma epsilon zeta"),
+    ]
+    t = 0.5
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_pairs(docs, threshold=t).collect()
+    }
+    # brute force over all pairs in python
+    sets = {i: set(s.split()) for i, s in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= t:
+            want[(a, b)] = round(j, 6)
+    assert want, "fixture must produce matching pairs"
+    assert got == want
