@@ -312,3 +312,102 @@ def label_propagation_sql(edges_sql: str, iters: int = 3) -> str:
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT node, label FROM l{iters}"
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list via
+    DEGREE-ORDERED edge orientation (the compact-forward /
+    node-iterator++ algorithm: Schank & Wagner 2005, Suri &
+    Vassilvitskii WWW'11): orient every edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges only at each
+    edge's LOW endpoint, and close wedges with a semi-join against
+    the oriented edge set. Returns (node, n_triangles) for nodes in
+    at least one triangle.
+
+    Why orientation is the 100-TB shape: un-oriented wedge counting
+    pays sum(deg^2) — a single celebrity node with degree 1e6
+    generates 10^12 wedges. Orientation bounds every node's
+    OUT-degree by O(sqrt(m)) (a node keeps only neighbors of equal or
+    larger degree), so wedge volume is O(m^{3/2}) worst-case —
+    optimal for triangle enumeration — and the skew moves into the
+    (deg, id) tuple comparison, not the join fan-out. All joins are
+    equi-keyed (wedge join on the apex, closure on the (b, c) pair);
+    counts are integers, so the oracle hash gate is exact.
+
+    Input edges may be in any order/duplication state; they are
+    canonicalized (min, max) and de-duplicated first."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ed = e.join(du, "u").join(dv, "v")
+    ku = F.struct(F.col("deg_u").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("deg_v").alias("d"), F.col("v").alias("n"))
+    # orient from lower (deg, id) to higher; carry the head's key so
+    # the wedge join can k-order its two heads without a deg re-join
+    oriented = ed.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(ku < kv, kv).otherwise(ku).alias("hi_key"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("b"),
+        F.col("hi_key").alias("kb"),
+    )
+    o2 = oriented.select(
+        F.col("lo").alias("apex"),
+        F.col("hi").alias("c"),
+        F.col("hi_key").alias("kc"),
+    )
+    wedges = o1.join(o2, "apex").filter(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi").select("apex", "b", "c")
+    corners = tri.select(
+        F.explode(F.array("apex", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def triangles_per_node_sql(edges_sql: str) -> str:
+    """Oracle twin of :func:`triangle_count`: canonical-edge triple
+    join (a < b < c by node id — orientation is a physical
+    optimization, the triangle SET is identical), then the corner
+    explode rendered as a UNION ALL. ``edges_sql`` must yield
+    (src, dst) in any order/duplication state."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) corners
+GROUP BY node
+""".strip()

@@ -388,3 +388,98 @@ def table_checksum(df: DataFrame, name: str, cols, money_cols=()) -> DataFrame:
     ).select(
         F.lit(name).alias("table_name"), "n_rows", "checksum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style partition digest diff (replica divergence localization)
+# ---------------------------------------------------------------------------
+
+def _bucket_expr_sql(key: str, nbuckets: int, dialect: str) -> str:
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    # the 60-bit md5-prefix hash is non-negative in both engines, so
+    # plain % is already a pmod
+    return f"({_md5_hash_sql(_CKSUM_SEED + 1, f'CAST({key} AS {s})', dialect)} % {nbuckets})"
+
+
+def partition_digests(
+    df: DataFrame,
+    key: str,
+    cols,
+    money_cols=(),
+    nbuckets: int = 64,
+) -> DataFrame:
+    """Per-bucket digests of a relation: rows are hash-bucketed on
+    ``key`` (seeded md5-family, so both engines and any two clusters
+    agree on the bucketing), each bucket summarized by (n_rows,
+    bit_xor row checksum) — the one-level Merkle decomposition of
+    :func:`table_checksum`. Comparing two tables' digests
+    (:func:`digest_diff`) localizes WHICH key ranges diverged at the
+    cost of two aggregation scans and a bucket-sized join — no
+    row-level compare, no sort, no shuffle of actual data. The
+    recursive narrowing (re-digest a differing bucket at finer grain)
+    is the anti-entropy repair loop replicated systems use; with
+    nbuckets = O(n / target_rows) each level is O(1) state per bucket
+    and a differing cell isolates ~target_rows rows for the row-level
+    CDC diff (transforms/cdc.table_diff_feed) to finish."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    row = f"concat({_cksum_cols(cols, money_cols, 'spark')})"
+    h = _md5_hash_sql(_CKSUM_SEED, row, "spark")
+    return (
+        df.groupBy(
+            F.expr(_bucket_expr_sql(key, nbuckets, "spark")).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(f"bit_xor({h})").cast("bigint").alias("checksum"),
+        )
+    )
+
+
+def partition_digests_sql(
+    table: str,
+    key: str,
+    cols,
+    money_cols=(),
+    nbuckets: int = 64,
+    dialect: str = "duckdb",
+) -> str:
+    """Shared-template twin of :func:`partition_digests`."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    row = f"concat({_cksum_cols(cols, money_cols, dialect)})"
+    h = _md5_hash_sql(_CKSUM_SEED, row, dialect)
+    b = _bucket_expr_sql(key, nbuckets, dialect)
+    return (
+        f"SELECT {b} AS bucket, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(bit_xor({h}) AS BIGINT) AS checksum FROM {table} GROUP BY 1"
+    )
+
+
+def digest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Buckets where two digest relations disagree: full-outer join on
+    bucket, keep rows whose (n_rows, checksum) differ (a bucket
+    present on one side only also differs). Output is
+    divergence-sized: (bucket, n_a, checksum_a, n_b, checksum_b)."""
+    aa = a.select(
+        "bucket",
+        F.col("n_rows").alias("n_a"),
+        F.col("checksum").alias("checksum_a"),
+    )
+    bb = b.select(
+        "bucket",
+        F.col("n_rows").alias("n_b"),
+        F.col("checksum").alias("checksum_b"),
+    )
+    j = aa.join(bb, "bucket", "full_outer")
+    differs = (
+        ~(
+            F.col("n_a").eqNullSafe(F.col("n_b"))
+            & F.col("checksum_a").eqNullSafe(F.col("checksum_b"))
+        )
+    )
+    return j.filter(differs).select(
+        "bucket", "n_a", "checksum_a", "n_b", "checksum_b"
+    )

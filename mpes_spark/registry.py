@@ -1556,6 +1556,53 @@ def label_communities(spark, sf_dir):
     return label_propagation(edges, iters=3)
 
 
+_COPURCHASE_EDGES_SQL = (
+    "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "
+    "JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+    "GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2"
+)
+
+from mpes_spark.analysis.graph import triangles_per_node_sql as _tri_sql
+
+
+@_q("copurchase_triangles", _tri_sql(_COPURCHASE_EDGES_SQL))
+def copurchase_triangles(spark, sf_dir):
+    """Per-node triangle counts over the part co-purchase graph
+    (parts co-occurring in >= 2 distinct orders — the support
+    threshold that keeps the relation sparse). Engine side uses
+    DEGREE-ORDERED orientation (wedges enumerated only at each edge's
+    low endpoint -> O(m^1.5) wedge volume, out-degree bounded by
+    sqrt(m) even under celebrity skew); the oracle proves the
+    triangle SET with a canonical triple join — orientation is a
+    physical optimization, not a semantic one. All-integer output:
+    exact hash gate. Edge build is a per-order bucket join (fan-out
+    bounded by order size) + one support-filtered count agg."""
+    from mpes_spark.analysis.graph import triangle_count
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
 # -- anti join (set difference at data scale — the FileCollection
 #    'remove' semantics, /root/reference/mpes/base.py:166-182, applied
 #    to relations): customers with no orders ------------------------------
@@ -1886,6 +1933,54 @@ def table_checksums(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_DIGEST_COLS = (["o_orderkey", "o_custkey", "o_totalprice"], ["o_totalprice"])
+_DIGEST_DIFF_SQL = None  # built below (needs the dq builders)
+
+
+def _digest_diff_oracle() -> str:
+    from mpes_spark.dq import partition_digests_sql
+
+    a = partition_digests_sql("orders", "o_orderkey", *_DIGEST_COLS, nbuckets=64)
+    b = partition_digests_sql(
+        "(SELECT * FROM orders WHERE o_orderkey <> "
+        "(SELECT min(o_orderkey) FROM orders)) replica",
+        "o_orderkey",
+        *_DIGEST_COLS,
+        nbuckets=64,
+    )
+    return (
+        f"WITH da AS ({a}), db AS ({b}) "
+        "SELECT coalesce(da.bucket, db.bucket) AS bucket, "
+        "da.n_rows AS n_a, da.checksum AS checksum_a, "
+        "db.n_rows AS n_b, db.checksum AS checksum_b "
+        "FROM da FULL OUTER JOIN db ON db.bucket = da.bucket "
+        "WHERE da.n_rows IS DISTINCT FROM db.n_rows "
+        "OR da.checksum IS DISTINCT FROM db.checksum"
+    )
+
+
+@_q("partition_digest_diff", _digest_diff_oracle())
+def partition_digest_diff(spark, sf_dir):
+    """Merkle-style replica-divergence localization: both tables
+    collapse to 64 per-bucket (n_rows, xor-checksum) digests (rows
+    hash-bucketed on the key by the seeded md5 family, so any two
+    engines/clusters agree on the bucketing), and a bucket-sized
+    full-outer join reports only the buckets that differ — here the
+    simulated replica dropped the minimum order key, so exactly one
+    bucket surfaces. The anti-entropy loop at 100 TB: re-digest a
+    differing bucket at finer grain, then hand the isolated range to
+    the row-level CDC diff (transforms/cdc.table_diff_feed). Two agg
+    scans + a 64-row join — data rows never shuffle."""
+    from mpes_spark.dq import digest_diff, partition_digests
+
+    o = t(spark, sf_dir, "orders")
+    min_key = o.agg(F.min("o_orderkey")).collect()[0][0]  # scalar-bounded
+    replica = o.filter(F.col("o_orderkey") != F.lit(min_key))
+    da = partition_digests(o, "o_orderkey", *_DIGEST_COLS, nbuckets=64)
+    db = partition_digests(replica, "o_orderkey", *_DIGEST_COLS, nbuckets=64)
+    return digest_diff(da, db)
 
 
 _CORR_SQL = (

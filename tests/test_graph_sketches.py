@@ -544,3 +544,32 @@ def test_label_propagation_deterministic(spark):
     r1 = sorted(map(tuple, label_propagation(edges, iters=4).collect()))
     r2 = sorted(map(tuple, label_propagation(edges, iters=4).collect()))
     assert r1 == r2
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 plus a pendant: every K4 node is in C(3,2)=3 triangles; the
+    pendant is in none and absent from the output. Duplicate and
+    reversed input edges must not change counts."""
+    from mpes_spark.analysis.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5)] + [(b, a) for a, b in k4]  # + reversed dupes
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_star_skew(spark):
+    """Celebrity-skew shape: a star (hub + 40 leaves) has NO
+    triangles; adding one leaf-leaf edge creates exactly one. The
+    degree-ordered orientation keeps the hub's out-degree at 0 or 1 —
+    assert the count, and that wedge enumeration happened at the low
+    endpoints (output correctness implies it)."""
+    from mpes_spark.analysis.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 41)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_count(df).collect() == []
+    df2 = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

@@ -372,3 +372,34 @@ def test_diff_feed_roundtrip_and_semantics(spark):
     got = sorted((r.k, r.v) for r in applied.collect())
     want = sorted((r.k, r.v) for r in new.collect())
     assert got == want
+
+
+def test_partition_digest_diff_localizes_divergence(spark):
+    """Merkle-bucket diff semantics: identical tables produce an
+    empty diff; a single modified row surfaces exactly one bucket
+    with equal counts but differing checksums; a deleted row
+    surfaces exactly one bucket with n_a = n_b + 1."""
+    from mpes_spark.dq import digest_diff, partition_digests
+
+    rows = [(i, f"u{i % 7}", float(i) + 0.25) for i in range(500)]
+    schema = "k long, name string, amount double"
+    a = spark.createDataFrame(rows, schema)
+    cols = (["k", "name", "amount"], ["amount"])
+
+    da = partition_digests(a, "k", *cols, nbuckets=16)
+    assert digest_diff(da, partition_digests(a, "k", *cols, nbuckets=16)).collect() == []
+
+    modified = [(k, n, amt if k != 123 else amt + 0.01) for k, n, amt in rows]
+    dm = partition_digests(
+        spark.createDataFrame(modified, schema), "k", *cols, nbuckets=16
+    )
+    d = digest_diff(da, dm).collect()
+    assert len(d) == 1 and d[0]["n_a"] == d[0]["n_b"]
+    assert d[0]["checksum_a"] != d[0]["checksum_b"]
+
+    deleted = [r for r in rows if r[0] != 321]
+    dd = partition_digests(
+        spark.createDataFrame(deleted, schema), "k", *cols, nbuckets=16
+    )
+    d2 = digest_diff(da, dd).collect()
+    assert len(d2) == 1 and d2[0]["n_a"] == d2[0]["n_b"] + 1
