@@ -1324,3 +1324,52 @@ def length_bucket_batches_sql(
         f"  AS pad_waste "
         f"FROM b GROUP BY bucket, batch_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-domain cardinality cap
+# ---------------------------------------------------------------------------
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    group: str = "source",
+    priority: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each domain's contribution at ``cap`` documents, keeping
+    the highest-``priority`` ones (ties to lower id) — the C4/Gopher
+    pipeline rule that stops one crawled host from dominating the
+    mixture no matter how large it is (temperature reweighting
+    rescales domains; the cap additionally bounds the worst case).
+    Output: the surviving rows plus their per-domain keep rank.
+
+    One ranking window per domain — millions of independent
+    partitions, no global sort; at 100 TB the window shuffle keys on
+    the domain and AQE splits skewed hosts."""
+    w = Window.partitionBy(group).orderBy(
+        F.col(priority).desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("keep_rank") <= cap)
+    )
+
+
+def domain_cap_sql(
+    table: str,
+    cap: int,
+    group: str = "source",
+    priority: str = "n_chars",
+    id_col: str = "doc_id",
+    cols: str = "doc_id, source, n_chars",
+) -> str:
+    """Oracle twin of :func:`domain_cap` (projected to ``cols``)."""
+    return f"""
+SELECT {cols}, keep_rank FROM (
+  SELECT {cols}, CAST(row_number() OVER (
+    PARTITION BY {group} ORDER BY {priority} DESC, {id_col}
+  ) AS BIGINT) AS keep_rank
+  FROM {table}
+) r WHERE keep_rank <= {cap}
+""".strip()

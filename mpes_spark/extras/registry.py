@@ -584,6 +584,50 @@ def dedup_canonical_quality(spark, sf_dir):
 
 
 @_q(
+    "domain_cap_sample",
+    CU.domain_cap_sql("documents", cap=15),
+)
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain cardinality cap (C4/Gopher rule): keep at most 15
+    docs per source, highest n_chars first (ties to lower id) — the
+    bound that stops one crawled host from dominating the mixture
+    regardless of its size (temperature reweighting rescales;
+    the cap bounds the worst case). One per-domain ranking window,
+    no global sort."""
+    return CU.domain_cap(_docs(spark, sf_dir), cap=15).select(
+        "doc_id", "source", "n_chars", "keep_rank"
+    )
+
+
+@_q(
+    "rouge2_eval",
+    SR.rouge_n_sql(
+        "SELECT a.doc_id AS pair_id, a.text AS ref_text, b.text AS cand_text "
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+        "AND a.doc_id < 40",
+        n=2,
+    ),
+)
+def rouge2_eval(spark, sf_dir):
+    """ROUGE-2 (clipped bigram overlap, multiset semantics) between
+    consecutive document pairs — the generated-data eval loop
+    (distillation filtering, paraphrase QA) exercised as a
+    deterministic pair relation. Integer gram counts end-to-end;
+    precision/recall rounded once, F1 from the rounded values —
+    exact cross-engine."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("ref_text")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("text").alias("cand_text"),
+    )
+    pairs = a.join(b, "pair_id")
+    return SR.rouge_n(pairs, n=2)
+
+
+@_q(
     "dataset_split_counts",
     "SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM ("

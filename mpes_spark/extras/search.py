@@ -979,3 +979,117 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_trigrams,
        round(avg(ln(s)), 6) AS avg_logscore
 FROM j GROUP BY {id_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# generation eval: n-gram overlap (ROUGE-N family)
+# ---------------------------------------------------------------------------
+
+def rouge_n(
+    pairs: DataFrame,
+    n: int = 2,
+    ref: str = "ref_text",
+    cand: str = "cand_text",
+    pair_id: str = "pair_id",
+) -> DataFrame:
+    """ROUGE-N (Lin 2004) per (reference, candidate) pair: clipped
+    n-gram overlap ``sum_g min(cnt_ref(g), cnt_cand(g))`` with recall
+    (/ ref total), precision (/ cand total) and F1 — the multiset
+    semantics, not set Jaccard (a candidate repeating one good gram
+    scores its clip, not its count). The generated-data eval loop:
+    distillation filtering, paraphrase QA, summary grading.
+
+    Plan: each side explodes to (pair, gram, cnt) via one count agg;
+    clipped overlap is one inner equi-join on (pair, gram) + a
+    least() sum; totals ride the same gram aggs. Everything is
+    integer until the final rounded ratios, so the oracle gate is
+    exact. Pairs where either side has < n tokens vanish (no gram
+    rows -> inner join drops them) — identically in both engines."""
+    from mpes_spark.extras.text import word_ngrams_expr
+
+    def gram_counts(col: str, side: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.col(pair_id),
+                F.explode(word_ngrams_expr(n, col)).alias("g"),
+            )
+            .groupBy(pair_id, "g")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    rc = gram_counts(ref, "ref")
+    cc = gram_counts(cand, "cand")
+    per_gram = rc.join(cc, [pair_id, "g"]).select(
+        pair_id, F.least("c_ref", "c_cand").alias("clip")
+    )
+    overlap = per_gram.groupBy(pair_id).agg(F.sum("clip").alias("overlap"))
+    tot_r = rc.groupBy(pair_id).agg(F.sum("c_ref").alias("total_ref"))
+    tot_c = cc.groupBy(pair_id).agg(F.sum("c_cand").alias("total_cand"))
+    scored = (
+        tot_r.join(tot_c, pair_id)
+        .join(overlap, pair_id, "left")
+        .select(
+            pair_id,
+            F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+            F.col("total_ref").cast("bigint").alias("total_ref"),
+            F.col("total_cand").cast("bigint").alias("total_cand"),
+        )
+        .withColumn("r", F.round(F.col("overlap") / F.col("total_ref"), 6))
+        .withColumn("p", F.round(F.col("overlap") / F.col("total_cand"), 6))
+    )
+    f1 = F.when(F.col("overlap") == 0, F.lit(0.0)).otherwise(
+        F.round(2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")), 6)
+    )
+    return scored.select(
+        pair_id,
+        "overlap",
+        "total_ref",
+        "total_cand",
+        F.col("r").alias("rouge_recall"),
+        F.col("p").alias("rouge_precision"),
+        f1.alias("rouge_f1"),
+    )
+
+
+def rouge_n_sql(
+    pairs_sql: str,
+    n: int = 2,
+    ref: str = "ref_text",
+    cand: str = "cand_text",
+    pair_id: str = "pair_id",
+) -> str:
+    """DuckDB twin of :func:`rouge_n`. ``pairs_sql`` must yield
+    (pair_id, ref_text, cand_text). F1 is computed FROM the rounded
+    precision/recall (identical doubles cross-engine), zero when the
+    overlap is zero."""
+    from mpes_spark.extras.text import word_ngrams_sql
+
+    g_ref = f"SELECT {pair_id}, unnest({word_ngrams_sql(n, ref)}) AS g FROM p"
+    g_cand = f"SELECT {pair_id}, unnest({word_ngrams_sql(n, cand)}) AS g FROM p"
+    return f"""
+WITH p AS ({pairs_sql}),
+rc AS (SELECT {pair_id}, g, count(*) AS c_ref FROM ({g_ref}) t GROUP BY 1, 2),
+cc AS (SELECT {pair_id}, g, count(*) AS c_cand FROM ({g_cand}) t GROUP BY 1, 2),
+ov AS (
+  SELECT rc.{pair_id}, sum(least(rc.c_ref, cc.c_cand)) AS overlap
+  FROM rc JOIN cc ON cc.{pair_id} = rc.{pair_id} AND cc.g = rc.g
+  GROUP BY rc.{pair_id}
+),
+tr AS (SELECT {pair_id}, sum(c_ref) AS total_ref FROM rc GROUP BY 1),
+tc AS (SELECT {pair_id}, sum(c_cand) AS total_cand FROM cc GROUP BY 1),
+s AS (
+  SELECT tr.{pair_id},
+         CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+         CAST(tr.total_ref AS BIGINT) AS total_ref,
+         CAST(tc.total_cand AS BIGINT) AS total_cand,
+         round(CAST(coalesce(ov.overlap, 0) AS DOUBLE) / tr.total_ref, 6) AS r,
+         round(CAST(coalesce(ov.overlap, 0) AS DOUBLE) / tc.total_cand, 6) AS p
+  FROM tr JOIN tc ON tc.{pair_id} = tr.{pair_id}
+  LEFT JOIN ov ON ov.{pair_id} = tr.{pair_id}
+)
+SELECT {pair_id}, overlap, total_ref, total_cand,
+       r AS rouge_recall, p AS rouge_precision,
+       CASE WHEN overlap = 0 THEN 0.0
+            ELSE round(2 * p * r / (p + r), 6) END AS rouge_f1
+FROM s
+""".strip()

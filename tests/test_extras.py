@@ -1594,3 +1594,45 @@ def test_prefix_filter_complete_vs_brute_force(spark):
             want[(a, b)] = round(j, 6)
     assert want, "fixture must produce matching pairs"
     assert got == want
+
+
+def test_rouge_n_hand_computed(spark):
+    """Worked ROUGE-2 example with clipping: candidate repeats a
+    reference bigram — the clip counts it min(cnt_ref, cnt_cand)
+    times, not cnt_cand times."""
+    from mpes_spark.extras.search import rouge_n
+
+    pairs = spark.createDataFrame(
+        [
+            # ref bigrams: {the cat:1, cat sat:1, sat down:1}
+            # cand bigrams: {the cat:2, cat the:1} -> clip(the cat)=1
+            (1, "the cat sat down", "the cat the cat"),
+            # identical texts -> P = R = F1 = 1
+            (2, "a b c", "a b c"),
+            # disjoint -> overlap 0, f1 defined as 0
+            (3, "x y z", "p q r"),
+        ],
+        "pair_id long, ref_text string, cand_text string",
+    )
+    out = {r["pair_id"]: r for r in rouge_n(pairs, n=2).collect()}
+    r1 = out[1]
+    assert (r1["overlap"], r1["total_ref"], r1["total_cand"]) == (1, 3, 3)
+    assert r1["rouge_recall"] == round(1 / 3, 6)
+    assert out[2]["rouge_f1"] == 1.0
+    assert out[3]["overlap"] == 0 and out[3]["rouge_f1"] == 0.0
+
+
+def test_domain_cap_semantics(spark):
+    from mpes_spark.extras.curation import domain_cap
+
+    rows = [(i, "s1" if i < 10 else "s2", 100 - i) for i in range(14)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = domain_cap(docs, cap=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # s1 keeps its 3 largest n_chars = lowest doc_ids 0,1,2; s2 has 4
+    # docs (10..13), keeps 10,11,12
+    assert sorted(by_src["s1"]) == [0, 1, 2]
+    assert sorted(by_src["s2"]) == [10, 11, 12]
+    assert all(r["keep_rank"] <= 3 for r in out)
