@@ -2668,6 +2668,46 @@ def per_file_hist(spark, sf_dir):
     return bin_sparse(ev, [_AX_PF], extra_keys=["fname"])
 
 
+@_q(
+    "event_type_runs",
+    """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),
+l AS (SELECT *, CASE WHEN row_number() OVER
+        (PARTITION BY user_id ORDER BY tns, event_id) = 1 THEN 1
+      WHEN lag(event_type) OVER
+        (PARTITION BY user_id ORDER BY tns, event_id)
+        IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+      FROM e),
+g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_seq
+      FROM l)
+SELECT user_id, run_seq, event_type,
+       min(tns) AS run_start, max(tns) AS run_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, run_seq, event_type
+""".strip(),
+)
+def event_type_runs(spark, sf_dir):
+    """Gaps-and-islands, VALUE-CHANGE variant: per user, consecutive
+    events with the same event_type collapse into one validity run —
+    the derivation that turns an event/snapshot stream into SCD
+    Type-2 history rows (each run = one valid_from/valid_to record).
+    One lag window + one running sum + one collapse agg, all keyed on
+    user_id with the exchange reused; all-integer/string output, so
+    the gate is exact."""
+    from mpes_spark.transforms.rollup import value_runs
+
+    ev = t(spark, sf_dir, "events")
+    return value_runs(
+        ev, value="event_type", order=["ts", "event_id"], group="user_id"
+    ).select(
+        "user_id", "run_seq", "event_type",
+        F.col("run_start").cast("bigint").alias("run_start"),
+        F.col("run_end").cast("bigint").alias("run_end"),
+        "n_events",
+    )
+
+
 # -- session-window scan segmentation (§2.8's batch-mode hard signal:
 #    session_window is the same grouping expression streaming uses) --------
 _SESSION_GAP_US = 7_200_000_000  # 2 hours

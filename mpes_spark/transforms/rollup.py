@@ -159,3 +159,48 @@ def finalize_rollup(rollup: DataFrame, *, sum_dp: int = 2, dp: int = 6) -> DataF
         F.round("max_m", dp).alias("max_m"),
         avg.alias("avg_m"),
     )
+
+
+def value_runs(
+    df: DataFrame,
+    value: str,
+    order: list[str],
+    group: str,
+) -> DataFrame:
+    """Collapse consecutive equal values of ``value`` (per ``group``,
+    under the ``order`` columns) into validity runs — the
+    gaps-and-islands VALUE-CHANGE variant (the time-gap variant is
+    session segmentation): (group, run_seq, value, run_start/end
+    order-key bounds, n_events). This is how SCD Type-2 dimension
+    history is derived from a snapshot/event stream — each run is one
+    valid_from/valid_to row of the history table.
+
+    Plan: one lag window marks change points, one running sum numbers
+    runs, one groupBy collapses them — all three shuffles keyed on
+    ``group`` (Spark reuses the exchange across the two windows:
+    millions of independent group partitions, no global sort).
+    NULL-safe value comparison (a NULL run is a run)."""
+    from pyspark.sql.window import Window
+
+    ocols = [F.col(c) for c in order]
+    w = Window.partitionBy(group).orderBy(*ocols)
+    # the first row is ALWAYS a change point — a bare null-safe lag
+    # compare would fuse a NULL-valued first run with "no previous
+    # row" and start run_seq at 0 (caught by the NULL-run test)
+    chg = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(F.lag(value).over(w).eqNullSafe(F.col(value)), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    run = df.withColumn("_chg", chg).withColumn(
+        "run_seq",
+        F.sum("_chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    first_order = order[0]
+    return run.groupBy(group, "run_seq", value).agg(
+        F.min(first_order).alias("run_start"),
+        F.max(first_order).alias("run_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

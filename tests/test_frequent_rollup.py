@@ -205,3 +205,26 @@ def test_dsir_sql_twin_honors_custom_predicate(spark, duck):
     assert len(got) == len(want) > 0
     assert (got["n_tokens"].to_numpy() == want["n_tokens"].to_numpy()).all()
     assert (got["weight"].to_numpy() == want["weight"].to_numpy()).all()
+
+
+def test_value_runs_hand_computed(spark):
+    """A A B B A -> three runs; NULL values form their own runs
+    (NULL-safe comparison); per-group independence."""
+    from mpes_spark.transforms.rollup import value_runs
+
+    rows = [
+        (1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "B"), (1, 50, "A"),
+        (2, 10, None), (2, 20, None), (2, 30, "C"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, pos long, v string")
+    out = sorted(
+        (r["uid"], r["run_seq"], r["v"], r["run_start"], r["run_end"], r["n_events"])
+        for r in value_runs(df, value="v", order=["pos"], group="uid").collect()
+    )
+    assert out == [
+        (1, 1, "A", 10, 20, 2),
+        (1, 2, "B", 30, 40, 2),
+        (1, 3, "A", 50, 50, 1),
+        (2, 1, None, 10, 20, 2),
+        (2, 2, "C", 30, 30, 1),
+    ]
