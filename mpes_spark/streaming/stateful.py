@@ -163,3 +163,46 @@ def checksum_maintenance_sink(*, cols, money_cols=(), name: str = "stream"):
         return (name, state["n"], state["x"])
 
     return handle, current
+
+
+def bucket_digest_maintenance_sink(
+    *, key: str, cols, money_cols=(), nbuckets: int = 64
+):
+    """``foreachBatch`` incremental MERKLE-BUCKET digests: the
+    bucketed refinement of :func:`checksum_maintenance_sink`. Per
+    micro-batch, compute the batch's per-bucket (n_rows, bit_xor
+    checksum) digests (:func:`mpes_spark.dq.partition_digests`) and
+    fold each bucket into driver state with addition / XOR — both
+    exact and associative, so the maintained relation equals the
+    batch digests of everything ingested so far. State and per-batch
+    collect are nbuckets-sized (not data-sized); comparing
+    ``current(spark)`` against a replica's batch digests via
+    :func:`mpes_spark.dq.digest_diff` localizes divergence WHILE the
+    stream runs — the online anti-entropy loop.
+
+    Returns ``(handle, current)``: ``current(spark)`` yields a
+    (bucket, n_rows, checksum) DataFrame or None before the first
+    batch."""
+    from mpes_spark.dq import partition_digests
+
+    state: dict[int, list[int]] = {}
+    seen = {"any": False}
+
+    def handle(batch, _batch_id: int) -> None:
+        rows = partition_digests(
+            batch, key, cols, money_cols, nbuckets=nbuckets
+        ).collect()  # nbuckets-bounded
+        for r in rows:
+            n, x = state.get(r.bucket, (0, 0))
+            state[r.bucket] = [n + r.n_rows, x ^ (r.checksum or 0)]
+        seen["any"] = True
+
+    def current(spark):
+        if not seen["any"]:
+            return None
+        rows = [(b, n, x) for b, (n, x) in sorted(state.items())]
+        return spark.createDataFrame(
+            rows, "bucket long, n_rows bigint, checksum bigint"
+        )
+
+    return handle, current

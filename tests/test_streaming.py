@@ -788,3 +788,61 @@ def test_cdc_feed_apply_converges_under_streaming(spark, tmp_path):
     assert state["feed_sizes"] == [3, 3, 2]
     # replica == snapshot after EVERY batch, including the last
     assert state["converged"] == [True, True, True]
+
+
+def test_bucket_digest_sink_matches_batch_and_localizes_drift(spark, tmp_path):
+    """Streaming Merkle digests: after ingesting all files, the
+    maintained per-bucket digests equal the one-shot batch digests of
+    the full table (digest_diff empty), and against a corrupted
+    replica the SAME maintained state localizes exactly the buckets
+    holding the corrupted keys."""
+    from mpes_spark.dq import digest_diff, partition_digests
+    from mpes_spark.streaming.stateful import bucket_digest_maintenance_sink
+
+    schema = "k long, name string, amount double"
+    src = str(tmp_path / "digest_src")
+    allrows = []
+    for i in range(3):
+        rows = [(i * 100 + j, f"u{j % 5}", float(j) + 0.5) for j in range(40)]
+        allrows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    cols = (["k", "name", "amount"], ["amount"])
+    handle, current = bucket_digest_maintenance_sink(
+        key="k", cols=cols[0], money_cols=cols[1], nbuckets=16
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+
+    maintained = current(spark)
+    full = spark.createDataFrame(allrows, schema)
+    batch_digests = partition_digests(full, "k", *cols, nbuckets=16)
+    assert digest_diff(maintained, batch_digests).collect() == []
+
+    # corrupt two keys in a replica -> diff localizes <= 2 buckets,
+    # and every flagged bucket really contains a corrupted key
+    corrupted = [
+        (k, n, a if k not in (7, 205) else a + 1.0) for k, n, a in allrows
+    ]
+    rep_digests = partition_digests(
+        spark.createDataFrame(corrupted, schema), "k", *cols, nbuckets=16
+    )
+    d = digest_diff(maintained, rep_digests).collect()
+    assert 1 <= len(d) <= 2
+    bad_buckets = {
+        r["bucket"]
+        for r in partition_digests(
+            full.filter(F.col("k").isin(7, 205)), "k", *cols, nbuckets=16
+        ).collect()
+    }
+    assert {r["bucket"] for r in d} == bad_buckets
