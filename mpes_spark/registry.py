@@ -2669,6 +2669,34 @@ def per_file_hist(spark, sf_dir):
 
 
 @_q(
+    "user_value_twap",
+    """
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events),
+l AS (SELECT *, lead(tns) OVER (PARTITION BY user_id
+        ORDER BY tns, event_id) AS nxt FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+       floor(round(sum(value * (CAST(nxt - tns AS DOUBLE) / 1e9)), 4)
+             / nullif(CAST(max(tns) - min(tns) AS DOUBLE) / 1e9, 0)
+             * 1000000.0 + 0.5) / 1000000.0 AS twap
+FROM l GROUP BY user_id
+""".strip(),
+)
+def user_value_twap(spark, sf_dir):
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next, so bursts of readings at a spike no longer
+    overweight the spike the way a plain AVG does. One lead window +
+    one agg keyed on user_id; durations rescale to seconds so the
+    4dp sum rounding absorbs cross-engine summation-order ulps, and
+    the final ratio uses the portable floor-round. Tie order under
+    equal timestamps is pinned by event_id on both engines (the tied
+    row gets zero duration — WHICH row gets it changes the sum)."""
+    from mpes_spark.transforms.rollup import time_weighted_avg
+
+    ev = t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, ts="ts", value="value", group="user_id")
+
+
+@_q(
     "event_type_runs",
     """
 WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS tns FROM events),

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["time_rollup", "coarsen", "finalize_rollup"]
+__all__ = ["time_rollup", "coarsen", "finalize_rollup", "value_runs", "time_weighted_avg"]
 
 _MEASURES = ("cnt", "sum_m", "min_m", "max_m")
 
@@ -203,4 +203,51 @@ def value_runs(
         F.min(first_order).alias("run_start"),
         F.max(first_order).alias("run_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    group: str,
+    tiebreak: str = "event_id",
+    sum_dp: int = 4,
+    dp: int = 6,
+) -> DataFrame:
+    """Time-weighted average of an irregularly-sampled series per
+    group: each observation holds until the next one, so
+    ``twap = sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first)`` — the
+    TWAP/duration-weighted metric a plain AVG gets wrong whenever
+    sampling density correlates with level (bursts of readings at a
+    spike overweight the spike). The last observation of each group
+    carries no duration and contributes nothing (standard left-closed
+    convention). Groups with a single observation (zero total
+    duration) return NULL.
+
+    One lead window + one agg, both keyed on ``group``; the exchange
+    is reused. Tie order under equal timestamps is pinned by
+    ``tiebreak`` (ties carry zero duration, but WHICH row gets the
+    zero changes the sum — both engines must agree). The weighted sum
+    is rounded once before the divide (the cross-engine money rule)
+    and the ratio floor-rounded to ``dp`` (the portable half-up
+    round; see extras/similarity._pround6)."""
+    from pyspark.sql.window import Window
+
+    from pyspark.sql.window import Window as _W  # noqa: F811
+
+    w = Window.partitionBy(group).orderBy(F.col(ts), F.col(tiebreak))
+    d = df.withColumn("_nxt", F.lead(ts).over(w))
+    # durations rescale to SECONDS before the weighted sum: at nanos
+    # magnitude (~1e13) a double's ulp exceeds the 4dp determinism
+    # rounding, so summation-order differences would survive; at
+    # seconds magnitude round(sum, 4) absorbs them (the money rule)
+    dt = (F.col("_nxt") - F.col(ts)).cast("double") / F.lit(1e9)
+    num = F.round(F.sum(F.col(value) * dt), sum_dp)
+    den = (F.max(ts) - F.min(ts)).cast("double") / F.lit(1e9)
+    ratio = F.try_divide(num, F.nullif(den, F.lit(0.0)))
+    twap = F.floor(ratio * F.lit(10.0 ** dp) + F.lit(0.5)) / F.lit(10.0 ** dp)
+    return d.groupBy(group).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        twap.alias("twap"),
     )

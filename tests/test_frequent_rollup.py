@@ -228,3 +228,23 @@ def test_value_runs_hand_computed(spark):
         (2, 1, None, 10, 20, 2),
         (2, 2, "C", 30, 30, 1),
     ]
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    """Value 10 held for 30s then 100 for 10s: TWAP = (10*30 +
+    100*10)/40 = 32.5 — a plain AVG of the three samples would say
+    ~43.3 (base nanos; single-observation groups yield NULL)."""
+    from mpes_spark.transforms.rollup import time_weighted_avg
+
+    G = 1_000_000_000
+    rows = [
+        (1, 1, 0 * G, 10.0),
+        (1, 2, 30 * G, 100.0),
+        (1, 3, 40 * G, 7.0),   # last obs: no duration, no weight
+        (2, 4, 5 * G, 99.0),   # singleton -> NULL twap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts long, value double")
+    out = {r["user_id"]: r for r in
+           time_weighted_avg(df, ts="ts", value="value", group="user_id").collect()}
+    assert out[1]["n_obs"] == 3 and out[1]["twap"] == 32.5
+    assert out[2]["n_obs"] == 1 and out[2]["twap"] is None
