@@ -520,6 +520,7 @@ def prefix_filtered_pairs(
     df: DataFrame,
     text: str = "text",
     threshold: float = 0.9,
+    n: int = 3,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """All-pairs set-similarity join via RARE-TOKEN prefix filtering
@@ -542,19 +543,45 @@ def prefix_filtered_pairs(
     candidates at all, with zero recall loss (LSH trades recall;
     first-token blocking misses reordered text). Shuffles: one df
     agg, one doc-keyed window for prefixes, one equi-join on prefix
-    token, then :func:`verify_jaccard` on the candidate set."""
-    toks = token_sets(df, text, id_col).persist()
+    token, then :func:`verify_jaccard` on the candidate set.
+
+    ``n`` picks the set element: word ``n``-grams (default 3) or
+    unigram tokens (n=1). The element space matters as much as the
+    algorithm: prefix filtering needs a LONG RARE TAIL in the df
+    distribution to prune (real text has hapax legomena). Under a
+    small fixed vocabulary every unigram's df scales linearly with
+    the corpus and no token is ever rare — measured 142 s at sf0.1
+    (50k docs) for unigrams vs seconds for 3-gram shingles, whose
+    combinatorial space keeps most elements rare at any corpus
+    size (SCALING.md). Same completeness theorem either way."""
+    toks = (
+        token_sets(df, text, id_col)
+        if n == 1
+        else shingle_table(df, text, n, id_col)
+    ).persist()
+    # element df via agg + equi-join, NOT a sh-keyed window: a window
+    # would buffer each shingle's whole partition — a ubiquitous
+    # element at 100 TB is one giant buffered partition, while the
+    # agg is map-side combined and the join AQE-skew-splittable
     dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
+    wn = Window.partitionBy(id_col)
     prefix = (
         toks.join(dfreq, "sh")
+        # doc size rides the SAME doc-keyed exchange as the ranking
+        # window (doc partitions are document-length-bounded — safe to
+        # window, and it saves the separate sizes agg + join)
         .withColumn("rn", F.row_number().over(w))
-        .join(sizes, id_col)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
         .filter(
             F.col("rn")
             <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
         )
+        # df=1 elements collide with nobody — dropping them from the
+        # candidate join loses no pair (a match needs a SHARED prefix
+        # element) and removes every singleton join key; with a long
+        # rare tail that is most of the prefix relation
+        .filter(F.col("tdf") >= 2)
         .select(F.col(id_col), "sh")
     )
     a = prefix.select(F.col(id_col).alias("id_a"), "sh")
@@ -569,21 +596,33 @@ def prefix_filtered_pairs(
 
 
 def prefix_filtered_pairs_sql(
-    table: str, dialect: str, threshold: float = 0.9, id_col: str = "doc_id"
+    table: str,
+    dialect: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
 ) -> str:
     """Dual-dialect SQL twin of :func:`prefix_filtered_pairs`. The
     threshold is inlined as ``CAST(repr AS DOUBLE)`` (the shared-SQL
     convention) and the prefix bound ``n - ceil(n*t) + 1`` evaluates
     identically in both engines on the same doubles."""
     t_lit = f"CAST('{threshold!r}' AS DOUBLE)"
-    if dialect == "spark":
-        tok = f"explode(array_distinct(split(text, ' ')))"
+    if n > 1:
+        toks_cte = _shingle_cte(table, n, dialect, id_col)
+    elif dialect == "spark":
+        toks_cte = (
+            f"SELECT {id_col}, explode(array_distinct(split(text, ' ')))"
+            f" AS sh FROM {table}"
+        )
     elif dialect == "duckdb":
-        tok = f"unnest(list_distinct(string_split(text, ' ')))"
+        toks_cte = (
+            f"SELECT {id_col}, unnest(list_distinct(string_split(text, ' ')))"
+            f" AS sh FROM {table}"
+        )
     else:
         raise ValueError(dialect)
     return f"""
-WITH toks AS (SELECT {id_col}, {tok} AS sh FROM {table}),
+WITH toks AS ({toks_cte}),
 dfreq AS (SELECT sh, count(*) AS tdf FROM toks GROUP BY sh),
 sizes AS (SELECT {id_col}, count(*) AS n FROM toks GROUP BY {id_col}),
 prefix AS (

@@ -435,17 +435,20 @@ def neardup_containment(spark, sf_dir):
 
 @_q(
     "neardup_prefix_filter",
-    DD.prefix_filtered_pairs_sql("documents", "duckdb", threshold=0.9),
+    DD.prefix_filtered_pairs_sql("documents", "duckdb", threshold=0.7, n=3),
 )
 def neardup_prefix_filter(spark, sf_dir):
-    """All-pairs token-set similarity join via rare-token PREFIX
-    filtering (PPJoin family): candidates only from collisions among
-    each doc's p = n - ceil(t*n) + 1 globally-rarest tokens — COMPLETE
-    at Jaccard >= t (no recall trade, unlike LSH), and ubiquitous
-    tokens never generate candidates. Exact-Jaccard verify on the
-    candidate set; completeness-vs-brute-force property test in
+    """All-pairs 3-gram-shingle similarity join via rare-element
+    PREFIX filtering (PPJoin family): candidates only from collisions
+    among each doc's p = n - ceil(t*n) + 1 globally-rarest shingles —
+    COMPLETE at Jaccard >= t (no recall trade, unlike LSH), and
+    ubiquitous elements never generate candidates. Shingles, not
+    unigrams: prefix filtering prunes only when the df distribution
+    has a rare tail, which a fixed-vocab corpus's unigrams lack
+    (measured 142 s vs ~3 s at sf0.1 — SCALING.md). Exact-Jaccard
+    verify; completeness-vs-brute-force property test in
     tests/test_extras.py."""
-    return DD.prefix_filtered_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return DD.prefix_filtered_pairs(_docs(spark, sf_dir), threshold=0.7, n=3)
 
 
 @_q("ngram_novelty", DD.ngram_novelty_sql("documents", "duckdb", n=3))

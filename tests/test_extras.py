@@ -1583,7 +1583,7 @@ def test_prefix_filter_complete_vs_brute_force(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in prefix_filtered_pairs(docs, threshold=t).collect()
+        for r in prefix_filtered_pairs(docs, threshold=t, n=1).collect()
     }
     # brute force over all pairs in python
     sets = {i: set(s.split()) for i, s in rows}
@@ -1594,6 +1594,23 @@ def test_prefix_filter_complete_vs_brute_force(spark):
             want[(a, b)] = round(j, 6)
     assert want, "fixture must produce matching pairs"
     assert got == want
+
+    # shingle mode (n=3): same completeness property on 3-gram sets
+    got3 = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_pairs(docs, threshold=t, n=3).collect()
+    }
+    def sh3(text):
+        ws = text.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    sets3 = {i: sh3(s) for i, s in rows if len(s.split()) >= 3}
+    want3 = {}
+    for a, b in itertools.combinations(sorted(sets3), 2):
+        j = len(sets3[a] & sets3[b]) / len(sets3[a] | sets3[b])
+        if j >= t:
+            want3[(a, b)] = round(j, 6)
+    assert want3, "fixture must produce matching shingle pairs"
+    assert got3 == want3
 
 
 def test_rouge_n_hand_computed(spark):
