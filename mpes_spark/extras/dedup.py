@@ -583,6 +583,10 @@ def prefix_filtered_pairs(
         # rare tail that is most of the prefix relation
         .filter(F.col("tdf") >= 2)
         .select(F.col(id_col), "sh")
+        # consumed as BOTH sides of the candidate self-join — persist,
+        # or the df-join + both windows execute twice (plan showed 4
+        # Window ops before, 2 after)
+        .persist()
     )
     a = prefix.select(F.col(id_col).alias("id_a"), "sh")
     b = prefix.select(F.col(id_col).alias("id_b"), "sh")

@@ -653,3 +653,45 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", old
         )
+
+
+def test_triangle_closure_is_semi_join(spark):
+    """The wedge-closure check must render as a LeftSemi join (probe
+    existence, no row multiplication) — a closing edge matching a
+    wedge twice must not double-count the triangle."""
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["copurchase_triangles"](spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_filter_windows_computed_once(spark):
+    """The prefix relation feeds BOTH sides of the candidate
+    self-join; without pinning, the df-join and both window passes
+    execute twice (observed: 4 Window operators). The persist must
+    keep it at exactly the two distinct window specs (ranking +
+    doc-size), sharing one doc-keyed exchange."""
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["neardup_prefix_filter"](spark, SF_SMALL))
+    # every Window op must live INSIDE the pinned (cached) prefix
+    # relation — the top-level plan (text before the first cached-plan
+    # rendering) re-executes none of them; each InMemoryTableScan
+    # merely re-PRINTS the cached relation's plan below it
+    top = plan.split("InMemoryRelation")[0]
+    assert top.count("Window") == 0, top.count("Window")
+    assert plan.count("InMemoryTableScan") >= 2  # both join sides read cache
+
+
+def test_partition_digest_diff_is_bucket_sized(spark):
+    """Replica diff must be two aggregation scans + ONE full-outer
+    join on the bucket key — data rows never shuffle beyond the two
+    map-side-combined digests."""
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["partition_digest_diff"](spark, SF_SMALL))
+    assert "FullOuter" in plan
+    # one join total (the bucket-keyed full outer); everything else
+    # is aggregation
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
