@@ -161,33 +161,55 @@ def pagerank(
     return rank.select("node", F.col("r").alias("rank"))
 
 
-def pagerank_sql(edges_sql: str, iters: int = 3, damping: float = 0.85) -> str:
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    weighted: bool = False,
+) -> str:
     """DuckDB oracle twin: the SAME k power-iteration steps as
     :func:`pagerank` (normalized output), textually unrolled into
     chained CTEs — no recursive CTE, because the recursive term may
     not aggregate over its own reference. Arithmetic is written in
     the exact expression shape the Spark side evaluates, with the
     Python-precomputed ``1 - damping`` literal inlined, so the only
-    cross-engine drift is per-group float summation order."""
+    cross-engine drift is per-group float summation order.
+
+    ``weighted=True`` mirrors :func:`pagerank`'s ``weight=`` mode:
+    ``edges_sql`` must then yield (src, dst, w); outdeg becomes the
+    per-source weight SUM, contributions ``r * w / outdeg``, and a
+    source with weight sum <= 0 counts as dangling (the engine's
+    mass-conservation rule). Keep the weights integer-valued (counts)
+    so the outdeg sums are exact in both engines."""
     one_minus_d = 1.0 - damping
+    deg_expr = (
+        "CAST(sum(w) AS DOUBLE)" if weighted else "CAST(count(*) AS DOUBLE)"
+    )
+    contrib_expr = "p.r * e.w / deg.outdeg" if weighted else "p.r / deg.outdeg"
+    dangling_pred = (
+        "deg.outdeg IS NULL OR deg.outdeg <= 0"
+        if weighted
+        else "deg.outdeg IS NULL"
+    )
+    contrib_deg_pred = " AND deg.outdeg > 0" if weighted else ""
     parts = [
         f"WITH e AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg"
+        f"deg AS (SELECT src AS node, {deg_expr} AS outdeg"
         " FROM e GROUP BY src)",
         "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
         p = f"r{i - 1}"
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node, sum(p.r / deg.outdeg) AS c"
+            f"c{i} AS (SELECT e.dst AS node, sum({contrib_expr}) AS c"
             f" FROM e JOIN {p} p ON e.src = p.node"
-            f" JOIN deg ON deg.node = e.src GROUP BY e.dst)"
+            f" JOIN deg ON deg.node = e.src{contrib_deg_pred} GROUP BY e.dst)"
         )
         parts.append(
             f"d{i} AS (SELECT coalesce(sum(p.r), 0.0) AS dm FROM {p} p"
-            f" LEFT JOIN deg ON deg.node = p.node WHERE deg.outdeg IS NULL)"
+            f" LEFT JOIN deg ON deg.node = p.node WHERE {dangling_pred})"
         )
         parts.append(
             f"r{i} AS (SELECT nodes.node,"

@@ -1556,6 +1556,66 @@ def label_communities(spark, sf_dir):
     return label_propagation(edges, iters=3)
 
 
+_PR_WEDGES_SQL = (
+    "SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM ("
+    "SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+    "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "UNION ALL "
+    "SELECT 's' || CAST(l_suppkey AS VARCHAR), "
+    "'c' || CAST(o_custkey AS VARCHAR) "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey"
+    ") t GROUP BY src, dst"
+)
+
+
+@_q(
+    "pagerank_weighted",
+    _pagerank_sql(_PR_WEDGES_SQL, iters=3, damping=0.85, weighted=True),
+)
+def pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank over the customer<->supplier trade graph:
+    edge weight = co-trade multiplicity (how many line items connect
+    the pair), so each source distributes rank proportionally to
+    trade volume instead of uniformly — outdeg becomes the per-source
+    weight SUM, contributions r*w/sum_w, weight-sum<=0 sources count
+    as dangling (mass conservation). Weights are integer counts, so
+    the outdeg sums are exact in both engines; same one-pass
+    explode-symmetrize and per-iteration plan shape as
+    pagerank_custsupp, with the count agg replacing the distinct."""
+    from mpes_spark.analysis.graph import pagerank
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(
+        edges,
+        iters=3,
+        damping=0.85,
+        normalize=True,
+        partitions=spark.sparkContext.defaultParallelism,
+        checkpoint_every=1,
+        weight="w",
+    )
+    return pr.select("node", F.round("rank_norm", 6).alias("rank_norm"))
+
+
 _COPURCHASE_EDGES_SQL = (
     "SELECT a.l_partkey AS src, b.l_partkey AS dst "
     "FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a "

@@ -573,3 +573,29 @@ def test_triangle_count_star_skew(spark):
     df2 = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df2).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_weighted_pagerank_uniform_reduces_to_unweighted(spark):
+    """The documented reduction: constant edge weights give exactly
+    the unweighted ranks (w/sum_w == 1/outdeg per source). And a
+    skewed weight shifts rank toward the heavy target."""
+    from mpes_spark.analysis.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    dfw = df.withColumn("w", F.lit(7.0))
+    base = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+    unif = {
+        r["node"]: r["rank"]
+        for r in pagerank(dfw, iters=3, weight="w").collect()
+    }
+    assert base == unif  # bit-exact, not approximately
+
+    skew = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (2, 3, 1.0),
+         (3, 1, 1.0), (3, 2, 1.0)],
+        "src long, dst long, w double",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(skew, iters=3, weight="w").collect()}
+    assert ranks[2] > ranks[3]  # node 1 routes 90% of its mass to 2
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
