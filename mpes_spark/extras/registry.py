@@ -631,6 +631,34 @@ def rouge2_eval(spark, sf_dir):
 
 
 @_q(
+    "bleu2_eval",
+    SR.bleu2_sql(
+        "SELECT a.doc_id AS pair_id, a.text AS ref_text, b.text AS cand_text "
+        "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 "
+        "AND a.doc_id < 40"
+    ),
+)
+def bleu2_eval(spark, sf_dir):
+    """Sentence-level BLEU-2 (clipped n-gram precision + brevity
+    penalty) over the same consecutive-pair relation as
+    `rouge2_eval` — the precision-family twin of that recall-family
+    metric, closing the standard generated-data grading pair.
+    Integer counts end-to-end; the geometric mean is mul+sqrt (both
+    correctly rounded -> bit-identical cross-engine); only the
+    brevity penalty's exp() carries the usual ulp-class residual,
+    confined by the floor-based 6 dp round."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("ref_text")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("text").alias("cand_text"),
+    )
+    return SR.bleu2(a.join(b, "pair_id"))
+
+
+@_q(
     "dataset_split_counts",
     "SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs, "
     "CAST(sum(n_chars) AS BIGINT) AS total_chars FROM ("

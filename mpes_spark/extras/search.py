@@ -1093,3 +1093,174 @@ SELECT {pair_id}, overlap, total_ref, total_cand,
             ELSE round(2 * p * r / (p + r), 6) END AS rouge_f1
 FROM s
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# generation eval: BLEU-2 (clipped n-gram precision + brevity penalty)
+# ---------------------------------------------------------------------------
+
+def bleu2(
+    pairs: DataFrame,
+    ref: str = "ref_text",
+    cand: str = "cand_text",
+    pair_id: str = "pair_id",
+) -> DataFrame:
+    """Sentence-level BLEU-2 (Papineni et al. 2002) per (reference,
+    candidate) pair: clipped unigram and bigram precisions p1, p2
+    (multiset ``min(cnt_cand, cnt_ref)`` overlap over the CANDIDATE
+    totals — BLEU is precision-family where ROUGE is recall-family),
+    geometric mean ``sqrt(p1 * p2)``, and the brevity penalty
+    ``min(1, exp(1 - ref_len/cand_len))`` that punishes short
+    candidates precision can't. The generated-data grading loop's
+    second standard metric next to :func:`rouge_n`.
+
+    Cross-engine exactness: every count is integer; p1/p2 are IEEE
+    divisions of identical integers, the geometric mean is one
+    multiply + one sqrt (both correctly rounded, so bit-identical);
+    only the brevity penalty's exp() can differ by an ulp between
+    libms, confined by the floor-based half-up 6 dp round (same
+    residual class as the lm_perplexity ln()). Zero bigram overlap
+    (or a candidate shorter than 2 tokens) scores bleu2 = 0 — the
+    standard unsmoothed convention, identical in both engines.
+
+    Plan: two (pair, gram, cnt) count aggs per n, clipped overlap via
+    one equi-join each — four key-partitioned aggs and two joins, all
+    on (pair_id, gram); no driver state, no all-pairs anywhere.
+    """
+    from mpes_spark.extras.similarity import _pround6
+    from mpes_spark.extras.text import word_ngrams_expr
+
+    def side_counts(col: str, n: int, side: str) -> DataFrame:
+        return (
+            pairs.select(
+                F.col(pair_id),
+                F.explode(word_ngrams_expr(n, col)).alias("g"),
+            )
+            .groupBy(pair_id, "g")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    def clipped(n: int) -> DataFrame:
+        rc = side_counts(ref, n, "ref")
+        cc = side_counts(cand, n, "cand")
+        ov = (
+            rc.join(cc, [pair_id, "g"])
+            .groupBy(pair_id)
+            .agg(F.sum(F.least("c_ref", "c_cand")).alias(f"ov{n}"))
+        )
+        tot = cc.groupBy(pair_id).agg(F.sum("c_cand").alias(f"tot{n}"))
+        return tot.join(ov, pair_id, "left").select(
+            pair_id,
+            F.coalesce(f"ov{n}", F.lit(0)).cast("bigint").alias(f"ov{n}"),
+            F.col(f"tot{n}").cast("bigint").alias(f"tot{n}"),
+        )
+
+    lens = pairs.select(
+        F.col(pair_id),
+        F.size(F.split(F.col(ref), " ")).cast("bigint").alias("ref_len"),
+        F.size(F.split(F.col(cand), " ")).cast("bigint").alias("cand_len"),
+    )
+    j = lens.join(clipped(1), pair_id).join(clipped(2), pair_id, "left")
+    j = j.select(
+        pair_id,
+        "ref_len",
+        "cand_len",
+        "ov1",
+        "tot1",
+        F.coalesce("ov2", F.lit(0)).cast("bigint").alias("ov2"),
+        F.coalesce("tot2", F.lit(0)).cast("bigint").alias("tot2"),
+    )
+    p1 = F.col("ov1") / F.col("tot1")
+    p2 = F.col("ov2") / F.col("tot2")
+    bp = F.when(F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("ref_len") / F.col("cand_len"))
+    )
+    zero = (F.col("ov1") == 0) | (F.col("ov2") == 0) | (F.col("tot2") == 0)
+    return j.select(
+        pair_id,
+        "ref_len",
+        "cand_len",
+        "ov1",
+        "tot1",
+        "ov2",
+        "tot2",
+        _pround6(bp).alias("brevity_penalty"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(_pround6(bp * F.sqrt(p1 * p2)))
+        .alias("bleu2"),
+    )
+
+
+def bleu2_sql(
+    pairs_sql: str,
+    ref: str = "ref_text",
+    cand: str = "cand_text",
+    pair_id: str = "pair_id",
+) -> str:
+    """DuckDB twin of :func:`bleu2`; same integer pipeline, same
+    floor-based half-up 6 dp round (``floor(x*1e6+0.5)/1e6``)."""
+    from mpes_spark.extras.text import word_ngrams_sql
+
+    def grams(col: str, n: int) -> str:
+        return (
+            f"SELECT {pair_id}, unnest({word_ngrams_sql(n, col)}) AS g "
+            "FROM p"
+        )
+
+    ctes = []
+    for n in (1, 2):
+        ctes.append(
+            f"rc{n} AS (SELECT {pair_id}, g, count(*) AS c_ref "
+            f"FROM ({grams(ref, n)}) t GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"cc{n} AS (SELECT {pair_id}, g, count(*) AS c_cand "
+            f"FROM ({grams(cand, n)}) t GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"ov{n} AS (SELECT rc{n}.{pair_id}, "
+            f"sum(least(rc{n}.c_ref, cc{n}.c_cand)) AS ov "
+            f"FROM rc{n} JOIN cc{n} ON cc{n}.{pair_id} = rc{n}.{pair_id} "
+            f"AND cc{n}.g = rc{n}.g GROUP BY 1)"
+        )
+        ctes.append(
+            f"tc{n} AS (SELECT {pair_id}, sum(c_cand) AS tot "
+            f"FROM cc{n} GROUP BY 1)"
+        )
+    cte_sql = ",\n".join(ctes)
+    return f"""
+WITH p AS ({pairs_sql}),
+{cte_sql},
+lens AS (
+  SELECT {pair_id},
+         CAST(len(string_split({ref}, ' ')) AS BIGINT) AS ref_len,
+         CAST(len(string_split({cand}, ' ')) AS BIGINT) AS cand_len
+  FROM p
+),
+s AS (
+  SELECT lens.{pair_id}, ref_len, cand_len,
+         CAST(coalesce(ov1.ov, 0) AS BIGINT) AS ov1,
+         CAST(tc1.tot AS BIGINT) AS tot1,
+         CAST(coalesce(ov2.ov, 0) AS BIGINT) AS ov2,
+         CAST(coalesce(tc2.tot, 0) AS BIGINT) AS tot2
+  FROM lens
+  JOIN tc1 ON tc1.{pair_id} = lens.{pair_id}
+  LEFT JOIN ov1 ON ov1.{pair_id} = lens.{pair_id}
+  LEFT JOIN tc2 ON tc2.{pair_id} = lens.{pair_id}
+  LEFT JOIN ov2 ON ov2.{pair_id} = lens.{pair_id}
+),
+f AS (
+  SELECT *,
+         CASE WHEN cand_len >= ref_len THEN 1.0
+              ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END AS bp,
+         CAST(ov1 AS DOUBLE) / tot1 AS p1,
+         CAST(ov2 AS DOUBLE) / nullif(tot2, 0) AS p2
+  FROM s
+)
+SELECT {pair_id}, ref_len, cand_len, ov1, tot1, ov2, tot2,
+       floor(bp * 1e6 + 0.5) / 1e6 AS brevity_penalty,
+       CASE WHEN ov1 = 0 OR ov2 = 0 OR tot2 = 0 THEN 0.0
+            ELSE floor(bp * sqrt(p1 * p2) * 1e6 + 0.5) / 1e6
+       END AS bleu2
+FROM f
+""".strip()

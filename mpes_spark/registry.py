@@ -3493,6 +3493,171 @@ def binary_ingest_hist(spark, sf_dir):
     )
 
 
+# -- incremental join maintenance (delta rule; the join half of IVM) -------
+
+_IVM_T0 = "2000-01-01"
+_IVM_T1 = "2000-07-01"
+
+_JOIN_IVM_SQL = f"""
+WITH lo AS (SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderdate < TIMESTAMP '{_IVM_T0}'),
+ld AS (SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderdate >= TIMESTAMP '{_IVM_T0}'
+         AND o_orderdate < TIMESTAMP '{_IVM_T1}'),
+ro AS (SELECT l_orderkey, l_returnflag,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       FROM lineitem WHERE l_shipdate < TIMESTAMP '{_IVM_T0}'),
+rd AS (SELECT l_orderkey, l_returnflag,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       FROM lineitem WHERE l_shipdate >= TIMESTAMP '{_IVM_T0}'
+         AND l_shipdate < TIMESTAMP '{_IVM_T1}'),
+newj AS (
+  SELECT o.o_orderpriority, r.l_returnflag,
+         count(*) AS c, sum(r.cents) AS s
+  FROM (SELECT * FROM lo UNION ALL SELECT * FROM ld) o
+  JOIN (SELECT * FROM ro UNION ALL SELECT * FROM rd) r
+    ON r.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+oldj AS (
+  SELECT o.o_orderpriority, r.l_returnflag,
+         count(*) AS c, sum(r.cents) AS s
+  FROM lo o JOIN ro r ON r.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2)
+SELECT n.o_orderpriority, n.l_returnflag,
+       CAST(n.c - coalesce(o.c, 0) AS BIGINT) AS delta_rows,
+       CAST(n.s - coalesce(o.s, 0) AS BIGINT) AS delta_cents
+FROM newj n LEFT JOIN oldj o
+  ON o.o_orderpriority = n.o_orderpriority
+ AND o.l_returnflag = n.l_returnflag
+WHERE n.c - coalesce(o.c, 0) > 0
+""".strip()
+
+
+@_q("join_ivm_delta", _JOIN_IVM_SQL)
+def join_ivm_delta(spark, sf_dir):
+    """Incremental view maintenance of a join under inserts: both
+    sides of orders ⋈ lineitem receive a 6-month increment, and the
+    materialized view advances by the three delta-rule terms
+    ``ΔL ⋈ R ∪ L ⋈ ΔR ∪ ΔL ⋈ ΔR`` (transforms/cdc.join_delta) —
+    work scales with the increment, never the base. The DuckDB twin
+    derives the same rows INDEPENDENTLY (full new join minus full
+    old join as per-group count/sum differences), so the gate proves
+    the delta rule itself, not a shared formula. Money is compared
+    as exact cent BIGINTs: a float sum over delta rows would not
+    equal the difference of two float sums."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    odt = dict(o.dtypes)["o_orderdate"]
+    t0 = F.lit(_IVM_T0).cast(odt)
+    t1 = F.lit(_IVM_T1).cast(odt)
+    osel = o.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    lsel = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_shipdate",
+    )
+    l_old = osel.filter(F.col("o_orderdate") < t0).drop("o_orderdate")
+    l_delta = osel.filter(
+        (F.col("o_orderdate") >= t0) & (F.col("o_orderdate") < t1)
+    ).drop("o_orderdate")
+    r_old = lsel.filter(F.col("l_shipdate") < t0).drop("l_shipdate")
+    r_delta = lsel.filter(
+        (F.col("l_shipdate") >= t0) & (F.col("l_shipdate") < t1)
+    ).drop("l_shipdate")
+    from mpes_spark.transforms.cdc import join_delta
+
+    delta = join_delta(l_old, l_delta, r_old, r_delta, on="o_orderkey")
+    return delta.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("delta_rows"),
+        F.sum("cents").cast("bigint").alias("delta_cents"),
+    )
+
+
+# -- blocked entity resolution (record linkage, multi-pass blocking) -------
+
+def _linkage_rels() -> tuple[str, str]:
+    """(mentions_sql, canon_sql) for the DuckDB twin: canonical
+    12-hex-char entity names derived from c_custkey via md5 (the
+    portable hash family), mentions = every third entity with ONE
+    character substituted at position 1 + custkey % 12 — so roughly
+    a third of the corruptions break any single blocking key, and
+    only the two-pass union recovers full recall."""
+    canon = (
+        "SELECT c_custkey AS canon_id, "
+        "substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS canon_name "
+        "FROM customer"
+    )
+    mentions = (
+        "SELECT c_custkey AS mention_id, "
+        "concat(substring(nm, 1, p - 1), 'z', substring(nm, p + 1, 12)) "
+        "AS mention_name FROM ("
+        "  SELECT c_custkey, "
+        "  substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS nm, "
+        "  CAST(1 + c_custkey % 12 AS INTEGER) AS p "
+        "  FROM customer WHERE c_custkey % 3 = 0) q"
+    )
+    return mentions, canon
+
+
+_LINKAGE_BLOCKS = ["substring({n}, 1, 4)", "substring({n}, 9, 4)"]
+
+
+def _linkage_sql() -> str:
+    from mpes_spark.extras.linkage import blocked_best_match_sql
+
+    mentions, canon = _linkage_rels()
+    return blocked_best_match_sql(
+        mentions, canon, _LINKAGE_BLOCKS, max_dist=3, max_block=50
+    )
+
+
+@_q("entity_match_blocked", _linkage_sql())
+def entity_match_blocked(spark, sf_dir):
+    """Record linkage with multi-pass blocking (Fellegi-Sunter /
+    Christen): mention strings resolve to a canonical entity table
+    via two cheap block keys (name[1:4], name[9:12]) — candidate
+    pairs form ONLY inside blocks, the levenshtein runs only on
+    co-blocked pairs, and a per-mention window argmin (ties to the
+    lowest id) picks the match. The corruptions are planted so each
+    blocking pass alone misses ~a third of true matches — the union
+    is what reaches 100% recall (pinned by pytest). ``max_block``
+    exercises the oversized-block skew guard. All-integer distances:
+    the hash gate is exact."""
+    from mpes_spark.extras.linkage import blocked_best_match
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    name = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
+    canon = c.select(
+        F.col("c_custkey").alias("canon_id"), name.alias("canon_name")
+    )
+    mentions = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("mention_id"),
+            name.alias("nm"),
+            (1 + F.col("c_custkey") % 12).cast("int").alias("p"),
+        )
+        .select(
+            "mention_id",
+            F.concat(
+                F.expr("substring(nm, 1, p - 1)"),
+                F.lit("z"),
+                F.expr("substring(nm, p + 1, 12)"),
+            ).alias("mention_name"),
+        )
+    )
+    blocks = [
+        lambda n: F.substring(n, 1, 4),
+        lambda n: F.substring(n, 9, 4),
+    ]
+    return blocked_best_match(
+        mentions, canon, blocks, max_dist=3, max_block=50
+    )
+
+
 # ===========================================================================
 # public accessors
 # ===========================================================================

@@ -1653,3 +1653,102 @@ def test_domain_cap_semantics(spark):
     assert sorted(by_src["s1"]) == [0, 1, 2]
     assert sorted(by_src["s2"]) == [10, 11, 12]
     assert all(r["keep_rank"] <= 3 for r in out)
+
+
+def test_bleu2_hand_computed(spark):
+    """Worked BLEU-2: clipped precisions over CANDIDATE totals, mul+
+    sqrt geometric mean, exp brevity penalty on short candidates."""
+    from mpes_spark.extras.search import bleu2
+
+    pairs = spark.createDataFrame(
+        [
+            # cand unigrams the:2 cat:2 -> ov1 = 1+1 = 2 of tot1 4;
+            # cand bigrams {the cat:2, cat the:1} -> ov2 = 1 of 3
+            (1, "the cat sat down", "the cat the cat"),
+            (2, "a b c", "a b c"),  # identical -> 1.0
+            (3, "x y z", "p q r"),  # disjoint -> 0.0
+            # perfect precision, short candidate: bp = exp(1 - 6/3)
+            (4, "a b c d e f", "a b c"),
+        ],
+        "pair_id long, ref_text string, cand_text string",
+    )
+    out = {r["pair_id"]: r for r in bleu2(pairs).collect()}
+    r1 = out[1]
+    assert (r1["ov1"], r1["tot1"], r1["ov2"], r1["tot2"]) == (2, 4, 1, 3)
+    assert r1["brevity_penalty"] == 1.0
+    import math
+
+    want = math.floor(math.sqrt(0.5 * (1 / 3)) * 1e6 + 0.5) / 1e6
+    assert r1["bleu2"] == want
+    assert out[2]["bleu2"] == 1.0
+    assert out[3]["bleu2"] == 0.0
+    r4 = out[4]
+    bp = math.floor(math.exp(1 - 6 / 3) * 1e6 + 0.5) / 1e6
+    assert r4["brevity_penalty"] == bp
+    assert r4["bleu2"] == bp  # p1 = p2 = 1
+
+
+def test_blocked_best_match_recall_and_passes(spark):
+    """Every planted corruption resolves under two-pass blocking;
+    a single pass misses exactly the mentions whose corrupted char
+    falls inside that pass's block key."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.linkage import blocked_best_match
+
+    names = {
+        1: "abcd1234wxyz",
+        2: "efgh5678stuv",
+        3: "ijkl9012qrst",
+        4: "mnop3456uvwx",
+    }
+    canon = spark.createDataFrame(
+        list(names.items()), "canon_id long, canon_name string"
+    )
+    # corrupt position 2 (inside left block), 6 (middle), 10 (right)
+    def corrupt(s, p):
+        return s[: p - 1] + "z" + s[p:]
+
+    mentions = spark.createDataFrame(
+        [
+            (101, corrupt(names[1], 2)),
+            (102, corrupt(names[2], 6)),
+            (103, corrupt(names[3], 10)),
+        ],
+        "mention_id long, mention_name string",
+    )
+    left = lambda n: F.substring(n, 1, 4)  # noqa: E731
+    right = lambda n: F.substring(n, 9, 4)  # noqa: E731
+    both = blocked_best_match(mentions, canon, [left, right], max_dist=3)
+    got = {r["mention_id"]: r["canon_id"] for r in both.collect()}
+    assert got == {101: 1, 102: 2, 103: 3}
+    assert all(
+        r["lev_dist"] == 1 for r in both.collect()
+    )
+    # left-only blocking loses the left-corrupted mention
+    only_left = blocked_best_match(mentions, canon, [left], max_dist=3)
+    got_l = {r["mention_id"]: r["canon_id"] for r in only_left.collect()}
+    assert got_l == {102: 2, 103: 3}
+
+
+def test_blocked_best_match_block_cap(spark):
+    """Oversized blocks are dropped BEFORE the join: with a cap of 2,
+    a 3-member canonical block generates no candidates at all."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.linkage import blocked_best_match
+
+    canon = spark.createDataFrame(
+        [(1, "aaaa1111"), (2, "aaaa2222"), (3, "aaaa3333"), (4, "bbbb4444")],
+        "canon_id long, canon_name string",
+    )
+    mentions = spark.createDataFrame(
+        [(10, "aaaa1112"), (11, "bbbb4445")],
+        "mention_id long, mention_name string",
+    )
+    left = lambda n: F.substring(n, 1, 4)  # noqa: E731
+    capped = blocked_best_match(
+        mentions, canon, [left], max_dist=3, max_block=2
+    )
+    got = {r["mention_id"]: r["canon_id"] for r in capped.collect()}
+    assert got == {11: 4}  # the aaaa block (3 > 2) was skipped

@@ -403,3 +403,41 @@ def test_partition_digest_diff_localizes_divergence(spark):
     )
     d2 = digest_diff(da, dd).collect()
     assert len(d2) == 1 and d2[0]["n_a"] == d2[0]["n_b"] + 1
+
+
+def test_join_delta_multiset_exact(spark):
+    """The delta rule's output is the exact multiset difference of
+    the full new join over the full old join — verified on data that
+    exercises all four quadrants (old⋈old excluded, old⋈Δ, Δ⋈old,
+    Δ⋈Δ, plus duplicate keys on both sides)."""
+    from collections import Counter
+
+    from mpes_spark.transforms.cdc import join_delta
+
+    l_old = spark.createDataFrame(
+        [(1, "lo1"), (1, "lo2"), (2, "lo3"), (9, "lo4")], "k long, lv string"
+    )
+    l_new = spark.createDataFrame(
+        [(1, "ld1"), (3, "ld2"), (2, "ld3")], "k long, lv string"
+    )
+    r_old = spark.createDataFrame(
+        [(1, "ro1"), (2, "ro2"), (2, "ro3"), (8, "ro4")], "k long, rv string"
+    )
+    r_new = spark.createDataFrame(
+        [(2, "rd1"), (3, "rd2"), (1, "rd3")], "k long, rv string"
+    )
+    got = Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in join_delta(l_old, l_new, r_old, r_new, on="k").collect()
+    )
+    full_new = Counter(
+        (r["k"], r["lv"], r["rv"])
+        for r in l_old.unionByName(l_new)
+        .join(r_old.unionByName(r_new), "k")
+        .collect()
+    )
+    full_old = Counter(
+        (r["k"], r["lv"], r["rv"]) for r in l_old.join(r_old, "k").collect()
+    )
+    assert got == full_new - full_old
+    assert sum(got.values()) > 0
