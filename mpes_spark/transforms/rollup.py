@@ -234,8 +234,6 @@ def time_weighted_avg(
     round; see extras/similarity._pround6)."""
     from pyspark.sql.window import Window
 
-    from pyspark.sql.window import Window as _W  # noqa: F811
-
     w = Window.partitionBy(group).orderBy(F.col(ts), F.col(tiebreak))
     d = df.withColumn("_nxt", F.lead(ts).over(w))
     # durations rescale to SECONDS before the weighted sum: at nanos
