@@ -596,7 +596,16 @@ def prefix_filtered_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return verify_jaccard(cand, toks, threshold, id_col)
+    # materialize the (small, true-pair-bounded) verified result so the
+    # two persisted relations can be released NOW — a long-lived session
+    # (the ~200-query bench loop) would otherwise accumulate their
+    # cached blocks across calls
+    out = verify_jaccard(cand, toks, threshold, id_col).localCheckpoint(
+        eager=True
+    )
+    toks.unpersist()
+    prefix.unpersist()
+    return out
 
 
 def prefix_filtered_pairs_sql(

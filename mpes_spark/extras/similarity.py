@@ -1231,6 +1231,12 @@ def mmr_rerank_unrolled(
         )
         for r in picks:
             selected.append((r["query_id"], r["neighbor_id"], step, r["mmr"]))
+    if not selected:
+        # empty candidates (or no rn=1 picks) would otherwise compose
+        # `VALUES ` with no tuples — a parse error, not an empty result
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, mmr_rank int, mmr_score double"
+        )
     out_vals = ", ".join(
         f"(CAST({q} AS BIGINT), CAST({d} AS BIGINT), "
         f"CAST({rk} AS INT), CAST('{m!r}' AS DOUBLE))"

@@ -347,6 +347,8 @@ def neardup_ingest_sink(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    compact_every: int | None = None,
+    compact_path: str | None = None,
 ):
     """NEAR-duplicate ingest dedup — the LSH upgrade of
     :func:`ingest_dedup_stream` (which catches only exact content).
@@ -377,14 +379,25 @@ def neardup_ingest_sink(
     — while per micro-batch it is ordinary bounded work. Scale shape:
     the corpus shingle/bucket relations are computed ONCE up front
     (at 10^9 docs these are the things to keep bucketed on disk);
-    each batch appends behind an eager localCheckpoint, so the seen
-    relations stay materialized and lineage stays one batch deep;
-    per batch the work is batch-sized — bucket joins keyed on
-    (band, bucket), candidates only within buckets, never all-pairs.
-    Long-running production streams should periodically rewrite the
-    seen relations to a bucketed table instead of chaining
-    checkpoints forever (checkpoint blocks are executor-local and
-    non-replicated)."""
+    each batch's increment is materialized once behind an eager
+    localCheckpoint and APPENDED to a parts list — the seen relation a
+    join consumes is a lazy union of already-materialized parts, so
+    per-batch work is the batch digests plus one scan of the seen
+    parts, never a rewrite of the whole history (the rewrite-per-batch
+    fold was O(N) blocks written per batch, O(N^2) cumulative).
+    ``compact_every=K`` bounds the parts list: every K batches the
+    seen relations are rewritten to ``compact_path`` as parquet
+    (buckets repartitioned on the (band, bucket) join key,
+    generation-numbered so the previous generation stays readable
+    during the rewrite) and the parts collapse to the one on-disk
+    relation — checkpoint blocks are executor-local and
+    non-replicated, a compacted table is replayable from storage.
+    With ``compact_path=None`` compaction collapses to a single fresh
+    localCheckpoint, which still releases the dead per-batch blocks
+    and keeps the union shallow. ``novel``/``flagged`` accumulate the
+    same way and are compacted on the same cadence."""
+    from functools import reduce
+
     from mpes_spark.extras.dedup import (
         lsh_buckets,
         minhash_signatures,
@@ -392,19 +405,72 @@ def neardup_ingest_sink(
         verify_jaccard_cross,
     )
 
-    state: dict[str, DataFrame | None] = {
-        "novel": None,
-        "flagged": None,
-        "seen_sh": shingle_table(corpus, text, n, id_col).persist(),
-    }
-    state["seen_buckets"] = (
-        lsh_buckets(minhash_signatures(state["seen_sh"], k, id_col), k, bands, id_col)
+    corpus_sh = shingle_table(corpus, text, n, id_col).persist()
+    corpus_bk = (
+        lsh_buckets(minhash_signatures(corpus_sh, k, id_col), k, bands, id_col)
         .withColumnRenamed(id_col, "matched_id")
         .persist()
     )
+    state: dict = {
+        "novel": [],
+        "flagged": [],
+        "sh_parts": [corpus_sh],
+        "bk_parts": [corpus_bk],
+        "batches": 0,
+        "generation": 0,
+        "compactions": 0,
+    }
+
+    def _union(parts: list[DataFrame]) -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _compact(spark) -> None:
+        state["generation"] += 1
+        state["compactions"] += 1
+        gen = state["generation"]
+        if compact_path is not None:
+            rels = {
+                "seen_sh": _union(state["sh_parts"]),
+                "seen_bk": _union(state["bk_parts"]).repartition(
+                    "band", "bucket"
+                ),
+                "novel": _union(state["novel"]) if state["novel"] else None,
+                "flagged": (
+                    _union(state["flagged"]) if state["flagged"] else None
+                ),
+            }
+            compacted = {}
+            for name, rel in rels.items():
+                if rel is None:
+                    continue
+                path = f"{compact_path}/gen={gen}/{name}"
+                rel.write.mode("overwrite").parquet(path)
+                compacted[name] = spark.read.parquet(path)
+            state["sh_parts"] = [compacted["seen_sh"]]
+            state["bk_parts"] = [compacted["seen_bk"]]
+            if "novel" in compacted:
+                state["novel"] = [compacted["novel"]]
+            if "flagged" in compacted:
+                state["flagged"] = [compacted["flagged"]]
+        else:
+            state["sh_parts"] = [
+                _union(state["sh_parts"]).localCheckpoint(eager=True)
+            ]
+            state["bk_parts"] = [
+                _union(state["bk_parts"]).localCheckpoint(eager=True)
+            ]
+            if state["novel"]:
+                state["novel"] = [
+                    _union(state["novel"]).localCheckpoint(eager=True)
+                ]
+            if state["flagged"]:
+                state["flagged"] = [
+                    _union(state["flagged"]).localCheckpoint(eager=True)
+                ]
 
     def handle(batch: DataFrame, _batch_id: int) -> None:
-        seen_sh, seen_buckets = state["seen_sh"], state["seen_buckets"]
+        seen_sh = _union(state["sh_parts"])
+        seen_buckets = _union(state["bk_parts"])
         sh = shingle_table(batch, text, n, id_col).localCheckpoint(eager=True)
         bks = lsh_buckets(
             minhash_signatures(sh, k, id_col), k, bands, id_col
@@ -440,27 +506,22 @@ def neardup_ingest_sink(
             F.col("id_b").alias("matched_id"),
             "jaccard",
         )
-        # accumulate with a pinned cut so lineage stays one batch deep
-        state["novel"] = (
-            novel
-            if state["novel"] is None
-            else state["novel"].unionByName(novel)
-        ).localCheckpoint(eager=True)
-        state["flagged"] = (
-            flagged
-            if state["flagged"] is None
-            else state["flagged"].unionByName(flagged)
-        ).localCheckpoint(eager=True)
+        # accumulate increments only — batch-sized materialization;
+        # the seen union is assembled lazily from materialized parts
+        state["novel"].append(novel.localCheckpoint(eager=True))
+        state["flagged"].append(flagged.localCheckpoint(eager=True))
         # fold ALL batch docs (kept or dropped) into the seen relations
-        state["seen_sh"] = seen_sh.unionByName(sh).localCheckpoint(eager=True)
-        state["seen_buckets"] = seen_buckets.unionByName(
-            bks.withColumnRenamed(id_col, "matched_id")
-        ).localCheckpoint(eager=True)
+        state["sh_parts"].append(sh)
+        state["bk_parts"].append(bks.withColumnRenamed(id_col, "matched_id"))
+        state["batches"] += 1
+        if compact_every and state["batches"] % compact_every == 0:
+            _compact(batch.sparkSession)
 
     def novel() -> DataFrame | None:
-        return state["novel"]
+        return _union(state["novel"]) if state["novel"] else None
 
     def flagged() -> DataFrame | None:
-        return state["flagged"]
+        return _union(state["flagged"]) if state["flagged"] else None
 
+    handle.state = state  # introspection: batches/compactions/generation
     return handle, novel, flagged

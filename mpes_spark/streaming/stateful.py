@@ -182,10 +182,16 @@ def bucket_digest_maintenance_sink(
 
     Returns ``(handle, current)``: ``current(spark)`` yields a
     (bucket, n_rows, checksum) DataFrame or None before the first
-    batch."""
+    batch. A bucket whose every hashed row is NULL (any NULL column
+    NULLs the row concat in the digest) has checksum NULL from
+    ``partition_digests``; the maintained state tracks a has-any-hash
+    flag per bucket so ``current`` emits NULL for that bucket too —
+    coercing it to 0 would make ``digest_diff`` flag a false
+    divergence between identical tables."""
     from mpes_spark.dq import partition_digests
 
-    state: dict[int, list[int]] = {}
+    # bucket -> [n_rows, xor_of_non_null_checksums, has_any_non_null]
+    state: dict[int, list] = {}
     seen = {"any": False}
 
     def handle(batch, _batch_id: int) -> None:
@@ -193,14 +199,20 @@ def bucket_digest_maintenance_sink(
             batch, key, cols, money_cols, nbuckets=nbuckets
         ).collect()  # nbuckets-bounded
         for r in rows:
-            n, x = state.get(r.bucket, (0, 0))
-            state[r.bucket] = [n + r.n_rows, x ^ (r.checksum or 0)]
+            n, x, has = state.get(r.bucket, (0, 0, False))
+            if r.checksum is not None:
+                x ^= r.checksum
+                has = True
+            state[r.bucket] = [n + r.n_rows, x, has]
         seen["any"] = True
 
     def current(spark):
         if not seen["any"]:
             return None
-        rows = [(b, n, x) for b, (n, x) in sorted(state.items())]
+        rows = [
+            (b, n, x if has else None)
+            for b, (n, x, has) in sorted(state.items())
+        ]
         return spark.createDataFrame(
             rows, "bucket long, n_rows bigint, checksum bigint"
         )

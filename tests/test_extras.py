@@ -1283,6 +1283,22 @@ def test_mmr_rerank_numpy_replay(spark):
         assert got[(qid, 1)][0] == top1["neighbor_id"]
 
 
+def test_mmr_rerank_unrolled_empty_candidates(spark):
+    """Empty candidates must yield an empty typed result, not a
+    `VALUES ` SQL parse error (ADVICE r6)."""
+    from mpes_spark.extras.similarity import mmr_rerank_unrolled
+
+    empty = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double, "
+        "cv array<double>",
+    )
+    out = mmr_rerank_unrolled(empty, k=3, lam=0.7)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "mmr_rank", "mmr_score",
+    ]
+
+
 def test_kmeans_fixed_separates_clusters(spark):
     from mpes_spark.extras.cluster import kmeans_fixed
 

@@ -599,9 +599,9 @@ def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
             1
         ).write.mode("append").parquet(src)
 
-    def run(max_files):
+    def run(max_files, **kw):
         handle, novel, flagged = neardup_ingest_sink(
-            corpus, n=3, k=32, bands=8, threshold=0.5
+            corpus, n=3, k=32, bands=8, threshold=0.5, **kw
         )
         stream = (
             spark.readStream.schema("doc_id long, text string")
@@ -615,10 +615,10 @@ def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
         audit = {
             (r["stream_id"], r["matched_id"]) for r in flagged().collect()
         }
-        return kept, audit
+        return kept, audit, handle.state
 
-    kept_many, audit_many = run(max_files=1)  # one file per micro-batch
-    kept_one, audit_one = run(max_files=8)  # all files in one batch
+    kept_many, audit_many, _ = run(max_files=1)  # one file per micro-batch
+    kept_one, audit_one, _ = run(max_files=8)  # all files in one batch
     # 100/101/103 are near-dups of corpus doc 1 (101/103 also of the
     # earlier-seen 100/101); 102 novel; 104 too short to shingle
     # (< n tokens) -> no candidates -> kept; 105 near-dups stream doc
@@ -633,6 +633,23 @@ def test_neardup_ingest_sink_vs_corpus(spark, tmp_path):
     assert {m for s, m in audit_many if s == 105} == {102}
     # batch-partitioning independence (id-monotone arrival)
     assert kept_one == kept_many and audit_one == audit_many
+    # compaction invariance: rewriting the seen relations to a
+    # bucketed parquet table mid-stream (every 2 batches over 4
+    # micro-batches => 2 compactions, the second AFTER stream-stream
+    # matches exist) must not change what is kept or flagged — and the
+    # doc-105-vs-102 match crosses a compaction boundary
+    cpath = str(tmp_path / "neardup_compact")
+    kept_c, audit_c, st = run(max_files=1, compact_every=2, compact_path=cpath)
+    assert kept_c == kept_many and audit_c == audit_many
+    assert st["compactions"] == 2 and st["generation"] == 2
+    import os
+
+    assert os.path.isdir(os.path.join(cpath, "gen=2", "seen_sh"))
+    assert os.path.isdir(os.path.join(cpath, "gen=2", "seen_bk"))
+    # in-memory compaction (no path) is equally invariant
+    kept_m, audit_m, st_m = run(max_files=1, compact_every=2)
+    assert kept_m == kept_many and audit_m == audit_many
+    assert st_m["compactions"] == 2
 
 
 def test_interval_attribution_left_outer_stream_matches_batch(spark, tmp_path):
@@ -846,3 +863,48 @@ def test_bucket_digest_sink_matches_batch_and_localizes_drift(spark, tmp_path):
         ).collect()
     }
     assert {r["bucket"] for r in d} == bad_buckets
+
+
+def test_bucket_digest_sink_null_hash_bucket_no_false_divergence(
+    spark, tmp_path
+):
+    """A bucket whose EVERY row hashes NULL (a NULL column NULLs the
+    row concat) gets checksum NULL from batch partition_digests; the
+    maintained state must emit NULL for it too — coercing to 0 would
+    make digest_diff flag a false divergence between identical
+    tables."""
+    from mpes_spark.dq import digest_diff, partition_digests
+    from mpes_spark.streaming.stateful import bucket_digest_maintenance_sink
+
+    schema = "k long, name string, amount double"
+    src = str(tmp_path / "null_digest_src")
+    # every row's name is NULL -> every row hash is NULL -> every
+    # occupied bucket's checksum is NULL
+    allrows = [(j, None, float(j)) for j in range(20)]
+    for half in (allrows[:10], allrows[10:]):
+        spark.createDataFrame(half, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    handle, current = bucket_digest_maintenance_sink(
+        key="k", cols=["k", "name", "amount"], money_cols=["amount"],
+        nbuckets=8,
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+
+    maintained = current(spark)
+    assert all(r["checksum"] is None for r in maintained.collect())
+    batch = partition_digests(
+        spark.createDataFrame(allrows, schema),
+        "k", ["k", "name", "amount"], ["amount"], nbuckets=8,
+    )
+    assert digest_diff(maintained, batch).collect() == []
