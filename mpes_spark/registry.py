@@ -3576,6 +3576,152 @@ def join_ivm_delta(spark, sf_dir):
     )
 
 
+_IVM_DU_LO = (
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    f"WHERE o_orderdate < TIMESTAMP '{_IVM_T0}'"
+)
+_IVM_DU_LN = (
+    "SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN 'X-UPDATED' "
+    "ELSE o_orderpriority END AS o_orderpriority FROM orders "
+    f"WHERE o_orderdate < TIMESTAMP '{_IVM_T1}' AND o_orderkey % 7 <> 0"
+)
+_IVM_DU_RO = (
+    "SELECT l_orderkey * 10 + l_linenumber AS lk, "
+    "l_orderkey AS o_orderkey, min(l_returnflag) AS l_returnflag, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+    f"FROM lineitem WHERE l_shipdate < TIMESTAMP '{_IVM_T0}' "
+    "GROUP BY 1, 2"
+)
+_IVM_DU_RN = (
+    "SELECT l_orderkey * 10 + l_linenumber AS lk, "
+    "l_orderkey AS o_orderkey, min(l_returnflag) AS l_returnflag, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "+ CASE WHEN (l_orderkey + l_linenumber) % 4 = 0 THEN 500 ELSE 0 END) "
+    "AS cents FROM lineitem "
+    f"WHERE l_shipdate < TIMESTAMP '{_IVM_T1}' "
+    "AND (l_orderkey + l_linenumber) % 11 <> 0 "
+    "GROUP BY 1, 2"
+)
+
+_JOIN_IVM_DU_SQL = f"""
+WITH lo AS ({_IVM_DU_LO}), ln AS ({_IVM_DU_LN}),
+ro AS ({_IVM_DU_RO}), rn AS ({_IVM_DU_RN}),
+oldj AS (
+  SELECT o.o_orderpriority, r.l_returnflag,
+         count(*) AS c, sum(r.cents) AS s
+  FROM lo o JOIN ro r ON r.o_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+newj AS (
+  SELECT o.o_orderpriority, r.l_returnflag,
+         count(*) AS c, sum(r.cents) AS s
+  FROM ln o JOIN rn r ON r.o_orderkey = o.o_orderkey
+  GROUP BY 1, 2)
+SELECT coalesce(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+       coalesce(n.l_returnflag, o.l_returnflag) AS l_returnflag,
+       CAST(coalesce(n.c, 0) - coalesce(o.c, 0) AS BIGINT) AS delta_rows,
+       CAST(coalesce(n.s, 0) - coalesce(o.s, 0) AS BIGINT) AS delta_cents
+FROM newj n FULL OUTER JOIN oldj o
+  ON o.o_orderpriority = n.o_orderpriority
+ AND o.l_returnflag = n.l_returnflag
+WHERE coalesce(n.c, 0) - coalesce(o.c, 0) <> 0
+   OR coalesce(n.s, 0) - coalesce(o.s, 0) <> 0
+""".strip()
+
+
+@_q("join_ivm_delta_du", _JOIN_IVM_DU_SQL)
+def join_ivm_delta_du(spark, sf_dir):
+    """Join IVM under MIXED churn — the delete/update generalization
+    of ``join_ivm_delta`` (VERDICT r6 #5). Both join sides churn
+    between two snapshots: orders loses every 7th key (delete), gets
+    its 6-month insert wave, and every 5th key's priority is
+    rewritten (update); lineitem loses every 11th (orderkey +
+    linenumber) row, gains its own insert wave, and every 4th row's
+    price moves by 5.00. ``table_diff_feed`` derives the D/U/I feed
+    for each side, ``feed_to_signed_delta`` turns it into ±1
+    multiplicity rows, and ``join_delta_signed`` (transforms/cdc.py)
+    emits the view delta with per-row multiplicity products — the
+    view advances by summing signed counts and signed cent sums per
+    group. The DuckDB twin recomputes both full joins INDEPENDENTLY
+    and differences the group aggregates (full-outer, so groups that
+    vanish under deletes are asserted too), proving the signed delta
+    rule, not a shared formula. Money stays exact cent BIGINTs."""
+    from mpes_spark.transforms.cdc import (
+        feed_to_signed_delta,
+        join_delta_signed,
+        table_diff_feed,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    odt = dict(o.dtypes)["o_orderdate"]
+    t0 = F.lit(_IVM_T0).cast(odt)
+    t1 = F.lit(_IVM_T1).cast(odt)
+    l_old = o.filter(F.col("o_orderdate") < t0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l_new = (
+        o.filter(
+            (F.col("o_orderdate") < t1) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("X-UPDATED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    # so the right relation is made keyed BY CONSTRUCTION: per-lk
+    # aggregate (sum of cents, min returnflag), churn predicates
+    # applied per underlying row before the group — a group whose rows
+    # straddle the snapshot dates churns as an update of its sum
+    rsel = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lk"),
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_returnflag",
+        cents.alias("cents"),
+        (F.col("l_orderkey") + F.col("l_linenumber")).alias("__rk"),
+        "l_shipdate",
+    )
+
+    def _rkeyed(df):
+        return df.groupBy("lk", "o_orderkey").agg(
+            F.min("l_returnflag").alias("l_returnflag"),
+            F.sum("cents").alias("cents"),
+        )
+
+    r_old = _rkeyed(rsel.filter(F.col("l_shipdate") < t0))
+    r_new = _rkeyed(
+        rsel.filter((F.col("l_shipdate") < t1) & (F.col("__rk") % 11 != 0))
+        .withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("__rk") % 4 == 0, F.lit(500)).otherwise(F.lit(0)),
+        )
+    )
+    dl = feed_to_signed_delta(
+        table_diff_feed(l_old, l_new, "o_orderkey", ["o_orderpriority"]),
+        "o_orderkey",
+        ["o_orderpriority"],
+    )
+    dr = feed_to_signed_delta(
+        table_diff_feed(
+            r_old, r_new, "lk", ["o_orderkey", "l_returnflag", "cents"]
+        ),
+        "lk",
+        ["o_orderkey", "l_returnflag", "cents"],
+    )
+    delta = join_delta_signed(l_old, dl, r_old, dr, on="o_orderkey")
+    out = delta.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.sum("m").cast("bigint").alias("delta_rows"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("delta_cents"),
+    )
+    return out.filter(
+        (F.col("delta_rows") != 0) | (F.col("delta_cents") != 0)
+    )
+
+
 # -- blocked entity resolution (record linkage, multi-pass blocking) -------
 
 def _linkage_rels() -> tuple[str, str]:

@@ -111,3 +111,64 @@ def join_delta(
         .unionByName(l_old.join(r_delta, keys))
         .unionByName(l_delta.join(r_delta, keys))
     )
+
+
+def feed_to_signed_delta(
+    feed: DataFrame,
+    key: str,
+    compare: list[str],
+    m: str = "m",
+) -> DataFrame:
+    """Turn a :func:`table_diff_feed` (insert/delete/update rows) into
+    a SIGNED-multiplicity delta relation — the standard IVM
+    generalization from insert-only deltas to arbitrary churn: a
+    delete contributes its OLD row with multiplicity −1, an insert its
+    NEW row with +1, and an update both (retract old, assert new).
+    Summing multiplicities per row reconstructs the new snapshot from
+    the old; feeding the relation to :func:`join_delta_signed`
+    maintains a join view under the same churn."""
+    minus = feed.filter(F.col("op").isin("delete", "update")).select(
+        key,
+        *[F.col(f"old_{c}").alias(c) for c in compare],
+        F.lit(-1).cast("bigint").alias(m),
+    )
+    plus = feed.filter(F.col("op").isin("insert", "update")).select(
+        key,
+        *[F.col(f"new_{c}").alias(c) for c in compare],
+        F.lit(1).cast("bigint").alias(m),
+    )
+    return minus.unionByName(plus)
+
+
+def join_delta_signed(
+    l_old: DataFrame,
+    l_delta: DataFrame,
+    r_old: DataFrame,
+    r_delta: DataFrame,
+    on: str | list[str],
+    m: str = "m",
+) -> DataFrame:
+    """Incremental maintenance of an inner equi-join under MIXED churn
+    (inserts, deletes, updates): deltas carry a signed multiplicity
+    column ``m`` (:func:`feed_to_signed_delta`), base relations carry
+    an implicit +1, and the delta of the join view is the same three
+    terms as :func:`join_delta` with multiplicities MULTIPLIED per
+    joined row — ``ΔL ⋈ R_old`` keeps ΔL's sign, ``L_old ⋈ ΔR`` keeps
+    ΔR's, and ``ΔL ⋈ ΔR`` multiplies both (a retracted-left joined
+    with a retracted-right is net +1: the row was counted out twice
+    by the mixed terms). Summing ``m`` per joined row advances the
+    view; net-zero rows cancel. Same scale shape as
+    :func:`join_delta`: every term is delta-sized against a bucketed
+    base — work scales with the churn, never the table."""
+    keys = [on] if isinstance(on, str) else list(on)
+    ml, mr = f"__{m}_l", f"__{m}_r"
+    ld = l_delta.withColumnRenamed(m, ml)
+    rd = r_delta.withColumnRenamed(m, mr)
+    t1 = ld.join(r_old, keys).withColumn(m, F.col(ml)).drop(ml)
+    t2 = l_old.join(rd, keys).withColumn(m, F.col(mr)).drop(mr)
+    t3 = (
+        ld.join(rd, keys)
+        .withColumn(m, F.col(ml) * F.col(mr))
+        .drop(ml, mr)
+    )
+    return t1.unionByName(t2).unionByName(t3)

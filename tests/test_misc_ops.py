@@ -441,3 +441,68 @@ def test_join_delta_multiset_exact(spark):
     )
     assert got == full_new - full_old
     assert sum(got.values()) > 0
+
+
+def test_join_delta_signed_round_trip_mixed_churn(spark):
+    """Signed-count join IVM under MIXED churn: derive each side's
+    D/U/I feed with table_diff_feed, lift to ±1 multiplicity rows,
+    run the three-term signed delta rule, and apply it to the old
+    join view — the maintained view must equal the full recompute of
+    the new join EXACTLY (per-row net multiplicities), with every
+    churn kind present on both sides and churn kinds interacting
+    (an updated-left key joining an updated-right key, a delete
+    joining an insert)."""
+    from collections import Counter
+
+    from mpes_spark.transforms.cdc import (
+        feed_to_signed_delta,
+        join_delta_signed,
+        table_diff_feed,
+    )
+
+    # left keyed by k: key 1 updated, key 2 deleted, key 3 inserted,
+    # key 4 unchanged, key 9 deleted (matches a right insert)
+    l_old = spark.createDataFrame(
+        [(1, "P"), (2, "Q"), (4, "S"), (9, "T")], "k long, lv string"
+    )
+    l_new = spark.createDataFrame(
+        [(1, "P2"), (3, "R"), (4, "S")], "k long, lv string"
+    )
+    # right keyed by rk, join column k non-unique: key 1 updated (the
+    # update-update interaction), one key-2 row deleted, key-3 and
+    # key-9 rows inserted, one key-4 row updated, one unchanged
+    r_old = spark.createDataFrame(
+        [(10, 1, 100), (20, 2, 200), (21, 2, 210), (40, 4, 400),
+         (41, 4, 410)],
+        "rk long, k long, c long",
+    )
+    r_new = spark.createDataFrame(
+        [(10, 1, 150), (21, 2, 210), (30, 3, 300), (40, 4, 444),
+         (41, 4, 410), (90, 9, 900)],
+        "rk long, k long, c long",
+    )
+    dl = feed_to_signed_delta(
+        table_diff_feed(l_old, l_new, "k", ["lv"]), "k", ["lv"]
+    )
+    dr = feed_to_signed_delta(
+        table_diff_feed(r_old, r_new, "rk", ["k", "c"]), "rk", ["k", "c"]
+    )
+    delta = join_delta_signed(l_old, dl, r_old, dr, on="k")
+    net: Counter = Counter()
+    for r in delta.collect():
+        net[(r["k"], r["lv"], r["rk"], r["c"])] += r["m"]
+    view_old = Counter(
+        (r["k"], r["lv"], r["rk"], r["c"])
+        for r in l_old.join(r_old, "k").collect()
+    )
+    view_new = Counter(
+        (r["k"], r["lv"], r["rk"], r["c"])
+        for r in l_new.join(r_new, "k").collect()
+    )
+    maintained = view_old.copy()
+    maintained.update(net)  # Counter-add signed multiplicities
+    assert {k: v for k, v in maintained.items() if v} == dict(view_new)
+    # the delta really exercised retraction: negative net rows exist
+    assert any(v < 0 for v in net.values())
+    # and insert-joins-insert (delta x delta) rows exist: key 3
+    assert any(k == 3 and v > 0 for (k, _, _, _), v in net.items())
