@@ -1095,6 +1095,26 @@ def bpe_tokenizer(spark, sf_dir):
     )
 
 
+@_q("bpe_tokenizer_oracle", TK.train_bpe_sql("documents", n_merges=12))
+def bpe_tokenizer_oracle(spark, sf_dir):
+    """The BPE TRAINING loop under the hash gate (VERDICT r6 #7 — the
+    last plausibly-oracle-able rows-only query): 12 merges learned
+    from the uncapped corpus word-frequency table, returned as the
+    ordered merge table (merge_rank, left_sym, right_sym). The Spark
+    side runs the production driver loop (:func:`train_bpe` — one
+    corpus groupBy, then bounded-vocab iteration); the DuckDB twin
+    independently unrolls the same 12 iterations as chained CTEs
+    (:func:`train_bpe_sql`) with the pair-count argmax, exact
+    tie-break, and leftmost-non-overlapping merge application all in
+    SQL. Integers + ASCII symbols end-to-end: exact."""
+    d = _docs(spark, sf_dir)
+    merges = TK.train_bpe(d, n_merges=12, max_words=None)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string",
+    )
+
+
 @_q(
     "vocab_topk",
     "SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM ("

@@ -93,6 +93,90 @@ def train_bpe(
     return merges
 
 
+def train_bpe_sql(
+    table: str = "documents", n_merges: int = 12, text: str = "text"
+) -> str:
+    """DuckDB oracle twin of :func:`train_bpe` (uncapped vocab): the
+    fixed-merge-count training loop unrolled as ``n_merges`` chained
+    CTE blocks — the kmeans/MMR unrolled-oracle playbook applied to
+    the last iterative-by-design query. Each block recomputes the
+    frequency-weighted adjacent-pair counts over the symbol table,
+    picks the argmax with the driver loop's exact tie-break (count
+    desc, then lexicographically LARGEST pair — Python ``max`` over
+    ``(count, pair)`` tuples), and applies the merge with the greedy
+    leftmost-non-overlapping rule: a match at position p survives iff
+    its offset within a run of CONSECUTIVE match-start positions is
+    even (overlap is only possible when left == right symbol; for
+    distinct symbols every run has length 1 and the parity keeps
+    all). A block whose best pair count is < 2 yields an empty
+    ``best`` row and every later block no-ops — matching the driver
+    loop's break. Symbol tables are MATERIALIZED: each is referenced
+    three times by the next block. Returns (merge_rank, left_sym,
+    right_sym)."""
+    parts = [
+        f"""wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split({text}, ' ')) AS word FROM {table}) w
+  WHERE word <> '' GROUP BY word),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         generate_subscripts(syms, 1) AS pos, unnest(syms) AS sym
+  FROM (SELECT word, freq,
+               list_append(string_split(word, ''), '{END_OF_WORD}') AS syms
+        FROM wf) q)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS (
+  SELECT a.sym AS la, b.sym AS lb, sum(a.freq) AS cnt
+  FROM s{p} a JOIN s{p} b ON b.word = a.word AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+best{i} AS MATERIALIZED (
+  SELECT la, lb FROM p{i} WHERE cnt >= 2
+  ORDER BY cnt DESC, la DESC, lb DESC LIMIT 1),
+m{i} AS (
+  SELECT a.word, a.pos
+  FROM s{p} a
+  JOIN s{p} b ON b.word = a.word AND b.pos = a.pos + 1
+  JOIN best{i} t ON a.sym = t.la AND b.sym = t.lb),
+keep{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos, rn, min(rn) OVER (PARTITION BY word, grp) AS rn0
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+                 pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+                   AS grp
+          FROM m{i}) q1) q2
+  WHERE (rn - rn0) % 2 = 0),
+s{i} AS MATERIALIZED (
+  SELECT word, freq,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+  FROM (
+    SELECT k.word, s1.freq, k.pos, s1.sym || s2.sym AS sym
+    FROM keep{i} k
+    JOIN s{p} s1 ON s1.word = k.word AND s1.pos = k.pos
+    JOIN s{p} s2 ON s2.word = k.word AND s2.pos = k.pos + 1
+    UNION ALL
+    SELECT s.word, s.freq, s.pos, s.sym
+    FROM s{p} s
+    LEFT JOIN keep{i} k1 ON k1.word = s.word AND k1.pos = s.pos
+    LEFT JOIN keep{i} k2 ON k2.word = s.word AND k2.pos = s.pos - 1
+    WHERE k1.pos IS NULL AND k2.pos IS NULL) q)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, la AS left_sym, lb AS right_sym "
+        f"FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, "
+        f"right_sym FROM (\n  {union}) allm"
+    )
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges to one word in learned-rank order (the standard
     lowest-rank-first greedy loop)."""

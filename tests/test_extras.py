@@ -698,6 +698,40 @@ def test_bpe_encode_roundtrip_and_compression(spark):
     assert n80 < n10
 
 
+def test_bpe_unrolled_sql_matches_driver_loop_on_overlap_chains(spark):
+    """train_bpe_sql's parity-based merge application must equal the
+    driver loop's greedy leftmost-non-overlapping scan on the
+    adversarial case: same-symbol runs ('aaaa' -> (aa)(aa), 'aaa' ->
+    (aa)a), plus a mid-chain stop (best pair count < 2) that the SQL
+    no-ops through while Python breaks."""
+    import duckdb
+    import pandas as pd
+
+    from mpes_spark.extras import tokenizer as TK
+
+    corpora = [
+        # overlap chains: 'aaaa' x4, 'aaa' x3, 'aab' x2
+        "aaaa aaaa aaaa aaaa aaa aaa aaa aab aab",
+        # stop case: tiny vocab exhausts repeating pairs before 12
+        "ab ab cd",
+        # sennrich classic
+        " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6),
+    ]
+    for text in corpora:
+        d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        merges = TK.train_bpe(d, n_merges=12, max_words=None)
+        want = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({"text": [text]}))
+        got = [
+            (int(r[0]), r[1], r[2])
+            for r in con.execute(
+                TK.train_bpe_sql("documents", n_merges=12)
+            ).fetchall()
+        ]
+        assert sorted(got) == sorted(want), text
+
+
 def test_ivfpq_recall_vs_brute_force(spark):
     """The composed IVFADC stack (IVF prune -> ADC shortlist -> exact
     re-rank) must recover most true top-1 neighbors, and with
