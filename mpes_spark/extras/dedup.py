@@ -522,6 +522,7 @@ def prefix_filtered_pairs(
     threshold: float = 0.9,
     n: int = 3,
     id_col: str = "doc_id",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """All-pairs set-similarity join via RARE-TOKEN prefix filtering
     (PPJoin-family, Bayardo et al. WWW'07 / Xiao et al. 2008): order
@@ -599,10 +600,12 @@ def prefix_filtered_pairs(
     # materialize the (small, true-pair-bounded) verified result so the
     # two persisted relations can be released NOW — a long-lived session
     # (the ~200-query bench loop) would otherwise accumulate their
-    # cached blocks across calls
-    out = verify_jaccard(cand, toks, threshold, id_col).localCheckpoint(
-        eager=True
-    )
+    # cached blocks across calls; checkpoint=False keeps the live plan
+    # (and the caches) for plan inspection
+    out = verify_jaccard(cand, toks, threshold, id_col)
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)
     toks.unpersist()
     prefix.unpersist()
     return out
@@ -668,6 +671,185 @@ WHERE CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) >= {t_lit}
 """.strip()
 
 
+def prefix_dual_pairs(
+    df: DataFrame,
+    text: str = "text",
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Dual-measure similarity self-join: Jaccard AND containment
+    verdicts for every near-dup pair, computed off ONE shared
+    candidate relation and ONE intersection aggregation (the
+    SCALING.md "the intersection join is shared work" note, made
+    real). Output: (id_a, id_b, jaccard, containment, jaccard_dup,
+    containment_dup) for pairs passing EITHER threshold.
+
+    Candidate generation is a ONE-SIDED prefix join — prefix(A)
+    joined against the FULL element relation of B — which is complete
+    for both measures at once:
+
+    * Jaccard >= tj: the standard PPJoin pigeonhole gives a shared
+      element inside BOTH p_j-prefixes; a fortiori one side's prefix
+      hits the other side's full set.
+    * containment >= tc: with na <= nb the overlap is at least
+      ceil(tc * na), so the SMALLER doc must keep a shared element
+      within its first na - ceil(tc * na) + 1 elements of any
+      consistent global order — and the larger doc's full set
+      trivially contains it. (A two-sided prefix join is NOT complete
+      for containment: the larger doc's own-size prefix can miss
+      every shared element when na << nb — the exact embedded-doc
+      case containment exists to catch.)
+
+    Each doc's prefix length uses t_eff = min(tj, tc), which
+    dominates both requirements. Probe-side rows with global df = 1
+    are dropped (a shared element appears in two docs, so its df is
+    >= 2) — with a long rare tail that is most of the element
+    relation. The verify stage then runs ONE (id_a, id_b)-keyed
+    count aggregate; both ratios and both flags derive from that
+    single intersection relation — no second candidate pass, no
+    second intersection join, unlike running the Jaccard and
+    containment operators separately (2 full pipelines).
+
+    Scale: candidate volume is rare-token-bounded on the prefix side
+    (an element with df = d contributes at most (prefix occurrences
+    of it) * d candidates, and ubiquitous elements are in nobody's
+    prefix); the one-sided join is the price of containment
+    completeness and is the standard asymmetric-prefix scheme. All
+    joins equi-keyed; the element relation is persisted across its
+    consumers and released after the verified result materializes."""
+    t_eff = min(jaccard_threshold, containment_threshold)
+    toks = (
+        token_sets(df, text, id_col)
+        if n == 1
+        else shingle_table(df, text, n, id_col)
+    ).persist()
+    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
+    w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
+    wn = Window.partitionBy(id_col)
+    # element df via agg + equi-join (NOT a sh-keyed window — see
+    # prefix_filtered_pairs); doc size rides the doc-keyed exchange
+    enriched = (
+        toks.join(dfreq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("nsz", F.count(F.lit(1)).over(wn))
+        .filter(F.col("tdf") >= 2)  # df=1 elements collide with nobody
+        .persist()
+    )
+    prefix = enriched.filter(
+        F.col("rn") <= F.col("nsz") - F.ceil(F.col("nsz") * F.lit(t_eff)) + 1
+    ).select(F.col(id_col).alias("id_p"), "sh")
+    probe = enriched.select(F.col(id_col).alias("id_q"), "sh")
+    cand = (
+        prefix.join(probe, "sh")
+        .filter(F.col("id_p") != F.col("id_q"))
+        .select(
+            F.least("id_p", "id_q").alias("id_a"),
+            F.greatest("id_p", "id_q").alias("id_b"),
+        )
+        .distinct()
+    )
+    # ONE intersection aggregation; Jaccard and containment are both
+    # ratios over (icnt, nsh_a, nsh_b) — shared work, single agg
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    sa = toks.select(F.col(id_col).alias("id_a"), "sh")
+    sb = toks.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        sa.join(cand, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("nsh_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nsh_b"))
+    jac = F.col("icnt") / (F.col("nsh_a") + F.col("nsh_b") - F.col("icnt"))
+    cont = F.col("icnt") / F.least("nsh_a", "nsh_b")
+    out = (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(
+            (jac >= jaccard_threshold) | (cont >= containment_threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+            (jac >= jaccard_threshold).cast("int").alias("jaccard_dup"),
+            (cont >= containment_threshold).cast("int").alias(
+                "containment_dup"
+            ),
+        )
+    )
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    enriched.unpersist()
+    return out
+
+
+def prefix_dual_pairs_sql(
+    table: str,
+    dialect: str,
+    jaccard_threshold: float = 0.5,
+    containment_threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """Dual-dialect SQL twin of :func:`prefix_dual_pairs` (one-sided
+    prefix candidates at t_eff = min(tj, tc), single intersection
+    CTE, both ratios from it)."""
+    t_eff = min(jaccard_threshold, containment_threshold)
+    sh = _shingle_cte(table, n, dialect, id_col)
+    tj, tc = jaccard_threshold, containment_threshold
+    return f"""
+WITH toks AS ({sh}),
+dfreq AS (SELECT sh, count(*) AS tdf FROM toks GROUP BY sh),
+ranked AS (
+  SELECT t.{id_col}, t.sh, d.tdf,
+         row_number() OVER (PARTITION BY t.{id_col}
+                            ORDER BY d.tdf, t.sh) AS rn,
+         count(*) OVER (PARTITION BY t.{id_col}) AS nsz
+  FROM toks t JOIN dfreq d ON d.sh = t.sh
+),
+enriched AS (
+  -- rank over the FULL element set (the pigeonhole prefix is defined
+  -- on it), THEN drop df=1 rows (a shared element always has df >= 2)
+  SELECT * FROM ranked WHERE tdf >= 2
+),
+cand AS (
+  SELECT DISTINCT least(p.{id_col}, q.{id_col}) AS id_a,
+                  greatest(p.{id_col}, q.{id_col}) AS id_b
+  FROM enriched p JOIN enriched q
+    ON p.sh = q.sh AND p.{id_col} <> q.{id_col}
+  WHERE p.rn <= p.nsz - ceil(p.nsz * {t_eff!r}) + 1
+),
+sizes AS (SELECT {id_col}, count(*) AS nsh FROM toks GROUP BY {id_col}),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS icnt
+  FROM cand c
+  JOIN toks ta ON ta.{id_col} = c.id_a
+  JOIN toks tb ON tb.{id_col} = c.id_b AND tb.sh = ta.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt), 6) AS jaccard,
+       round(CAST(i.icnt AS DOUBLE) / least(za.nsh, zb.nsh), 6) AS containment,
+       CAST(CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt) >= {tj!r} AS INT)
+         AS jaccard_dup,
+       CAST(CAST(i.icnt AS DOUBLE) / least(za.nsh, zb.nsh) >= {tc!r} AS INT)
+         AS containment_dup
+FROM inter i
+JOIN sizes za ON za.{id_col} = i.id_a
+JOIN sizes zb ON zb.{id_col} = i.id_b
+WHERE CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt) >= {tj!r}
+   OR CAST(i.icnt AS DOUBLE) / least(za.nsh, zb.nsh) >= {tc!r}
+""".strip()
+
+
 def ngram_novelty(
     df: DataFrame, text: str = "text", n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -726,6 +908,86 @@ SELECT s.{id_col},
        CAST(coalesce(u.n_unique, 0) AS BIGINT) AS n_unique,
        round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / s.n_shingles, 6) AS novelty
 FROM sizes s LEFT JOIN uniq u ON u.{id_col} = s.{id_col}
+""".strip()
+
+
+def ngram_novelty_k(
+    df: DataFrame,
+    text: str = "text",
+    n: int = 3,
+    k: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """df<=K novelty: per-document fraction of its DISTINCT word
+    ``n``-gram shingles whose corpus document-frequency is at most
+    ``k`` (generalizing :func:`ngram_novelty`, which is the k=1 case
+    via the owner trick). Output: (doc_id, n_shingles, n_rare,
+    novelty_k).
+
+    Scale shape — COUNT FIRST, LIST SECOND (the SCALING.md-documented
+    extension of the novelty owner trick): the frequency aggregation
+    runs before any list materializes, rare shingles (df <= k) are
+    filtered out of it, and only THEN are owner lists built — via
+    ``slice(sort_array(collect_set(id)), 1, k)`` over a relation where
+    every group holds <= k rows BY CONSTRUCTION (the df filter already
+    bounded it). A ubiquitous shingle ("in the", df = 1e9) costs one
+    map-side-combined count and never materializes a list or a join
+    row. The rejoin on the shingle key touches only rare keys, each
+    carrying <= k rows — bounded multiplicity, no skew partition. The
+    owner-list explode then re-aggregates to doc-keyed counts, so the
+    final join is doc-sized vs doc-sized."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sh = shingle_table(df, text, n, id_col).persist()
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
+    rare = freq.filter(F.col("df_cnt") <= k).select("sh")
+    owners = (
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(
+            F.slice(F.sort_array(F.collect_set(F.col(id_col))), 1, k).alias(
+                "owners"
+            )
+        )
+    )
+    rare_per_doc = (
+        owners.select(F.explode("owners").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    out = sizes.join(rare_per_doc, id_col, "left").select(
+        id_col,
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("bigint").alias("n_rare"),
+        F.round(
+            F.coalesce(F.col("n_rare"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("novelty_k"),
+    )
+    return out
+
+
+def ngram_novelty_k_sql(
+    table: str, dialect: str, n: int = 3, k: int = 2, id_col: str = "doc_id"
+) -> str:
+    """Dual-dialect SQL twin of :func:`ngram_novelty_k` (count-first
+    df filter, rare-key rejoin, doc-keyed final join)."""
+    sh = _shingle_cte(table, n, dialect, id_col)
+    return f"""
+WITH shingles AS ({sh}),
+freq AS (SELECT sh, count(*) AS df_cnt FROM shingles GROUP BY sh),
+rare AS (SELECT sh FROM freq WHERE df_cnt <= {k}),
+sizes AS (SELECT {id_col}, count(*) AS n_shingles FROM shingles GROUP BY {id_col}),
+rcnt AS (
+  SELECT s.{id_col}, count(*) AS n_rare
+  FROM shingles s JOIN rare r ON r.sh = s.sh
+  GROUP BY s.{id_col}
+)
+SELECT z.{id_col},
+       CAST(z.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(c.n_rare, 0) AS BIGINT) AS n_rare,
+       round(CAST(coalesce(c.n_rare, 0) AS DOUBLE) / z.n_shingles, 6) AS novelty_k
+FROM sizes z LEFT JOIN rcnt c ON c.{id_col} = z.{id_col}
 """.strip()
 
 

@@ -135,6 +135,45 @@ class CorpusPipeline:
         )
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def neardup_report(
+        self,
+        jaccard_threshold: float = 0.5,
+        containment_threshold: float = 0.8,
+        n: int = 3,
+    ) -> DataFrame:
+        """Both near-dup verdicts — symmetric Jaccard and asymmetric
+        containment — for every pair passing either threshold, from
+        ONE shared candidate relation and ONE intersection aggregate
+        (:func:`~mpes_spark.extras.dedup.prefix_dual_pairs`). Use this
+        instead of running the Jaccard and containment operators
+        back-to-back: the expensive stages (element relation, prefix
+        candidates, intersection join) are shared work, paid once."""
+        return DD.prefix_dual_pairs(
+            self.df, self.text, jaccard_threshold, containment_threshold,
+            n, self.id_col,
+        )
+
+    def dedup_near_dual(
+        self,
+        jaccard_threshold: float = 0.5,
+        containment_threshold: float = 0.8,
+        n: int = 3,
+    ) -> "CorpusPipeline":
+        """Drop near-duplicates flagged by EITHER measure: dual-verdict
+        pairs (shared candidate machinery) -> connected components ->
+        keep each cluster's min-id doc. Containment edges fold the
+        embedded-doc case (short doc quoted inside a long one) into the
+        same transitive clusters Jaccard edges form."""
+        pairs = DD.prefix_dual_pairs(
+            self.df, self.text, jaccard_threshold, containment_threshold,
+            n, self.id_col,
+        ).select("id_a", "id_b")
+        cc = DD.connected_components(pairs, self.id_col)
+        drop = cc.filter(F.col(self.id_col) != F.col("cluster_id")).select(
+            self.id_col
+        )
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
+
     def dedup_chunks(
         self, chunk_tokens: int = 64, min_tokens: int = 1
     ) -> "CorpusPipeline":

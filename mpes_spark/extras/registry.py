@@ -451,6 +451,29 @@ def neardup_prefix_filter(spark, sf_dir):
     return DD.prefix_filtered_pairs(_docs(spark, sf_dir), threshold=0.7, n=3)
 
 
+@_q(
+    "neardup_dual_measure",
+    DD.prefix_dual_pairs_sql(
+        "documents", "duckdb", jaccard_threshold=0.7,
+        containment_threshold=0.9, n=3,
+    ),
+)
+def neardup_dual_measure(spark, sf_dir):
+    """Jaccard AND containment verdicts from ONE shared candidate
+    relation and ONE intersection aggregate (the SCALING.md "shared
+    work" note made real): a one-sided prefix join — prefix(A) vs
+    full-elements(B) at t_eff = min(tj, tc) — is complete for BOTH
+    measures (Jaccard via the PPJoin pigeonhole; containment because
+    the SMALLER doc's prefix must hold a shared element), and both
+    ratios derive from the single (id_a, id_b) intersection count.
+    Running the two operators separately costs two candidate passes
+    and two intersection joins; this costs one of each."""
+    return DD.prefix_dual_pairs(
+        _docs(spark, sf_dir), jaccard_threshold=0.7,
+        containment_threshold=0.9, n=3,
+    )
+
+
 @_q("ngram_novelty", DD.ngram_novelty_sql("documents", "duckdb", n=3))
 def ngram_novelty(spark, sf_dir):
     """Per-document novelty: fraction of the doc's distinct 3-gram
@@ -460,6 +483,21 @@ def ngram_novelty(spark, sf_dir):
     re-aggregate straight to per-doc counts — a ubiquitous shingle
     costs one map-side-combined count, never a skewed join."""
     return DD.ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+@_q(
+    "ngram_novelty_k",
+    DD.ngram_novelty_k_sql("documents", "duckdb", n=3, k=2),
+)
+def ngram_novelty_k(spark, sf_dir):
+    """df<=K novelty (k=2): fraction of each doc's distinct 3-gram
+    shingles appearing in at most 2 documents corpus-wide. Count-first
+    list-second shape: the df agg runs before any owner list exists,
+    and slice(sort_array(collect_set(id)), 1, k) only ever aggregates
+    groups the df<=k filter already bounded to k rows — common
+    shingles never materialize lists or join rows (SCALING.md
+    "n-gram novelty" extension, now a gate row)."""
+    return DD.ngram_novelty_k(_docs(spark, sf_dir), n=3, k=2)
 
 
 @_q(

@@ -518,6 +518,39 @@ def test_corpus_pipeline_dedup_near_transitive(spark):
     assert DD.minhash_neardup_pairs(out.df, threshold=0.3).count() == 0
 
 
+def test_corpus_pipeline_dedup_near_dual(spark):
+    """dedup_near_dual folds containment-only duplicates (a short doc
+    embedded verbatim in a long one — Jaccard far below threshold)
+    into the same clusters Jaccard edges form: the embedded short doc
+    is dropped, its id being larger than the long doc's."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    rows = [
+        (1, "quick brown fox jumps over the lazy dog near the river"),
+        (2, "quick brown fox jumps over the lazy dog near the creek"),
+        (
+            3,
+            "alpha beta gamma delta epsilon zeta preface filler words "
+            "surround the short document completely padding more terms "
+            "extra vocab",
+        ),
+        (4, "alpha beta gamma delta epsilon zeta"),  # embedded in 3
+        (5, "standalone content sharing nothing with any other doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = CorpusPipeline(docs).dedup_near_dual(
+        jaccard_threshold=0.6, containment_threshold=0.9, n=1
+    )
+    ids = {r.doc_id for r in out.df.select("doc_id").collect()}
+    # 2 drops via Jaccard edge to 1; 4 drops via containment edge to 3
+    assert ids == {1, 3, 5}
+    # the report exposes both verdicts for the surviving corpus: none
+    rep = CorpusPipeline(out.df).neardup_report(
+        jaccard_threshold=0.6, containment_threshold=0.9, n=1
+    )
+    assert rep.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # BM25 search + LM perplexity
 # ---------------------------------------------------------------------------
@@ -1661,6 +1694,63 @@ def test_prefix_filter_complete_vs_brute_force(spark):
             want3[(a, b)] = round(j, 6)
     assert want3, "fixture must produce matching shingle pairs"
     assert got3 == want3
+
+
+def test_dual_measure_complete_vs_brute_force(spark):
+    """prefix_dual_pairs is COMPLETE for both measures at once: the
+    one-sided prefix join (prefix(A) vs full(B), t_eff = min(tj, tc))
+    must return exactly the pairs brute-force all-pairs finds with
+    Jaccard >= tj OR containment >= tc — including the embedded-doc
+    case (short doc inside a long one: Jaccard ~ na/nb small,
+    containment 1.0), which a two-sided prefix join can miss."""
+    import itertools
+
+    from mpes_spark.extras.dedup import prefix_dual_pairs
+
+    rows = [
+        (1, "quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over the lazy cat"),
+        (3, "entirely different tokens appear here now"),
+        (4, "entirely different tokens appear here now"),
+        # 5 embeds 6 verbatim inside a much longer doc: token-set
+        # Jaccard 6/20 = 0.3 < tj, containment 1.0 >= tc
+        (
+            5,
+            "alpha beta gamma delta epsilon zeta preface filler words "
+            "surround the short document completely padding more terms "
+            "extra vocab",
+        ),
+        (6, "alpha beta gamma delta epsilon zeta"),
+        (7, "unrelated content that matches nothing else at all"),
+        (8, "quick brown fox jumps over the lazy dog"),
+    ]
+    tj, tc = 0.5, 0.9
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["jaccard"], r["containment"], r["jaccard_dup"],
+            r["containment_dup"],
+        )
+        for r in prefix_dual_pairs(
+            docs, jaccard_threshold=tj, containment_threshold=tc, n=1
+        ).collect()
+    }
+    sets = {i: set(s.split()) for i, s in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        icnt = len(sets[a] & sets[b])
+        if not icnt:
+            continue
+        j = icnt / len(sets[a] | sets[b])
+        c = icnt / min(len(sets[a]), len(sets[b]))
+        if j >= tj or c >= tc:
+            want[(a, b)] = (
+                round(j, 6), round(c, 6), int(j >= tj), int(c >= tc)
+            )
+    assert want, "fixture must produce matching pairs"
+    # the embedded-doc pair must be present and containment-only
+    assert want[(5, 6)][2:] == (0, 1)
+    assert got == want
 
 
 def test_rouge_n_hand_computed(spark):

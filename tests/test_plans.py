@@ -672,9 +672,18 @@ def test_prefix_filter_windows_computed_once(spark):
     execute twice (observed: 4 Window operators). The persist must
     keep it at exactly the two distinct window specs (ranking +
     doc-size), sharing one doc-keyed exchange."""
-    from __spark_entry__ import queries
+    from mpes_spark.extras.dedup import prefix_filtered_pairs
+    from mpes_spark.registry import t
 
-    plan = _plan(queries()["neardup_prefix_filter"](spark, SF_SMALL))
+    # checkpoint=False exposes the live plan (the registered query
+    # eagerly checkpoints to release its caches, which collapses the
+    # inspectable plan to Scan ExistingRDD)
+    plan = _plan(
+        prefix_filtered_pairs(
+            t(spark, SF_SMALL, "documents"), threshold=0.7, n=3,
+            checkpoint=False,
+        )
+    )
     # every Window op must live INSIDE the pinned (cached) prefix
     # relation — the top-level plan (text before the first cached-plan
     # rendering) re-executes none of them; each InMemoryTableScan
@@ -682,6 +691,38 @@ def test_prefix_filter_windows_computed_once(spark):
     top = plan.split("InMemoryRelation")[0]
     assert top.count("Window") == 0, top.count("Window")
     assert plan.count("InMemoryTableScan") >= 2  # both join sides read cache
+
+
+def test_dual_measure_single_intersection(spark):
+    """Both dual-measure verdicts (Jaccard + containment) must derive
+    from ONE candidate materialization and ONE (id_a, id_b)-keyed
+    intersection aggregate — the shared-work claim. Running the two
+    measures separately would show two such aggregates; the windows
+    must live inside the pinned element relation, not re-execute."""
+    from mpes_spark.extras.dedup import prefix_dual_pairs
+    from mpes_spark.registry import t
+
+    docs = t(spark, SF_SMALL, "documents")
+    plan = _plan(
+        prefix_dual_pairs(
+            docs, jaccard_threshold=0.7, containment_threshold=0.9, n=3,
+            checkpoint=False,
+        )
+    )
+    top = plan.split("InMemoryRelation")[0]
+    # no window re-execution outside the cached enriched relation
+    assert top.count("Window") == 0, top.count("Window")
+    # exactly one logical intersection aggregate keyed on the pair:
+    # partial + final HashAggregate on (id_a, id_b) with count —
+    # a separate-per-measure rendering would double this
+    pair_aggs = [
+        ln
+        for ln in top.splitlines()
+        if "HashAggregate" in ln and "id_a" in ln and "id_b" in ln
+        and "count" in ln
+    ]
+    assert len(pair_aggs) <= 2, pair_aggs
+    assert len(pair_aggs) >= 1, top
 
 
 def test_partition_digest_diff_is_bucket_sized(spark):
