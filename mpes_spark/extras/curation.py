@@ -1373,3 +1373,258 @@ SELECT {cols}, keep_rank FROM (
   FROM {table}
 ) r WHERE keep_rank <= {cap}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# curation audit: per-doc drop-reason attribution
+# ---------------------------------------------------------------------------
+
+#: canonical audit stage order — the verdict is the FIRST failing
+#: stage under this order (matching the recipe order a production
+#: pipeline runs: exact dedup before quality rules, rules in the
+#: Gopher paper's listing order)
+AUDIT_STAGES = ("exact_dup", "wordcount", "meanlen", "stopword", "dup2gram")
+
+
+def curation_audit(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document drop-reason attribution: for every doc, the FIRST
+    stage of the canonical curation recipe that would drop it
+    (``exact_dup`` -> the four Gopher rules in order), or ``kept``.
+    Output: (doc_id, source, verdict, n_rules_failed).
+
+    At 100 TB "the filter dropped 12% of docs" is not actionable —
+    WHICH stage, on WHICH slice, is. This computes the whole
+    attribution in ONE pass: the only shuffle is the 16-byte
+    fingerprint exchange for the keep-first exact-dup stage (min-id
+    window over the content digest); every quality metric is a
+    narrow projection computed once and read by name (inlining them
+    per-rule bloats codegen — see GOPHER_METRICS_EXPR), and the
+    verdict is a CASE cascade, not N passes over the corpus."""
+    from mpes_spark.extras import text as TX
+
+    m = {name: fn(text) for name, fn in TX.GOPHER_METRICS_EXPR.items()}
+    w = Window.partitionBy(TX.fingerprint_expr(text))
+    base = df.select(
+        F.col(id_col),
+        F.col("source"),
+        *[c.alias(n) for n, c in m.items()],
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canon"),
+    )
+    fl = TX.gopher_flags_expr(
+        F.col("m_ntok"), F.col("m_mwl"), F.col("m_stop"), F.col("m_dup2")
+    )
+    verdict = F.when(~F.col("is_canon"), F.lit("exact_dup"))
+    for stage in AUDIT_STAGES[1:]:
+        verdict = verdict.when(~fl[stage], F.lit(stage))
+    verdict = verdict.otherwise(F.lit("kept"))
+    n_failed = sum(
+        (~fl[s]).cast("int") for s in AUDIT_STAGES[1:]
+    ) + (~F.col("is_canon")).cast("int")
+    return base.select(
+        id_col,
+        "source",
+        verdict.alias("verdict"),
+        n_failed.cast("int").alias("n_rules_failed"),
+    )
+
+
+def curation_funnel(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Aggregated audit: docs per (source, verdict) — the curation
+    funnel dashboards read. Output: (source, verdict, n_docs)."""
+    return (
+        curation_audit(df, text, id_col)
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def curation_audit_sql(
+    table: str, text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle twin of :func:`curation_audit` (same stage order,
+    same metric SQL builders, fingerprint window)."""
+    from mpes_spark.extras import text as TX
+
+    metrics = ", ".join(
+        f"{fn(text)} AS {n}" for n, fn in TX.GOPHER_METRICS_SQL.items()
+    )
+    fl = TX.gopher_flags_sql()
+    cases = " ".join(
+        f"WHEN NOT {fl[s]} THEN '{s}'" for s in AUDIT_STAGES[1:]
+    )
+    fails = " + ".join(
+        f"CASE WHEN {fl[s]} THEN 0 ELSE 1 END" for s in AUDIT_STAGES[1:]
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, source, {metrics},
+         {id_col} = min({id_col}) OVER (
+           PARTITION BY {TX.fingerprint_sql(text)}
+         ) AS is_canon
+  FROM {table}
+)
+SELECT {id_col}, source,
+       CASE WHEN NOT is_canon THEN 'exact_dup' {cases} ELSE 'kept' END
+         AS verdict,
+       CAST(({fails} + CASE WHEN is_canon THEN 0 ELSE 1 END) AS INT)
+         AS n_rules_failed
+FROM base
+""".strip()
+
+
+def curation_funnel_sql(
+    table: str, text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """Oracle twin of :func:`curation_funnel`."""
+    return f"""
+SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({curation_audit_sql(table, text, id_col)}) a
+GROUP BY source, verdict
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# token-balanced shard assignment (serpentine over global size rank)
+# ---------------------------------------------------------------------------
+
+def balanced_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Assign each doc to one of ``n_shards`` output shards so shard
+    TOKEN TOTALS are near-equal — hash sharding balances doc COUNTS,
+    and long-doc skew then makes token-heavy shards the stragglers of
+    every downstream epoch. Serpentine (boustrophedon) assignment
+    over the global (n_tokens DESC, id) rank: rank r goes to shard
+    ``pos`` on even passes and ``n_shards-1-pos`` on odd passes
+    (pos = (r-1) % n_shards) — each pass pairs large remainders with
+    small ones, the classic LPT-flavored layout. Output: (doc_id,
+    n_tokens, rank, shard).
+
+    The global rank is computed in TWO PHASES, never a
+    single-partition sort (the :func:`pack_sequences` decomposition
+    applied to ranking): docs bucket by token-count BAND, each band
+    ranks internally (window partitioned by band — ties share a band
+    by construction since the band is a function of the sort key),
+    band counts (one row per band) prefix-sum on the driver and
+    broadcast back as offsets. At 100 TB: one narrow shuffle keyed on
+    the band, a ``buckets``-row collect, one broadcast join. The
+    DuckDB oracle is the plain global window, asserting the
+    decomposition is exact."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    d = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text), " ")).cast("bigint").alias("n_tokens"),
+    )
+    bounds = d.agg(
+        F.min("n_tokens").alias("lo"), F.max("n_tokens").alias("hi")
+    ).collect()[0]
+    if bounds.lo is None:
+        return d.select(
+            id_col,
+            "n_tokens",
+            F.lit(None).cast("bigint").alias("rank"),
+            F.lit(None).cast("int").alias("shard"),
+        )
+    width = max(1, (int(bounds.hi) - int(bounds.lo) + buckets) // buckets)
+    # band 0 holds the LARGEST docs so band-rank offsets accumulate in
+    # global (n_tokens DESC) order
+    d = d.withColumn(
+        "band", F.expr(f"CAST(({int(bounds.hi)} - n_tokens) div {width} AS BIGINT)")
+    )
+    w = Window.partitionBy("band").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col)
+    )
+    d = d.withColumn("rk_in", F.row_number().over(w))
+    counts = sorted(
+        (r.band, r.n)
+        for r in d.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, nb in counts:
+        offsets.append((b, acc))
+        acc += nb
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, "band bigint, offset bigint")
+    )
+    rank = F.col("offset") + F.col("rk_in")
+    pos = (rank - 1) % n_shards
+    ping = (((rank - 1) / n_shards).cast("bigint") % 2) == 0
+    shard = F.when(ping, pos).otherwise(n_shards - 1 - pos)
+    return d.join(off, "band").select(
+        id_col,
+        "n_tokens",
+        rank.cast("bigint").alias("rank"),
+        shard.cast("int").alias("shard"),
+    )
+
+
+def shard_balance(
+    df: DataFrame,
+    n_shards: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aggregated shard manifest: (shard, n_docs, total_tokens) — the
+    balance evidence. With serpentine assignment max(total) -
+    min(total) is bounded by roughly one max-doc per pass pair."""
+    return (
+        balanced_shards(df, n_shards, text, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def balanced_shards_sql(
+    table: str,
+    n_shards: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle twin of :func:`balanced_shards` — the plain
+    global window the two-phase decomposition must equal."""
+    return f"""
+WITH d AS (
+  SELECT {id_col},
+         CAST(len(string_split({text}, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+rk AS (
+  SELECT {id_col}, n_tokens,
+         CAST(row_number() OVER (ORDER BY n_tokens DESC, {id_col}) AS BIGINT)
+           AS rank
+  FROM d
+)
+SELECT {id_col}, n_tokens, rank,
+       CAST(CASE WHEN ((rank - 1) // {n_shards}) % 2 = 0
+                 THEN (rank - 1) % {n_shards}
+                 ELSE {n_shards} - 1 - (rank - 1) % {n_shards}
+            END AS INT) AS shard
+FROM rk
+""".strip()
+
+
+def shard_balance_sql(
+    table: str,
+    n_shards: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of :func:`shard_balance`."""
+    return f"""
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM ({balanced_shards_sql(table, n_shards, text, id_col)}) b
+GROUP BY shard
+""".strip()

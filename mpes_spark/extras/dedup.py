@@ -791,6 +791,148 @@ def prefix_dual_pairs(
     return out
 
 
+def prefix_filtered_join(
+    left: DataFrame,
+    right: DataFrame,
+    text: str = "text",
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Cross-RELATION prefix-filtered similarity join (the R-S form
+    of :func:`prefix_filtered_pairs`): every (left-doc, right-doc)
+    pair with exact element-set Jaccard >= ``threshold``. This is
+    the join a daily ingest actually runs at 100 TB — a new batch
+    checked against the standing corpus with ZERO recall loss
+    (LSH-based ingest dedup trades recall; this is complete).
+
+    Completeness: element df is computed over the UNION of both
+    relations, giving one consistent global order; each side keeps
+    its own prefix of n_doc - ceil(t*n_doc) + 1 rarest elements. For
+    J(A,B) >= t the overlap is >= ceil(t*max(na,nb)), and the
+    prefix-filter principle (Chaudhuri et al. 2006) then guarantees
+    the two prefixes intersect — both kept prefixes are at least as
+    long as the joint theorem needs since ceil(t*n_side) <=
+    ceil(t*max). The brute-force-equality property test exercises
+    this cross-relation form directly.
+
+    Scale: the batch side is typically orders of magnitude smaller —
+    its prefix relation broadcasts (AQE decides); candidate volume
+    still concentrates on rare elements, and union-df=1 elements
+    (appearing once across BOTH relations) are pruned from both
+    prefixes. Output: (id_a = left id, id_b = right id, jaccard) —
+    ids may coincide across relations; they are namespaced by side,
+    not compared."""
+    def mk(d: DataFrame) -> DataFrame:
+        return (
+            token_sets(d, text, id_col)
+            if n == 1
+            else shingle_table(d, text, n, id_col)
+        )
+
+    tl = mk(left).persist()
+    tr = mk(right).persist()
+    dfreq = (
+        tl.select("sh")
+        .unionAll(tr.select("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("tdf"))
+    )
+
+    def _prefix(toks: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
+        wn = Window.partitionBy(id_col)
+        return (
+            toks.join(dfreq, "sh")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("nsz", F.count(F.lit(1)).over(wn))
+            .filter(
+                F.col("rn")
+                <= F.col("nsz") - F.ceil(F.col("nsz") * F.lit(threshold)) + 1
+            )
+            .filter(F.col("tdf") >= 2)
+            .select(F.col(id_col), "sh")
+        )
+
+    cand = (
+        _prefix(tl)
+        .select(F.col(id_col).alias("id_a"), "sh")
+        .join(_prefix(tr).select(F.col(id_col).alias("id_b"), "sh"), "sh")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = verify_jaccard_cross(cand, tl, tr, threshold, id_col)
+    if not checkpoint:
+        return out
+    out = out.localCheckpoint(eager=True)
+    tl.unpersist()
+    tr.unpersist()
+    return out
+
+
+def prefix_filtered_join_sql(
+    left_table: str,
+    right_table: str,
+    dialect: str,
+    threshold: float = 0.9,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """Dual-dialect SQL twin of :func:`prefix_filtered_join`
+    (union-df global order, per-side prefixes, cross-relation
+    candidate join, exact-Jaccard verify)."""
+    shl = _shingle_cte(left_table, n, dialect, id_col)
+    shr = _shingle_cte(right_table, n, dialect, id_col)
+    t_lit = repr(threshold)
+    return f"""
+WITH toks_l AS ({shl}),
+toks_r AS ({shr}),
+dfreq AS (
+  SELECT sh, count(*) AS tdf FROM (
+    SELECT sh FROM toks_l UNION ALL SELECT sh FROM toks_r
+  ) u GROUP BY sh
+),
+pref_l AS (
+  SELECT {id_col}, sh FROM (
+    SELECT t.{id_col}, t.sh, d.tdf,
+           row_number() OVER (PARTITION BY t.{id_col}
+                              ORDER BY d.tdf, t.sh) AS rn,
+           count(*) OVER (PARTITION BY t.{id_col}) AS nsz
+    FROM toks_l t JOIN dfreq d ON d.sh = t.sh
+  ) r WHERE rn <= nsz - ceil(nsz * {t_lit}) + 1 AND tdf >= 2
+),
+pref_r AS (
+  SELECT {id_col}, sh FROM (
+    SELECT t.{id_col}, t.sh, d.tdf,
+           row_number() OVER (PARTITION BY t.{id_col}
+                              ORDER BY d.tdf, t.sh) AS rn,
+           count(*) OVER (PARTITION BY t.{id_col}) AS nsz
+    FROM toks_r t JOIN dfreq d ON d.sh = t.sh
+  ) r WHERE rn <= nsz - ceil(nsz * {t_lit}) + 1 AND tdf >= 2
+),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM pref_l a JOIN pref_r b ON a.sh = b.sh
+),
+sizes_l AS (SELECT {id_col}, count(*) AS nsh FROM toks_l GROUP BY {id_col}),
+sizes_r AS (SELECT {id_col}, count(*) AS nsh FROM toks_r GROUP BY {id_col}),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS icnt
+  FROM cand c
+  JOIN toks_l ta ON ta.{id_col} = c.id_a
+  JOIN toks_r tb ON tb.{id_col} = c.id_b AND tb.sh = ta.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt), 6) AS jaccard
+FROM inter i
+JOIN sizes_l za ON za.{id_col} = i.id_a
+JOIN sizes_r zb ON zb.{id_col} = i.id_b
+WHERE CAST(i.icnt AS DOUBLE) / (za.nsh + zb.nsh - i.icnt) >= {t_lit}
+""".strip()
+
+
 def prefix_dual_pairs_sql(
     table: str,
     dialect: str,

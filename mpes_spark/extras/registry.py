@@ -158,6 +158,49 @@ def _gopher_query_sql() -> str:
     )
 
 
+@_q("curation_audit", CU.curation_audit_sql("documents"))
+def curation_audit(spark, sf_dir):
+    """Per-document drop-reason attribution: the FIRST stage of the
+    canonical curation recipe (exact-dup, then the four Gopher rules
+    in order) that would drop each doc, or 'kept' — plus how many
+    rules it fails in total. ONE pass: the only shuffle is the
+    16-byte fingerprint exchange for the keep-first dedup window;
+    metrics are computed once in a narrow projection and the verdict
+    is a CASE cascade. At 100 TB 'the filter dropped 12%' is not
+    actionable; which stage, on which slice, is."""
+    return CU.curation_audit(_docs(spark, sf_dir))
+
+
+@_q("curation_funnel", CU.curation_funnel_sql("documents"))
+def curation_funnel(spark, sf_dir):
+    """Aggregated curation audit: docs per (source, first-failing
+    stage) — the funnel dashboards read; same one-pass plan as
+    curation_audit plus one source-keyed groupBy."""
+    return CU.curation_funnel(_docs(spark, sf_dir))
+
+
+@_q("balanced_shards", CU.balanced_shards_sql("documents", n_shards=16))
+def balanced_shards(spark, sf_dir):
+    """Token-balanced shard assignment: serpentine (boustrophedon)
+    placement over the global (n_tokens DESC, id) rank — hash
+    sharding balances doc counts, and long-doc skew then makes
+    token-heavy shards every epoch's stragglers. The global rank is
+    two-phase (band-partitioned window + driver prefix-sum of band
+    counts, the pack_sequences decomposition applied to ranking);
+    the oracle is the plain global window, so the gate asserts the
+    decomposition is EXACT per doc."""
+    return CU.balanced_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+@_q("shard_balance", CU.shard_balance_sql("documents", n_shards=16))
+def shard_balance(spark, sf_dir):
+    """Shard manifest (shard, n_docs, total_tokens) for the
+    serpentine token-balanced assignment — the balance evidence:
+    serpentine pairs each pass's large remainders with small ones,
+    so max-min total is bounded by ~one max doc per pass pair."""
+    return CU.shard_balance(_docs(spark, sf_dir), n_shards=16)
+
+
 @_q("quality_gopher", _gopher_query_sql())
 def quality_gopher(spark, sf_dir):
     """Gopher-style quality-rule audit (Rae et al. 2021 §A1.1): per-
@@ -449,6 +492,34 @@ def neardup_prefix_filter(spark, sf_dir):
     verify; completeness-vs-brute-force property test in
     tests/test_extras.py."""
     return DD.prefix_filtered_pairs(_docs(spark, sf_dir), threshold=0.7, n=3)
+
+
+_BATCH_PRED = "source IN ('src0', 'src1')"
+
+
+@_q(
+    "neardup_cross_ingest",
+    DD.prefix_filtered_join_sql(
+        f"(SELECT * FROM documents WHERE {_BATCH_PRED})",
+        f"(SELECT * FROM documents WHERE NOT ({_BATCH_PRED}))",
+        "duckdb",
+        threshold=0.7,
+        n=3,
+    ),
+)
+def neardup_cross_ingest(spark, sf_dir):
+    """Cross-relation prefix-filtered similarity join — the R-S form
+    of the PPJoin self-join: an incoming batch (2 sources) checked
+    against the standing corpus (the other 18) with ZERO recall loss,
+    unlike LSH ingest dedup. Element df over the UNION gives one
+    consistent global order; each side keeps its own rarest-element
+    prefix; completeness via the Chaudhuri et al. prefix-filter
+    principle at overlap >= ceil(t*max(na,nb)). The (small) batch
+    prefix is the natural broadcast side — AQE decides."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.expr(_BATCH_PRED))
+    corpus = docs.filter(~F.expr(_BATCH_PRED))
+    return DD.prefix_filtered_join(batch, corpus, threshold=0.7, n=3)
 
 
 @_q(

@@ -984,6 +984,80 @@ def test_url_normalize_fuzz_idempotent_and_parity(spark, duck):
     assert again == got
 
 
+def test_balanced_shards_balance_and_exactness(spark):
+    """Serpentine token-balanced sharding: (a) the two-phase global
+    rank is a permutation 1..N with distinct ranks, (b) every shard
+    gets within one doc of N/S docs, (c) token totals are tight —
+    max-min spread under 2x the largest doc (serpentine pairs large
+    with small per pass pair) and far tighter than hash sharding on
+    a skewed corpus."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.curation import balanced_shards, shard_balance
+
+    # skewed sizes: a few giants, many small docs
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(50 if i < 8 else 3)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    per = balanced_shards(docs, n_shards=8).collect()
+    ranks = sorted(r["rank"] for r in per)
+    assert ranks == list(range(1, 201))
+    bal = {r["shard"]: r for r in shard_balance(docs, n_shards=8).collect()}
+    assert set(bal) == set(range(8))
+    ndocs = [bal[s]["n_docs"] for s in range(8)]
+    assert max(ndocs) - min(ndocs) <= 1
+    totals = [bal[s]["total_tokens"] for s in range(8)]
+    max_doc = max(50, 3)
+    assert max(totals) - min(totals) < 2 * max_doc, totals
+    # hash sharding for contrast: the 8 giants can collide
+    hashed = (
+        docs.select(
+            (F.abs(F.hash("doc_id")) % 8).alias("shard"),
+            F.size(F.split("text", " ")).alias("n"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    )
+    spread_hash = max(r["tot"] for r in hashed) - min(r["tot"] for r in hashed)
+    assert max(totals) - min(totals) <= spread_hash
+
+
+def test_curation_audit_first_failing_stage(spark):
+    """The audit verdict is the FIRST failing stage under the
+    canonical order (exact_dup -> wordcount -> meanlen -> stopword ->
+    dup2gram); a doc failing several rules reports the earliest, the
+    canonical copy of a dup group is NOT exact_dup, and
+    n_rules_failed counts all failures regardless of attribution."""
+    from mpes_spark.extras.curation import curation_audit
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs far "
+        "away into green fields where it meets another friendly fox "
+        "and they play all day long under warm sun light"
+    )
+    rows = [
+        (1, "a", good),                 # kept
+        (2, "a", good),                 # exact dup of 1 (even though
+                                        # it also passes every rule)
+        (3, "a", "short text only"),    # fails wordcount (first) +
+                                        # stopword? 'only'... and dup2
+        (4, "b", good + " extra"),      # kept, distinct fingerprint
+    ]
+    out = {
+        r["doc_id"]: (r["verdict"], r["n_rules_failed"])
+        for r in curation_audit(
+            spark.createDataFrame(rows, "doc_id long, source string, text string")
+        ).collect()
+    }
+    assert out[1][0] == "kept" and out[1][1] == 0
+    assert out[2][0] == "exact_dup" and out[2][1] == 1
+    assert out[3][0] == "wordcount" and out[3][1] >= 1
+    assert out[4][0] == "kept"
+
+
 def test_corpus_pipeline_dedup_url(spark):
     from mpes_spark.extras.pipeline import CorpusPipeline
 
@@ -1694,6 +1768,48 @@ def test_prefix_filter_complete_vs_brute_force(spark):
             want3[(a, b)] = round(j, 6)
     assert want3, "fixture must produce matching shingle pairs"
     assert got3 == want3
+
+
+def test_prefix_join_cross_relation_complete(spark):
+    """prefix_filtered_join (R-S form) returns exactly the
+    brute-force cross-relation Jaccard pairs: union-df global order +
+    per-side prefixes lose nothing — including a batch doc whose only
+    match sits in the corpus and vice versa; within-relation dups
+    must NOT pair."""
+    from mpes_spark.extras.dedup import prefix_filtered_join
+
+    batch_rows = [
+        (100, "quick brown fox jumps over the lazy dog"),
+        (101, "entirely different tokens appear here now"),
+        (102, "alpha beta gamma delta epsilon"),
+        (103, "alpha beta gamma delta epsilon"),  # dup WITHIN batch
+    ]
+    corpus_rows = [
+        (1, "quick brown fox jumps over the lazy cat"),
+        (2, "entirely different tokens appear here now"),
+        (3, "unrelated corpus content matching no batch doc"),
+        (4, "quick brown fox jumps over the lazy dog"),
+    ]
+    t = 0.5
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filtered_join(
+            batch, corpus, threshold=t, n=1
+        ).collect()
+    }
+    bs = {i: set(s.split()) for i, s in batch_rows}
+    cs = {i: set(s.split()) for i, s in corpus_rows}
+    want = {}
+    for a, sa in bs.items():
+        for b, sb in cs.items():
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+    assert want, "fixture must produce matching pairs"
+    assert (103, 102) not in got and (102, 103) not in got
+    assert got == want
 
 
 def test_dual_measure_complete_vs_brute_force(spark):
