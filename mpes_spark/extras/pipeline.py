@@ -174,6 +174,25 @@ class CorpusPipeline:
         )
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def dedup_against(
+        self,
+        corpus: DataFrame,
+        threshold: float = 0.7,
+        n: int = 3,
+    ) -> "CorpusPipeline":
+        """Incremental ingest dedup with ZERO recall loss: drop docs
+        of THIS pipeline (the incoming batch) whose n-gram Jaccard
+        against any doc of the standing ``corpus`` reaches
+        ``threshold`` — the cross-relation prefix join
+        (:func:`~mpes_spark.extras.dedup.prefix_filtered_join`), the
+        complete alternative to the streaming LSH ingest path. The
+        batch side is the natural broadcast; corpus docs are never
+        modified."""
+        hit = DD.prefix_filtered_join(
+            self.df, corpus, self.text, threshold, n, self.id_col
+        ).select(F.col("id_a").alias(self.id_col)).distinct()
+        return self._wrap(self.df.join(hit, self.id_col, "left_anti"))
+
     def dedup_chunks(
         self, chunk_tokens: int = 64, min_tokens: int = 1
     ) -> "CorpusPipeline":

@@ -984,6 +984,32 @@ def test_url_normalize_fuzz_idempotent_and_parity(spark, duck):
     assert again == got
 
 
+def test_corpus_pipeline_dedup_against(spark):
+    """dedup_against drops exactly the batch docs near-duplicating a
+    corpus doc; batch-internal duplicates survive (they are the
+    self-join's job, not the ingest check's)."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over the lazy dog"),
+            (2, "unrelated corpus content matching no batch doc"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "quick brown fox jumps over the lazy dog"),  # dup of 1
+            (101, "entirely fresh tokens appear here now"),
+            (102, "entirely fresh tokens appear here now"),  # batch-internal
+        ],
+        "doc_id long, text string",
+    )
+    out = CorpusPipeline(batch).dedup_against(corpus, threshold=0.6, n=1)
+    ids = {r.doc_id for r in out.df.select("doc_id").collect()}
+    assert ids == {101, 102}
+
+
 def test_balanced_shards_balance_and_exactness(spark):
     """Serpentine token-balanced sharding: (a) the two-phase global
     rank is a permutation 1..N with distinct ranks, (b) every shard
