@@ -218,3 +218,203 @@ def bucket_digest_maintenance_sink(
         )
 
     return handle, current
+
+
+def funnel_maintenance_sink(
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """``foreachBatch`` maintenance of the curation funnel
+    (:func:`mpes_spark.extras.curation.curation_funnel` online):
+    every micro-batch is audited ALONE — metrics projection, verdict
+    CASE cascade — against a fingerprint registry of everything seen
+    so far, and the per-(source, verdict) counts merge into the
+    accumulated funnel. The ingest dashboard's "which stage is eating
+    my crawl, live" without ever rescanning history.
+
+    Semantics match the batch audit whenever arrival order is
+    monotone in doc id (the parity-test convention shared with the
+    other ingest sinks): a batch doc is ``exact_dup`` iff its
+    fingerprint was seen in an earlier batch OR a lower-id doc of the
+    same batch owns it; quality verdicts are per-doc and
+    order-independent.
+
+    Scale shape: per-batch work is the batch's own metric projection
+    + one fingerprint semi-join against the seen parts (lazy union of
+    already-materialized per-batch increments — never a rewrite of
+    history; ``compact_every=K`` collapses the parts every K
+    batches). The funnel itself is (sources x 6)-row bounded, merged
+    and pinned each batch. Returns ``(handle, current)``;
+    ``current()`` is the accumulated funnel DataFrame."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras import text as TX
+    from mpes_spark.extras.curation import AUDIT_STAGES
+
+    state: dict = {"fp_parts": [], "funnel": None, "batches": 0}
+
+    def _union(parts):
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        m = {n: fn(text) for n, fn in TX.GOPHER_METRICS_EXPR.items()}
+        w = Window.partitionBy("_fp")
+        b = batch.select(
+            F.col(id_col),
+            F.col("source"),
+            *[c.alias(n) for n, c in m.items()],
+            TX.fingerprint_expr(text).alias("_fp"),
+        ).withColumn(
+            "_batch_canon", F.col(id_col) == F.min(id_col).over(w)
+        )
+        if state["fp_parts"]:
+            seen = _union(state["fp_parts"])
+            b = b.join(
+                seen.withColumn("_seen", F.lit(True)), "_fp", "left"
+            ).withColumn("_seen", F.coalesce(F.col("_seen"), F.lit(False)))
+        else:
+            b = b.withColumn("_seen", F.lit(False))
+        fl = TX.gopher_flags_expr(
+            F.col("m_ntok"), F.col("m_mwl"), F.col("m_stop"), F.col("m_dup2")
+        )
+        verdict = F.when(
+            F.col("_seen") | ~F.col("_batch_canon"), F.lit("exact_dup")
+        )
+        for stage in AUDIT_STAGES[1:]:
+            verdict = verdict.when(~fl[stage], F.lit(stage))
+        verdict = verdict.otherwise(F.lit("kept"))
+        delta = (
+            b.groupBy("source", verdict.alias("verdict"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        )
+        cur = state["funnel"]
+        merged = (
+            delta
+            if cur is None
+            else cur.unionByName(delta)
+            .groupBy("source", "verdict")
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+        )
+        state["funnel"] = merged.localCheckpoint(eager=True)
+        # delta-sized registry increment: fingerprints NEW this batch
+        inc = (
+            b.filter(F.col("_batch_canon") & ~F.col("_seen"))
+            .select("_fp")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        state["fp_parts"].append(inc)
+        state["batches"] += 1
+        if compact_every and state["batches"] % compact_every == 0:
+            state["fp_parts"] = [
+                _union(state["fp_parts"])
+                .distinct()
+                .localCheckpoint(eager=True)
+            ]
+
+    def current() -> DataFrame | None:
+        return state["funnel"]
+
+    return handle, current
+
+
+def novelty_maintenance_sink(
+    *,
+    text: str = "text",
+    n: int = 3,
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """``foreachBatch`` incremental maintenance of per-doc n-gram
+    novelty (:func:`mpes_spark.extras.dedup.ngram_novelty` online).
+    Novelty is a GLOBAL property — an old doc's novelty DEGRADES when
+    a new near-copy arrives and re-uses its shingles — so naive
+    streaming would recompute the corpus every batch. This sink
+    maintains sufficient state instead: per-shingle
+    (sh, df_cnt, owner=min id) and per-doc (doc_id, n_shingles),
+    both as lazy unions of delta-sized per-batch increments (one
+    shingle agg + one doc agg per batch, each materialized once);
+    ``current()`` derives the full novelty table from state with one
+    shingle-keyed merge + one owner-keyed count — state-sized, never
+    corpus-rescanning.
+
+    Because the merge is sum/min (associative + commutative), the
+    maintained state — and therefore every novelty value — is
+    INDEPENDENT of batch arrival order, which the parity test
+    asserts by streaming the same corpus in two different orders.
+    ``compact_every=K`` pre-merges the shingle parts every K batches
+    (groupBy sh: sum df_cnt, min owner), bounding the union depth.
+
+    Returns ``(handle, current)``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.dedup import shingle_table
+
+    state: dict = {"sh_parts": [], "size_parts": [], "batches": 0}
+
+    def _union(parts):
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _merge_sh(rel: DataFrame) -> DataFrame:
+        return rel.groupBy("sh").agg(
+            F.sum("df_cnt").alias("df_cnt"), F.min("owner").alias("owner")
+        )
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        sh = shingle_table(batch, text, n, id_col)
+        inc = (
+            sh.groupBy("sh")
+            .agg(
+                F.count(F.lit(1)).alias("df_cnt"),
+                F.min(id_col).alias("owner"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sizes = (
+            sh.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"))
+            .localCheckpoint(eager=True)
+        )
+        state["sh_parts"].append(inc)
+        state["size_parts"].append(sizes)
+        state["batches"] += 1
+        if compact_every and state["batches"] % compact_every == 0:
+            state["sh_parts"] = [
+                _merge_sh(_union(state["sh_parts"])).localCheckpoint(
+                    eager=True
+                )
+            ]
+            state["size_parts"] = [
+                _union(state["size_parts"]).localCheckpoint(eager=True)
+            ]
+
+    def current() -> DataFrame | None:
+        if not state["sh_parts"]:
+            return None
+        merged = _merge_sh(_union(state["sh_parts"]))
+        uniq = (
+            merged.filter(F.col("df_cnt") == 1)
+            .groupBy(F.col("owner").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        sizes = _union(state["size_parts"])
+        return sizes.join(uniq, id_col, "left").select(
+            id_col,
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_unique"), F.lit(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.round(
+                F.coalesce(F.col("n_unique"), F.lit(0)) / F.col("n_shingles"),
+                6,
+            ).alias("novelty"),
+        )
+
+    return handle, current

@@ -908,3 +908,105 @@ def test_bucket_digest_sink_null_hash_bucket_no_false_divergence(
         "k", ["k", "name", "amount"], ["amount"], nbuckets=8,
     )
     assert digest_diff(maintained, batch).collect() == []
+
+
+def test_funnel_maintenance_sink_matches_batch(spark, tmp_path):
+    """Online curation funnel == batch curation_funnel on the union
+    when arrival is id-ordered: file 2 re-delivers file 1's docs
+    under higher ids (pure exact_dup rows) plus fresh docs; per-batch
+    work never rescans history and the funnel is merged incrementally
+    across a compaction boundary."""
+    from mpes_spark.extras.curation import curation_funnel
+    from mpes_spark.streaming.stateful import funnel_maintenance_sink
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    redeliver = docs.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    )
+    fresh = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter(F.col("doc_id").between(200, 239))
+        .withColumn("doc_id", F.col("doc_id") + 60_000)
+    )
+    src = str(tmp_path / "funnel_stream")
+    docs.coalesce(1).write.parquet(src)
+    redeliver.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    handle, current = funnel_maintenance_sink(compact_every=1)
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = {
+        (r["source"], r["verdict"]): r["n_docs"] for r in current().collect()
+    }
+    want_df = curation_funnel(
+        docs.unionByName(redeliver).unionByName(fresh)
+    )
+    want = {
+        (r["source"], r["verdict"]): r["n_docs"] for r in want_df.collect()
+    }
+    assert got == want
+    # the re-delivered docs must all be exact_dup somewhere
+    assert sum(v for (s, verd), v in got.items() if verd == "exact_dup") >= 20
+
+
+def test_novelty_maintenance_sink_order_independent(spark, tmp_path):
+    """Incremental novelty state == batch ngram_novelty on the whole
+    corpus, and — because the state merge is sum/min — the result is
+    identical when the same corpus streams in the opposite order
+    (an old doc's novelty correctly DEGRADES when a later batch
+    re-uses its shingles, whichever side arrives first)."""
+    from mpes_spark.extras.dedup import ngram_novelty
+    from mpes_spark.streaming.stateful import novelty_maintenance_sink
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    near = docs.limit(15).withColumn("doc_id", F.col("doc_id") + 50_000)
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+        for r in ngram_novelty(docs.unionByName(near), n=3).collect()
+    }
+    assert want, "fixture must produce novelty rows"
+
+    results = []
+    for order, parts in (("fwd", (docs, near)), ("rev", (near, docs))):
+        src = str(tmp_path / f"nov_stream_{order}")
+        parts[0].coalesce(1).write.parquet(src)
+        parts[1].coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        handle, current = novelty_maintenance_sink(n=3, compact_every=2)
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results.append(
+            {
+                r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+                for r in current().collect()
+            }
+        )
+    assert results[0] == want
+    assert results[1] == want
+    # every re-delivered doc's shingles are shared -> both copies have
+    # zero unique shingles
+    dup_ids = {r["doc_id"] for r in near.select("doc_id").collect()}
+    for d in dup_ids:
+        assert results[0][d][1] == 0
