@@ -1627,6 +1627,44 @@ _COPURCHASE_EDGES_SQL = (
 from mpes_spark.analysis.graph import triangles_per_node_sql as _tri_sql
 
 
+from mpes_spark.analysis.graph import kcore_sql as _kcore_sql
+
+
+@_q("kcore_copurchase", _kcore_sql(_COPURCHASE_EDGES_SQL, k=3, rounds=4))
+def kcore_copurchase(spark, sf_dir):
+    """3-core of the part co-purchase graph (Seidman 1983 peeling, 4
+    unrolled rounds): iteratively delete degree<3 nodes with their
+    edges — the dense-part extractor that melts low-degree periphery
+    (spam farms, boilerplate interlinks) off a link graph. Each peel
+    is one map-side-combined degree agg + two node-keyed semi-joins,
+    edge relation re-pinned per round (lineage one peel deep); the
+    oracle unrolls the identical peels as chained CTEs, and peeling
+    monotonicity means any rounds >= true peel depth is the exact
+    fixpoint (pytest asserts it on an engineered chain)."""
+    from mpes_spark.analysis.graph import kcore
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=3, rounds=4)
+
+
 @_q("copurchase_triangles", _tri_sql(_COPURCHASE_EDGES_SQL))
 def copurchase_triangles(spark, sf_dir):
     """Per-node triangle counts over the part co-purchase graph

@@ -599,3 +599,44 @@ def test_weighted_pagerank_uniform_reduces_to_unweighted(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(skew, iters=3, weight="w").collect()}
     assert ranks[2] > ranks[3]  # node 1 routes 90% of its mass to 2
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    """k-core on a path feeding a triangle (k=2): the path must peel
+    ONE node per round (each round exposes the next endpoint), so
+    rounds < path length is NOT yet the fixpoint while rounds >= it
+    is — and the fixpoint equals the triangle with all degrees 2,
+    matching a driver-loop reference peel."""
+    from mpes_spark.analysis.graph import kcore
+
+    # path p1..p5 chained into triangle node t1; triangle t1-t2-t3
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 10),
+        (10, 11), (11, 12), (12, 10),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    full = {r["node"]: r["deg_core"] for r in kcore(e, k=2, rounds=5).collect()}
+    assert full == {10: 2, 11: 2, 12: 2}
+    # also stable beyond the peel depth (monotone fixpoint)
+    more = {r["node"]: r["deg_core"] for r in kcore(e, k=2, rounds=7).collect()}
+    assert more == full
+
+    # too few rounds: the path has NOT fully peeled yet
+    early = {r["node"]: r["deg_core"] for r in kcore(e, k=2, rounds=2).collect()}
+    assert set(early) > {10, 11, 12}
+
+    # driver-loop reference peel
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        drop = {n for n, nb in adj.items() if len(nb) < 2}
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    assert {n: len(nb) for n, nb in adj.items()} == full
