@@ -1628,3 +1628,123 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
 FROM ({balanced_shards_sql(table, n_shards, text, id_col)}) b
 GROUP BY shard
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law curve)
+# ---------------------------------------------------------------------------
+
+def vocab_growth(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: reading the corpus in id
+    order, how many NEW word types each doc contributes and the
+    running totals — (doc_id, n_tokens, new_types, cum_tokens,
+    cum_vocab). Training-data diagnostics read the curve's slope:
+    saturating cum_vocab vs cum_tokens signals a template-dominated
+    or near-duplicated corpus long before dedup metrics do; a fresh
+    crawl tranche should bend the curve back up.
+
+    Scale shape: "cumulative distinct" is NOT computed by scanning
+    prefixes — each type's contribution is attributed to its FIRST
+    document (min doc id over the type, one map-side-combined agg:
+    the novelty owner trick applied to unigrams), reducing the curve
+    to two per-doc counts + running sums. The running sums use the
+    two-phase decomposition (bucket-partitioned window + driver
+    prefix-sum of bucket totals — never a single-partition window);
+    the DuckDB oracle is the plain global window, so the gate asserts
+    the decomposition exact."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("tok")
+    )
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    sizes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    d = sizes.join(first, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("new_types"), F.lit(0)).cast("bigint").alias(
+            "new_types"
+        ),
+    )
+    bounds = d.agg(F.max(id_col).alias("hi")).collect()[0]
+    if bounds.hi is None:
+        return d.select(
+            id_col,
+            "n_tokens",
+            "new_types",
+            F.lit(None).cast("bigint").alias("cum_tokens"),
+            F.lit(None).cast("bigint").alias("cum_vocab"),
+        )
+    width = max(1, (int(bounds.hi) + buckets) // buckets)
+    d = d.withColumn("bucket", F.expr(f"{id_col} div {width}"))
+    w = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("ct_in", F.sum("n_tokens").over(w)).withColumn(
+        "cv_in", F.sum("new_types").over(w)
+    )
+    totals = sorted(
+        (r.bucket, r.t, r.v)
+        for r in d.groupBy("bucket")
+        .agg(
+            F.sum("n_tokens").alias("t"), F.sum("new_types").alias("v")
+        )
+        .collect()
+    )
+    offs, at, av = [], 0, 0
+    for b, tt, vv in totals:
+        offs.append((b, at, av))
+        at += tt
+        av += vv
+    off = F.broadcast(
+        d.sparkSession.createDataFrame(
+            offs, "bucket bigint, t_off bigint, v_off bigint"
+        )
+    )
+    return d.join(off, "bucket").select(
+        id_col,
+        "n_tokens",
+        "new_types",
+        (F.col("t_off") + F.col("ct_in")).cast("bigint").alias("cum_tokens"),
+        (F.col("v_off") + F.col("cv_in")).cast("bigint").alias("cum_vocab"),
+    )
+
+
+def vocab_growth_sql(
+    table: str, text: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle twin of :func:`vocab_growth` — plain global
+    running-sum windows over the same first-occurrence attribution."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(string_split({text}, ' ')) AS tok FROM {table}
+),
+first_occ AS (
+  SELECT {id_col}, count(*) AS new_types FROM (
+    SELECT tok, min({id_col}) AS {id_col} FROM toks GROUP BY tok
+  ) f GROUP BY {id_col}
+),
+sizes AS (
+  SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY {id_col}
+),
+d AS (
+  SELECT s.{id_col}, s.n_tokens,
+         CAST(coalesce(f.new_types, 0) AS BIGINT) AS new_types
+  FROM sizes s LEFT JOIN first_occ f ON f.{id_col} = s.{id_col}
+)
+SELECT {id_col}, n_tokens, new_types,
+       CAST(sum(n_tokens) OVER (ORDER BY {id_col}) AS BIGINT) AS cum_tokens,
+       CAST(sum(new_types) OVER (ORDER BY {id_col}) AS BIGINT) AS cum_vocab
+FROM d
+""".strip()

@@ -179,6 +179,19 @@ def curation_funnel(spark, sf_dir):
     return CU.curation_funnel(_docs(spark, sf_dir))
 
 
+@_q("vocab_growth", CU.vocab_growth_sql("documents"))
+def vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth curve: per-doc new word types (in
+    id order) and running (cum_tokens, cum_vocab) — a saturating
+    curve flags template-dominated / near-duplicated data before
+    dedup metrics do. 'Cumulative distinct' is never computed by
+    prefix scans: each type attributes to its FIRST doc (min-id agg,
+    the novelty owner trick on unigrams), then two-phase running
+    sums; oracle is the plain global window, gating the
+    decomposition exact."""
+    return CU.vocab_growth(_docs(spark, sf_dir))
+
+
 @_q("balanced_shards", CU.balanced_shards_sql("documents", n_shards=16))
 def balanced_shards(spark, sf_dir):
     """Token-balanced shard assignment: serpentine (boustrophedon)
@@ -1350,6 +1363,31 @@ def hll_estimate_oracle(spark, sf_dir):
     (`hll_distinct_users`, rows-only by design)."""
     return spark.sql(
         SK.hll_estimate_sql(_pq(sf_dir, "events"), "user_id", "spark")
+    )
+
+
+_HLL_PRED_A = "event_type = 'purchase' AND value > 100"
+_HLL_PRED_B = "event_type = 'click' AND value > 100"
+
+
+@_q(
+    "hll_set_ops_oracle",
+    SK.hll_set_ops_sql("events", "user_id", _HLL_PRED_A, _HLL_PRED_B, "duckdb"),
+)
+def hll_set_ops_oracle(spark, sf_dir):
+    """HLL set algebra: distinct-user estimates for two
+    predicate-defined populations (big purchasers / big clickers),
+    their union, and the inclusion-exclusion INTERSECTION estimate —
+    'how many users did both' without materializing either id set.
+    The union estimate from unioned rows IS the register-max sketch
+    merge (HLL merge lemma), so the gated row replays distributed
+    merge semantics; exact counterparts ride along for the
+    error-vs-truth read."""
+    return spark.sql(
+        SK.hll_set_ops_sql(
+            _pq(sf_dir, "events"), "user_id", _HLL_PRED_A, _HLL_PRED_B,
+            "spark",
+        )
     )
 
 

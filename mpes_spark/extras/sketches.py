@@ -276,3 +276,53 @@ exact AS (SELECT CAST(coalesce(sum(na.cnt * nb.cnt), 0) AS BIGINT) AS size
 SELECT (SELECT CAST(min(dot) AS BIGINT) FROM ip) AS est_join_size,
        (SELECT size FROM exact) AS exact_join_size
 """.strip()
+
+
+def hll_set_ops_sql(
+    table: str,
+    col: str,
+    pred_a: str,
+    pred_b: str,
+    dialect: str,
+    p: int = 8,
+) -> str:
+    """HLL SET-OPERATION estimates between two predicate-defined
+    populations: distinct estimates for A, B, A∪B and the
+    inclusion-exclusion intersection estimate
+    ``est(A) + est(B) - est(A∪B)`` — the standard sketch-algebra
+    answer to "how many users did BOTH" without ever materializing
+    either id set. One row out, with exact counterparts for the gate.
+
+    The union estimate is computed from the unioned ROW set, which is
+    IDENTICAL to merging the two sketches register-by-register with
+    max (the HLL merge lemma: registers are maxima over row hashes,
+    and max over a union is the pairwise max of per-set maxima) — so
+    this query IS the distributed merge semantics, expressed
+    oracle-checkably. est_a/est_b/est_union are each rounded to 6
+    before the intersection arithmetic, keeping the cross-engine
+    float story identical to :func:`hll_estimate_sql`."""
+    a = hll_estimate_sql(f"(SELECT * FROM {table} WHERE {pred_a})", col, dialect, p)
+    b = hll_estimate_sql(f"(SELECT * FROM {table} WHERE {pred_b})", col, dialect, p)
+    u = hll_estimate_sql(
+        f"(SELECT * FROM {table} WHERE ({pred_a}) OR ({pred_b}))",
+        col,
+        dialect,
+        p,
+    )
+    return f"""
+WITH ha AS ({a}),
+hb AS ({b}),
+hu AS ({u})
+SELECT ha.m,
+       ha.est_distinct AS est_a,
+       hb.est_distinct AS est_b,
+       hu.est_distinct AS est_union,
+       CAST(round(ha.est_distinct + hb.est_distinct - hu.est_distinct, 6)
+            AS DOUBLE) AS est_intersection,
+       ha.exact_distinct AS exact_a,
+       hb.exact_distinct AS exact_b,
+       hu.exact_distinct AS exact_union,
+       CAST(ha.exact_distinct + hb.exact_distinct - hu.exact_distinct
+            AS BIGINT) AS exact_intersection
+FROM ha CROSS JOIN hb CROSS JOIN hu
+""".strip()
