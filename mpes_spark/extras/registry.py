@@ -1366,6 +1366,51 @@ def hll_estimate_oracle(spark, sf_dir):
     )
 
 
+def _recipe_e2e_sql() -> str:
+    """Composed-oracle twin of the CorpusPipeline recipe gated by
+    `corpus_recipe_e2e`: quality_filter -> dedup_exact ->
+    sample_quota(20), each stage the SQL of its standalone builder,
+    chained as CTEs."""
+    metrics = ", ".join(
+        f"{fn('text')} AS {name}" for name, fn in TX.GOPHER_METRICS_SQL.items()
+    )
+    pass_all = " AND ".join(TX.gopher_flags_sql().values())
+    fp = TX.fingerprint_sql("text")
+    return f"""
+WITH m AS (SELECT doc_id, source, text, {metrics} FROM documents),
+q AS (SELECT doc_id, source, text FROM m WHERE {pass_all}),
+d AS (SELECT doc_id, source, text,
+             min(doc_id) OVER (PARTITION BY {fp}) AS keep_id
+      FROM q),
+kept AS (SELECT doc_id, source, text FROM d WHERE doc_id = keep_id),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(text), doc_id) AS rk
+      FROM kept)
+SELECT doc_id, source FROM r WHERE rk <= 20
+""".strip()
+
+
+@_q("corpus_recipe_e2e", _recipe_e2e_sql())
+def corpus_recipe_e2e(spark, sf_dir):
+    """The CorpusPipeline FACADE itself under the hash gate, not just
+    its stages: quality_filter -> dedup_exact -> sample_quota(20)
+    composed fluently on the engine side, against an oracle that
+    chains each stage's standalone SQL as CTEs. Gates that stage
+    COMPOSITION preserves semantics — the dedup window runs on
+    quality survivors only, the sample ranks among dedup survivors
+    only — i.e. the facade's immutable-chain plumbing, end to end."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    return (
+        CorpusPipeline(_docs(spark, sf_dir))
+        .quality_filter()
+        .dedup_exact()
+        .sample_quota(20, "source")
+        .df.select("doc_id", "source")
+    )
+
+
 _HLL_PRED_A = "event_type = 'purchase' AND value > 100"
 _HLL_PRED_B = "event_type = 'click' AND value > 100"
 
