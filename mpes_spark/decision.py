@@ -854,6 +854,156 @@ def customer_setops_audit(spark, sf_dir):
     return retained.unionByName(churned)
 
 
+# ---------------------------------------------------------------------------
+# Q12 shape: fact-fact join + conditional (CASE) aggregation matrix
+# ---------------------------------------------------------------------------
+
+_PRIORITY_MATRIX_SQL = (
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY l_returnflag"
+)
+
+
+@_q("priority_lines_matrix", _PRIORITY_MATRIX_SQL)
+def priority_lines_matrix(spark, sf_dir):
+    """TPC-H Q12-shaped shipping-priority matrix (shipmode -> the
+    schema's l_returnflag): one fact-fact equi-join with the date
+    filter PUSHED to the lineitem scan (the join's probe side
+    shrinks before shuffling), then conditional CASE aggregation —
+    two mutually exclusive counts in ONE pass, not two filtered
+    scans. Both counts are integers: exact hash gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _ts(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < _ts(li, "l_shipdate", "1997-01-01"))
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT-IN exclusion subquery + count(DISTINCT) per class
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_CNT_SQL = (
+    "SELECT p_brand, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM part JOIN lineitem ON l_partkey = p_partkey "
+    "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 7, 14, 23, 36, 45) "
+    "AND l_suppkey NOT IN "
+    "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) "
+    "GROUP BY p_brand, p_size"
+)
+
+
+@_q("supplier_count_by_class", _SUPPLIER_CNT_SQL)
+def supplier_count_by_class(spark, sf_dir):
+    """TPC-H Q16-shaped supplier-relationship count (partsupp -> the
+    (l_partkey, l_suppkey) pairs lineitem materializes): how many
+    distinct suppliers serve each surviving part class, EXCLUDING
+    blacklisted suppliers. The NOT IN becomes a LEFT ANTI join on
+    suppkey (the exclusion side projects only the key — safe here
+    because s_suppkey is non-NULL; a nullable NOT IN column is the
+    classic three-valued-logic trap the docstring exists to flag);
+    part filters push to the dimension scan, which then broadcasts.
+    count(DISTINCT) dedups inside the aggregate — integers, exact
+    gate."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 7, 14, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad, "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested IN subqueries with a correlated share threshold
+# ---------------------------------------------------------------------------
+
+_EXCESS_SHARE_SQL = (
+    "SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal "
+    "FROM supplier s WHERE s.s_suppkey IN ("
+    "SELECT sp.l_suppkey FROM "
+    "(SELECT l_suppkey, l_partkey, sum(l_quantity) AS sq FROM lineitem "
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    " AND l_shipdate < TIMESTAMP '1997-01-01' "
+    " GROUP BY l_suppkey, l_partkey) sp "
+    "JOIN "
+    "(SELECT l_partkey, sum(l_quantity) AS tq FROM lineitem "
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    " AND l_shipdate < TIMESTAMP '1997-01-01' "
+    " GROUP BY l_partkey) pt "
+    "ON sp.l_partkey = pt.l_partkey "
+    "WHERE sp.sq > 0.3 * pt.tq)"
+)
+
+
+@_q("dominant_share_suppliers", _EXCESS_SHARE_SQL)
+def dominant_share_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped nested-subquery supplier selection (availqty
+    -> shipped-quantity share): suppliers who shipped > 30% of some
+    part's total 1996 volume. The correlated half-sum threshold
+    renders as two aggregations over the SAME filtered scan joined on
+    partkey — the per-(supp, part) agg rolls up to the per-part agg,
+    so Spark reuses the shuffle (same key prefix); the outer IN is a
+    LEFT SEMI join on suppkey. Quantities are integral doubles, so
+    sums are exact and `sq > 0.3*tq` is the same single IEEE multiply
+    on both engines — no rounding ambiguity at the boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(
+        (F.col("l_shipdate") >= _ts(li, "l_shipdate", "1996-01-01"))
+        & (F.col("l_shipdate") < _ts(li, "l_shipdate", "1997-01-01"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    pt = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tq"))
+    dominant = (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("sq") > 0.3 * F.col("tq"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(dominant, "s_suppkey", "left_semi").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+
+
 def decision_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {q.name: q.spark for q in _REGISTRY}
 
