@@ -969,20 +969,20 @@ _EXCESS_SHARE_SQL = (
     " AND l_shipdate < TIMESTAMP '1997-01-01' "
     " GROUP BY l_partkey) pt "
     "ON sp.l_partkey = pt.l_partkey "
-    "WHERE sp.sq > 0.3 * pt.tq)"
+    "WHERE sp.sq > 0.9 * pt.tq)"
 )
 
 
 @_q("dominant_share_suppliers", _EXCESS_SHARE_SQL)
 def dominant_share_suppliers(spark, sf_dir):
     """TPC-H Q20-shaped nested-subquery supplier selection (availqty
-    -> shipped-quantity share): suppliers who shipped > 30% of some
+    -> shipped-quantity share): suppliers who shipped > 90% of some
     part's total 1996 volume. The correlated half-sum threshold
     renders as two aggregations over the SAME filtered scan joined on
     partkey — the per-(supp, part) agg rolls up to the per-part agg,
     so Spark reuses the shuffle (same key prefix); the outer IN is a
     LEFT SEMI join on suppkey. Quantities are integral doubles, so
-    sums are exact and `sq > 0.3*tq` is the same single IEEE multiply
+    sums are exact and `sq > 0.9*tq` is the same single IEEE multiply
     on both engines — no rounding ambiguity at the boundary."""
     li = _t(spark, sf_dir, "lineitem")
     li = li.filter(
@@ -995,7 +995,7 @@ def dominant_share_suppliers(spark, sf_dir):
     pt = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tq"))
     dominant = (
         sp.join(pt, "l_partkey")
-        .filter(F.col("sq") > 0.3 * F.col("tq"))
+        .filter(F.col("sq") > 0.9 * F.col("tq"))
         .select(F.col("l_suppkey").alias("s_suppkey"))
     )
     s = _t(spark, sf_dir, "supplier")
