@@ -2881,6 +2881,56 @@ def session_scan_segments(spark, sf_dir):
     )
 
 
+# -- growth accounting: per-day new / active / cumulative users ------------
+_DAY_US = 86_400_000_000
+
+
+@_q(
+    "user_growth_daily",
+    f"""
+WITH d AS (SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events),
+fd AS (SELECT user_id, min(day) AS day FROM d GROUP BY user_id),
+nu AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day),
+au AS (SELECT day, count(DISTINCT user_id) AS active_users FROM d GROUP BY day)
+SELECT CAST(au.day AS BIGINT) AS day_idx,
+       CAST(au.active_users AS BIGINT) AS active_users,
+       CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY au.day)
+            AS BIGINT) AS cum_users
+FROM au LEFT JOIN nu ON nu.day = au.day
+""".strip(),
+)
+def user_growth_daily(spark, sf_dir):
+    """Growth accounting: per epoch-day active users, NEW users
+    (first-ever-seen that day — the vocab_growth first-occurrence
+    trick applied to ids: one min-agg per user, never a prefix scan)
+    and the cumulative user count. The running sum is a plain window
+    HERE because it rides the DAY-grained relation — bounded by the
+    calendar (~365 rows/year) at any data scale, unlike the per-doc
+    curves that need the two-phase decomposition."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"ts div {_DAY_US * 1000}").alias("day")
+    )
+    fd = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    nu = fd.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    au = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.orderBy("day").rowsBetween(_Win.unboundedPreceding, 0)
+    return (
+        au.join(nu, "day", "left")
+        .withColumn("new_users", F.coalesce(F.col("new_users"), F.lit(0)))
+        .select(
+            F.col("day").cast("bigint").alias("day_idx"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+        )
+    )
+
+
 # -- tumbling / sliding event-time windows (§2.7/§2.8: F.window is the
 #    grouping expression Structured Streaming uses; run here in batch
 #    mode with an epoch-arithmetic oracle) ----------------------------------

@@ -693,6 +693,30 @@ def test_prefix_filter_windows_computed_once(spark):
     assert plan.count("InMemoryTableScan") >= 2  # both join sides read cache
 
 
+def test_q16_anti_join_and_broadcast_dim(spark):
+    """supplier_count_by_class: the NOT IN must render as a LEFT ANTI
+    join (never a shuffled NOT-IN rewrite with a null-check cross
+    product), and the filtered part dimension must broadcast."""
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["supplier_count_by_class"](spark, SF_SMALL))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_pushes_date_filter(spark):
+    """priority_lines_matrix: the ship-date range must reach the
+    lineitem parquet scan as PushedFilters, and the scan must read
+    only the join key + group column."""
+    from __spark_entry__ import queries
+
+    plan = _plan(queries()["priority_lines_matrix"](spark, SF_SMALL))
+    assert "PushedFilters" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert "l_extendedprice" not in plan  # column pruning held
+
+
 def test_dual_measure_single_intersection(spark):
     """Both dual-measure verdicts (Jaccard + containment) must derive
     from ONE candidate materialization and ONE (id_a, id_b)-keyed
