@@ -941,6 +941,36 @@ def ivf_ann_fullprobe(spark, sf_dir):
     )
 
 
+_PCA_GATE_DIR = "/root/testdata/sf0.01"
+try:
+    _PCA_COMPS, _PCA_MU = SIM.pca_components_from_parquet(
+        f"{_PCA_GATE_DIR}/embeddings.parquet", k=4
+    )
+    _PCA_SQL = SIM.pca_project_sql("embeddings", _PCA_COMPS, _PCA_MU)
+except Exception:  # noqa: BLE001 - no gate-SF testdata: degrade to rows-only
+    _PCA_SQL = None
+
+
+@_q("pca_project_oracle", _PCA_SQL)
+def pca_project_oracle(spark, sf_dir):
+    """PCA projection with a LEARNED-component oracle twin — the
+    IVF/PQ oracle-construction pattern extended to spectral methods:
+    the top-4 principal axes are solved driver-side (numpy eigh of
+    the (dim x dim) covariance — driver-trivial at ANY corpus size;
+    id-sorted moment sums make the float summation order a data
+    property, and a largest-|entry|-positive convention fixes eigh's
+    sign freedom), then inlined as LITERALS into both the Spark
+    projection (JVM fold per axis + scalar centering) and the DuckDB
+    twin (sequential list_dot_product) — built at import from the
+    gate-SF table, so at sf0.01 both engines project on bit-identical
+    axes. At other SFs the query trains on its own sf_dir
+    (self-consistent PCA; the gate only ever runs at sf0.01)."""
+    comps, mu = SIM.pca_components_from_parquet(
+        f"{sf_dir}/embeddings.parquet", k=4
+    )
+    return SIM.pca_project(_embs(spark, sf_dir), comps, mu)
+
+
 @_q("ivf_ann_cosine", None)  # learned buckets (kmeans+UDF): rows-only
 def ivf_ann_cosine(spark, sf_dir):
     """IVF ANN: driver-trained coarse quantizer (k-means on a bounded

@@ -1620,3 +1620,85 @@ def jl_project_sql(
         for j in range(k)
     )
     return f"SELECT {id_col}, {cols} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (driver-solved components, literal-inlined projection)
+# ---------------------------------------------------------------------------
+
+def pca_components_from_parquet(
+    path: str, k: int = 4, vec: str = "embedding", id_col: str = "vec_id"
+):
+    """Top-``k`` principal axes + column means of the embeddings at
+    ``path``, solved DRIVER-SIDE with numpy (pyarrow read, no Spark):
+    the covariance is (dim x dim) regardless of corpus size, and its
+    eigendecomposition is milliseconds — the same sample-bounded-
+    solver discipline as the IVF/PQ quantizers, except here even the
+    full gate-scale table is driver-trivial. Rows are sorted by id
+    before the moment sums so the float summation ORDER is a function
+    of the data, not of read parallelism — the property that lets the
+    oracle twin inline bit-identical components. Sign convention:
+    each component's largest-|entry| is made positive (eigh returns
+    an arbitrary sign). Returns (components (k, dim), mean (dim,))."""
+    import pyarrow.parquet as pq
+
+    pdf = (
+        pq.read_table(path, columns=[id_col, vec])
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    X = np.stack(pdf[vec].to_numpy()).astype("float64")
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    C = (Xc.T @ Xc) / (len(X) - 1)
+    _, V = np.linalg.eigh(C)
+    comps = V[:, ::-1][:, :k].T.copy()
+    for j in range(k):
+        i = int(np.abs(comps[j]).argmax())
+        if comps[j][i] < 0:
+            comps[j] = -comps[j]
+    return comps, mu
+
+
+def pca_project(
+    df: DataFrame,
+    comps,
+    mu,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto literal principal axes:
+    p_j = <v, c_j> - <mu, c_j>. Stateless projection pass — no
+    shuffle, no UDF; the centering is a SCALAR literal per component
+    (never a row-wise vector subtraction), so each output dim is one
+    JVM fold + one subtract, bit-matching the DuckDB twin's
+    sequential list_dot_product."""
+    v = as_double_array(vec)
+    return df.select(
+        F.col(id_col),
+        *[
+            F.round(
+                dot_expr(v, _lit_array(comps[j]))
+                - F.lit(float(np.dot(mu, comps[j]))).cast("double"),
+                6,
+            ).alias(f"p{j}")
+            for j in range(len(comps))
+        ],
+    )
+
+
+def pca_project_sql(
+    table: str,
+    comps,
+    mu,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`pca_project` — identical literal axes,
+    identical scalar centering."""
+    cols = ", ".join(
+        f"round(list_dot_product({vec}::DOUBLE[], {_sql_array(comps[j])}) "
+        f"- CAST({float(np.dot(mu, comps[j]))!r} AS DOUBLE), 6) AS p{j}"
+        for j in range(len(comps))
+    )
+    return f"SELECT {id_col}, {cols} FROM {table}"

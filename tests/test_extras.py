@@ -2034,3 +2034,37 @@ def test_blocked_best_match_block_cap(spark):
     )
     got = {r["mention_id"]: r["canon_id"] for r in capped.collect()}
     assert got == {11: 4}  # the aaaa block (3 > 2) was skipped
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark):
+    """PCA axes from the parquet solver are orthonormal with
+    descending projected variance, and the Spark projection matches a
+    numpy projection to the rounding grid."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mpes_spark.extras.similarity import (
+        pca_components_from_parquet,
+        pca_project,
+    )
+    from tests.conftest import SF_SMALL
+
+    path = f"{SF_SMALL}/embeddings.parquet"
+    comps, mu = pca_components_from_parquet(path, k=4)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+
+    pdf = pq.read_table(path).to_pandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+    P = (X - mu) @ comps.T
+    v = P.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-12 for i in range(3)), v
+
+    e = spark.read.parquet(path)
+    got = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(4)]
+        for r in pca_project(e, comps, mu).collect()
+    }
+    ids = pdf["vec_id"].to_numpy()
+    for i in range(0, len(ids), 97):
+        want = [round(float(x), 6) for x in P[i]]
+        assert got[int(ids[i])] == pytest.approx(want, abs=2e-6)
