@@ -120,6 +120,126 @@ def contaminated_docs(
     return sh_tr.join(sh_be, "sh", "left_semi").select(id_col).distinct()
 
 
+def contamination_severity(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    partial_max: float = 0.2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group: str = "source",
+) -> DataFrame:
+    """Graded decontamination: per train doc, the FRACTION of its
+    distinct word ``n``-grams colliding with the benchmark set, and a
+    severity verdict — ``clean`` (no hit), ``partial``
+    (< ``partial_max``), ``heavy``. The binary any-hit check
+    (:func:`contaminated_docs`) treats a doc quoting one benchmark
+    sentence the same as a verbatim benchmark copy; decontamination
+    policy needs the distinction (drop heavy, scrub-or-keep partial).
+    Output: (doc_id, group, n_shingles, n_hits, hit_frac, severity);
+    docs shorter than ``n`` tokens have no shingles and report clean
+    with n_shingles = 0.
+
+    Scale: same equi-keyed shingle join as the binary check — the
+    benchmark shingle set is the natural broadcast side — plus one
+    doc-keyed count; the verdict is column math. Boundary
+    determinism: hit_frac is an integer ratio compared against the
+    same literal on both engines (one IEEE divide), rounded only for
+    output."""
+    from mpes_spark.extras.dedup import shingle_table
+
+    sh_tr = shingle_table(train, text, n, id_col)
+    sh_be = shingle_table(benchmark, text, n, id_col).select("sh").distinct()
+    sizes = sh_tr.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        sh_tr.join(sh_be, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = (
+        train.select(id_col, group)
+        .join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            group,
+            F.coalesce(F.col("n_shingles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.col("n_hits") / F.col("n_shingles")
+    )
+    sev = (
+        F.when(F.col("n_hits") == 0, F.lit("clean"))
+        .when(frac < partial_max, F.lit("partial"))
+        .otherwise(F.lit("heavy"))
+    )
+    return base.select(
+        id_col,
+        group,
+        "n_shingles",
+        "n_hits",
+        F.round(frac, 6).alias("hit_frac"),
+        sev.alias("severity"),
+    )
+
+
+def contamination_severity_sql(
+    table: str,
+    dialect: str,
+    n: int = 8,
+    partial_max: float = 0.2,
+    bench_pred: str = "doc_id % 50 = 0",
+    group: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """Dual-dialect twin of :func:`contamination_severity` with the
+    benchmark split selected by ``bench_pred`` from ``table``."""
+    from mpes_spark.extras.dedup import _shingle_cte
+
+    train = (
+        f"(SELECT {id_col}, {group}, text FROM {table} "
+        f"WHERE NOT ({bench_pred})) tr"
+    )
+    bench = f"(SELECT {id_col}, text FROM {table} WHERE {bench_pred}) be"
+    sh_train = _shingle_cte(train, n, dialect, id_col)
+    sh_bench = _shingle_cte(bench, n, dialect, id_col)
+    t_lit = repr(partial_max)
+    return f"""
+WITH sh_tr AS ({sh_train}),
+sh_be AS (SELECT DISTINCT sh FROM ({sh_bench}) x),
+sizes AS (SELECT {id_col}, count(*) AS n_shingles FROM sh_tr GROUP BY {id_col}),
+hits AS (
+  SELECT sh_tr.{id_col}, count(*) AS n_hits
+  FROM sh_tr JOIN sh_be ON sh_tr.sh = sh_be.sh
+  GROUP BY sh_tr.{id_col}
+),
+base AS (
+  SELECT t.{id_col}, t.{group},
+         CAST(coalesce(z.n_shingles, 0) AS BIGINT) AS n_shingles,
+         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+  FROM (SELECT {id_col}, {group} FROM {table} WHERE NOT ({bench_pred})) t
+  LEFT JOIN sizes z ON z.{id_col} = t.{id_col}
+  LEFT JOIN hits h ON h.{id_col} = t.{id_col}
+)
+SELECT {id_col}, {group}, n_shingles, n_hits,
+       round(CASE WHEN n_shingles = 0 THEN 0.0
+                  ELSE CAST(n_hits AS DOUBLE) / n_shingles END, 6)
+         AS hit_frac,
+       CASE WHEN n_hits = 0 THEN 'clean'
+            WHEN CAST(n_hits AS DOUBLE) / n_shingles < {t_lit} THEN 'partial'
+            ELSE 'heavy' END AS severity
+FROM base
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # fixed-size token chunking
 # ---------------------------------------------------------------------------

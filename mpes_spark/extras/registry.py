@@ -1060,6 +1060,27 @@ def contamination_check(spark, sf_dir):
 
 
 @_q(
+    "contamination_severity",
+    CU.contamination_severity_sql("documents", "duckdb", n=8),
+)
+def contamination_severity(spark, sf_dir):
+    """Graded decontamination: per train doc, the FRACTION of its
+    distinct 8-grams colliding with the benchmark split and a
+    clean/partial/heavy verdict — the binary any-hit check treats a
+    doc quoting one benchmark sentence like a verbatim copy;
+    decontamination policy needs the distinction (drop heavy,
+    scrub-or-keep partial). Same equi-keyed shingle join as the
+    binary check (benchmark side broadcasts) plus one doc-keyed
+    count; boundary determinism is one IEEE divide vs the same
+    literal on both engines."""
+    docs = _docs(spark, sf_dir)
+    bench_pred = F.col("doc_id") % 50 == 0
+    return CU.contamination_severity(
+        docs.filter(~bench_pred), docs.filter(bench_pred), n=8
+    )
+
+
+@_q(
     "quality_quantile_gate",
     "SELECT * FROM ("
     + CU.quality_quantile_filter_sql("documents", q=0.25)
