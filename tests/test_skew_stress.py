@@ -360,3 +360,63 @@ def test_blocked_linkage_degenerate_block_guard(spark):
     assert len(got) == N_MENT
     assert all(r["canon_id"] == r["mention_id"] for r in got)
     assert all(r["lev_dist"] == 1 for r in got)
+
+
+def test_prefix_dual_pairs_template_spam(spark):
+    """r7 dual-measure join under template spam: a 150-doc identical
+    block makes EVERY shared element ubiquitous — candidate volume is
+    inherently quadratic in the block (the pairs are all real dups,
+    so completeness demands them), but the df=1 prune must still
+    strip the clean tail's unique elements, and the identical block
+    must come back as the full clique with jaccard = containment = 1.
+    Measured: candidates from the clean tail stay ~0 (their tokens
+    are df=1 or shared only with the block's disjoint vocab)."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.dedup import prefix_dual_pairs
+
+    n_block, n_clean = 150, 500
+    template = " ".join(f"spam{i}" for i in range(12))
+    rows = [(i, template) for i in range(n_block)]
+    rows += [
+        (1000 + i, " ".join(f"uniq_{i}_{j}" for j in range(12)))
+        for i in range(n_clean)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_dual_pairs(
+        docs, jaccard_threshold=0.9, containment_threshold=0.9, n=1
+    )
+    rows_out = out.collect()
+    # exact clique on the block: C(150, 2) pairs, all at 1.0/1.0
+    assert len(rows_out) == n_block * (n_block - 1) // 2
+    assert all(
+        r["jaccard"] == 1.0 and r["containment"] == 1.0 for r in rows_out
+    )
+    ids = {r["id_a"] for r in rows_out} | {r["id_b"] for r in rows_out}
+    assert ids == set(range(n_block))  # clean tail emitted nothing
+
+
+def test_prefix_cross_join_batch_vs_spam_corpus(spark):
+    """r7 cross-ingest join under a skewed corpus: a batch of 5 docs
+    probed against a corpus holding a 200-doc identical block. A
+    batch doc matching the block must pair with ALL 200 (complete,
+    per-pair), a fresh batch doc with none; candidate volume stays
+    (block x matching-batch-docs)-sized, never corpus x batch."""
+    from mpes_spark.extras.dedup import prefix_filtered_join
+
+    template = " ".join(f"blk{i}" for i in range(12))
+    corpus_rows = [(i, template) for i in range(200)]
+    corpus_rows += [
+        (5000 + i, " ".join(f"c_{i}_{j}" for j in range(12)))
+        for i in range(300)
+    ]
+    batch_rows = [(9001, template)] + [
+        (9100 + i, " ".join(f"b_{i}_{j}" for j in range(12))) for i in range(4)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    got = prefix_filtered_join(batch, corpus, threshold=0.9, n=1).collect()
+    assert len(got) == 200
+    assert {r["id_a"] for r in got} == {9001}
+    assert {r["id_b"] for r in got} == set(range(200))
+    assert all(r["jaccard"] == 1.0 for r in got)
