@@ -418,3 +418,88 @@ def novelty_maintenance_sink(
         )
 
     return handle, current
+
+
+def contamination_monitor_sink(
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    partial_max: float = 0.2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group: str = "source",
+):
+    """``foreachBatch`` eval-set contamination monitor: every
+    micro-batch is graded against a STATIC benchmark split
+    (:func:`mpes_spark.extras.curation.contamination_severity` per
+    batch) and per-(group, severity) counts merge into a bounded
+    tally — the ingest-time guard that pages before a benchmark-
+    contaminated crawl tranche reaches training, graded so a page
+    for 'heavy' can coexist with a log line for 'partial'.
+
+    Scale shape: the benchmark shingle set is computed ONCE and
+    persisted (it is the broadcast side of every batch's equi-keyed
+    shingle join); per-batch work is the batch's own shingles + one
+    join + two doc-keyed counts — delta-sized, never history. The
+    tally is (groups x 3)-row bounded. Returns ``(handle, current)``;
+    ``current()`` is the accumulated (group, severity, n_docs)
+    DataFrame."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.curation import contamination_severity
+    from mpes_spark.extras.dedup import shingle_table
+
+    bench_sh = (
+        shingle_table(benchmark, text, n, id_col).select("sh").distinct()
+        .persist()
+    )
+    state: dict = {"tally": None}
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        # reuse the batch-side operator against the pre-computed
+        # benchmark shingles: a 1-row dummy benchmark would re-shingle
+        # per batch, so inline the same join against the persisted set
+        sh_tr = shingle_table(batch, text, n, id_col)
+        sizes = sh_tr.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_shingles")
+        )
+        hits = (
+            sh_tr.join(bench_sh, "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        base = (
+            batch.select(id_col, group)
+            .join(sizes, id_col, "left")
+            .join(hits, id_col, "left")
+            .select(
+                group,
+                F.coalesce(F.col("n_shingles"), F.lit(0)).alias("nsh"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).alias("nh"),
+            )
+        )
+        frac = F.when(F.col("nsh") == 0, F.lit(0.0)).otherwise(
+            F.col("nh") / F.col("nsh")
+        )
+        sev = (
+            F.when(F.col("nh") == 0, F.lit("clean"))
+            .when(frac < partial_max, F.lit("partial"))
+            .otherwise(F.lit("heavy"))
+        )
+        delta = base.groupBy(group, sev.alias("severity")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+        cur = state["tally"]
+        merged = (
+            delta
+            if cur is None
+            else cur.unionByName(delta)
+            .groupBy(group, "severity")
+            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+        )
+        state["tally"] = merged.localCheckpoint(eager=True)
+
+    def current() -> DataFrame | None:
+        return state["tally"]
+
+    return handle, current

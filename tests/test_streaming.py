@@ -1010,3 +1010,49 @@ def test_novelty_maintenance_sink_order_independent(spark, tmp_path):
     dup_ids = {r["doc_id"] for r in near.select("doc_id").collect()}
     for d in dup_ids:
         assert results[0][d][1] == 0
+
+
+def test_contamination_monitor_sink_matches_batch(spark, tmp_path):
+    """Streaming contamination tally == batch contamination_severity
+    aggregated over the whole stream, with the benchmark shingle set
+    computed once; severities must distinguish a verbatim benchmark
+    copy (heavy) from a doc quoting one benchmark 8-gram (partial)."""
+    from mpes_spark.extras.curation import contamination_severity
+    from mpes_spark.streaming.stateful import contamination_monitor_sink
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).limit(80)
+    src = str(tmp_path / "contam_stream")
+    train.limit(40).coalesce(1).write.parquet(src)
+    # second file: includes a verbatim copy of a benchmark doc
+    copy = bench.limit(1).withColumn("doc_id", F.lit(90_001).cast("long"))
+    train.subtract(train.limit(40)).unionByName(copy).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    handle, current = contamination_monitor_sink(bench, n=8)
+    q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = {
+        (r["source"], r["severity"]): r["n_docs"] for r in current().collect()
+    }
+    streamed = spark.read.parquet(src)
+    want = {
+        (r["source"], r["severity"]): r["n_docs"]
+        for r in contamination_severity(streamed, bench, n=8)
+        .groupBy("source", "severity")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .collect()
+    }
+    assert got == want
+    assert sum(v for (s, sev), v in got.items() if sev == "heavy") >= 1
