@@ -856,6 +856,24 @@ def ann_lsh_cosine(spark, sf_dir):
 
 
 @_q(
+    "ann_multiprobe_cosine",
+    SIM.ann_multiprobe_cosine_sql("embeddings", "vec_id < 8", _PLANES, k=3),
+)
+def ann_multiprobe_cosine(spark, sf_dir):
+    """Multi-probe hyperplane LSH (Lv et al. VLDB'07): each query
+    scores its own bucket PLUS all 8 Hamming-1 flips — most of a
+    second hash table's recall for zero extra index storage; the
+    bucketed corpus (the big side) is built once, probes are p+1
+    partition reads. Recall-vs-single-probe dominance is asserted in
+    pytest; the full probe-set -> score -> rank pipeline is
+    hash-gated."""
+    e = _embs(spark, sf_dir)
+    return SIM.ann_multiprobe_cosine(
+        e, e.filter(F.col("vec_id") < 8), _PLANES, k=3
+    )
+
+
+@_q(
     "embed_neardup_lsh",
     SIM.embedding_neardup_sql("embeddings", _PLANES, threshold=0.4),
 )

@@ -1702,3 +1702,100 @@ def pca_project_sql(
         for j in range(len(comps))
     )
     return f"SELECT {id_col}, {cols} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH (probe Hamming-1 neighbor buckets; Lv et al. VLDB'07)
+# ---------------------------------------------------------------------------
+
+def ann_multiprobe_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: np.ndarray,
+    k: int = 3,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query scores its own bucket
+    PLUS every bucket at Hamming distance 1 (one sign bit flipped) —
+    the Lv et al. trick that buys most of a second hash table's
+    recall for zero extra index storage: a near neighbor that landed
+    one hyperplane-sign away is recovered by probing that flip. With
+    ``p`` planes each query probes ``p + 1`` buckets, so the probe
+    volume grows by p+1 while the corpus relation (the big side)
+    stays bucketed ONCE — at 1e9 vectors that is p+1 partition reads,
+    not a second index build. Each corpus vector has exactly one
+    bucket, so the probe union introduces no duplicate (query,
+    neighbor) pairs."""
+    sig = signature_udf(planes, 1)
+    cos = cosine_verify_udf()
+    nplanes = len(planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec).alias("cv")
+    ).withColumn("bucket", sig(F.col("cv")).getItem(0))
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec).alias("qv")
+    ).withColumn("b0", sig(F.col("qv")).getItem(0))
+    probes = F.array(
+        F.col("b0"),
+        *[F.col("b0").bitwiseXOR(F.lit(1 << j)) for j in range(nplanes)],
+    )
+    q = q0.select(
+        "query_id", "qv", F.explode(probes).alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def ann_multiprobe_cosine_sql(
+    table: str,
+    query_pred: str,
+    planes: np.ndarray,
+    k: int = 3,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Oracle twin of :func:`ann_multiprobe_cosine` (same probe set:
+    own bucket + every 1-bit flip)."""
+    bsql = bucket_sql("v", planes)
+    flips = ", ".join(f"xor(b0, {1 << j})" for j in range(len(planes)))
+    return f"""
+WITH c AS (
+  SELECT {id_col}, {vec}::DOUBLE[] AS v FROM {table}
+),
+cb AS (SELECT {id_col} AS neighbor_id, v, {bsql} AS bucket FROM c),
+qb AS (SELECT {id_col} AS query_id, v AS qv, {bsql} AS b0 FROM c WHERE {query_pred}),
+qp AS (SELECT query_id, qv, unnest([b0, {flips}]) AS bucket FROM qb),
+scored AS (
+  SELECT qp.query_id, cb.neighbor_id,
+         round(list_dot_product(qp.qv, cb.v) /
+               (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(cb.v, cb.v))), 6) AS cosine
+  FROM cb JOIN qp USING (bucket)
+  WHERE cb.neighbor_id <> qp.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+""".strip()

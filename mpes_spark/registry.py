@@ -2881,6 +2881,58 @@ def session_scan_segments(spark, sf_dir):
     )
 
 
+# -- conversion lag: first signup -> first purchase, hour-bucketed ---------
+_HOUR_US = 3_600_000_000
+
+
+@_q(
+    "conversion_lag_hist",
+    f"""
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT CAST((p.t1 - s.t0) // {_HOUR_US} AS BIGINT) AS lag_hours,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM s JOIN p ON p.user_id = s.user_id
+WHERE p.t1 >= s.t0
+GROUP BY lag_hours
+""".strip(),
+)
+def conversion_lag_hist(spark, sf_dir):
+    """Time-to-convert distribution: hours from each user's FIRST
+    signup to their FIRST purchase, histogrammed — funnels count who
+    converts, this measures how long conversion takes (the activation
+    metric product teams act on). Two min-aggs keyed on user + one
+    user-keyed join + one bucket agg; all integers (epoch floor
+    division), exact gate. Users who purchased before ever signing
+    up (data noise) are excluded by the t1 >= t0 guard on both
+    engines."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("ts div 1000")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    return (
+        s.join(p, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .select(
+            F.expr(f"(t1 - t0) div {_HOUR_US}").cast("bigint").alias(
+                "lag_hours"
+            )
+        )
+        .groupBy("lag_hours")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
 # -- growth accounting: per-day new / active / cumulative users ------------
 _DAY_US = 86_400_000_000
 

@@ -2068,3 +2068,44 @@ def test_pca_components_orthonormal_and_variance_ordered(spark):
     for i in range(0, len(ids), 97):
         want = [round(float(x), 6) for x in P[i]]
         assert got[int(ids[i])] == pytest.approx(want, abs=2e-6)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe LSH must recall at least as much of the exact
+    top-k as single-probe on every query (its candidate set is a
+    strict superset: own bucket ∪ Hamming-1 flips), and strictly
+    more in aggregate on this corpus — otherwise the probes buy
+    nothing and the operator is mislabeled."""
+    from mpes_spark.extras.registry import _PLANES
+    from mpes_spark.extras.similarity import (
+        ann_lsh_cosine,
+        ann_multiprobe_cosine,
+        topk_cosine,
+    )
+    from tests.conftest import SF_SMALL
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 16)
+    k = 5
+
+    def retrieved(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = retrieved(topk_cosine(e, q, k=k))
+    single = retrieved(ann_lsh_cosine(e, q, _PLANES, k=k))
+    multi = retrieved(ann_multiprobe_cosine(e, q, _PLANES, k=k))
+
+    def recall(approx):
+        num = sum(len(approx.get(qid, set()) & ex) for qid, ex in exact.items())
+        den = sum(len(ex) for ex in exact.values())
+        return num / den
+
+    r_single, r_multi = recall(single), recall(multi)
+    for qid, ex in exact.items():
+        assert len(multi.get(qid, set()) & ex) >= len(
+            single.get(qid, set()) & ex
+        ), qid
+    assert r_multi > r_single, (r_single, r_multi)
