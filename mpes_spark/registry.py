@@ -3902,6 +3902,67 @@ def _linkage_sql() -> str:
     )
 
 
+_MENTION_NODE_OFFSET = 10_000_000
+
+
+@_q(
+    "entity_clusters",
+    __import__(
+        "mpes_spark.extras.dedup", fromlist=["connected_components_sql"]
+    ).connected_components_sql(
+        f"SELECT canon_id AS id_a, mention_id + {_MENTION_NODE_OFFSET} AS id_b "
+        f"FROM ({_linkage_sql()}) m"
+    ),
+)
+def entity_clusters(spark, sf_dir):
+    """Entity RESOLUTION composed end to end: blocked best-match
+    linkage -> connected components -> per-cluster rollup — the
+    match table gives EDGES, but master-data management needs one
+    canonical record per transitive CLUSTER (two mentions matching
+    the same canonical must collapse together even though they never
+    matched each other). Mentions are lifted into a disjoint node
+    space (+1e7) so the shared customer-key space cannot alias; the
+    oracle chains the linkage SQL into the recursive-CTE reachability
+    twin of the log-rounds Spark propagation."""
+    from mpes_spark.extras.dedup import cluster_summary, connected_components
+    from mpes_spark.extras.linkage import blocked_best_match
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    name = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
+    canon = c.select(
+        F.col("c_custkey").alias("canon_id"), name.alias("canon_name")
+    )
+    mentions = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("mention_id"),
+            name.alias("nm"),
+            (1 + F.col("c_custkey") % 12).cast("int").alias("p"),
+        )
+        .select(
+            "mention_id",
+            F.concat(
+                F.expr("substring(nm, 1, p - 1)"),
+                F.lit("z"),
+                F.expr("substring(nm, p + 1, 12)"),
+            ).alias("mention_name"),
+        )
+    )
+    blocks = [
+        lambda n: F.substring(n, 1, 4),
+        lambda n: F.substring(n, 9, 4),
+    ]
+    matches = blocked_best_match(
+        mentions, canon, blocks, max_dist=3, max_block=50
+    )
+    pairs = matches.select(
+        F.col("canon_id").alias("id_a"),
+        (F.col("mention_id") + _MENTION_NODE_OFFSET).alias("id_b"),
+    )
+    cc = connected_components(pairs, "node")
+    return cluster_summary(cc, "node")
+
+
 @_q("entity_match_blocked", _linkage_sql())
 def entity_match_blocked(spark, sf_dir):
     """Record linkage with multi-pass blocking (Fellegi-Sunter /

@@ -2109,3 +2109,39 @@ def test_multiprobe_recall_dominates_single_probe(spark):
             single.get(qid, set()) & ex
         ), qid
     assert r_multi > r_single, (r_single, r_multi)
+
+
+def test_weighted_jaccard_repetition_aware(spark):
+    """The bag measure must separate what the set measure cannot: a
+    doc repeating a template 5x has set Jaccard 1.0 against a single
+    copy, but weighted Jaccard n/(5n) ~ 0.2."""
+    from mpes_spark.extras.dedup import (
+        blocked_jaccard_pairs,
+        blocked_weighted_jaccard,
+    )
+
+    tmpl = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, tmpl),
+        (2, " ".join([tmpl] * 5)),
+        (3, "unrelated words entirely different content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    setj = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in blocked_jaccard_pairs(
+            docs, n=3, block_tokens=2, threshold=0.1
+        ).collect()
+    }
+    bagj = {
+        (r["id_a"], r["id_b"]): r["weighted_jaccard"]
+        for r in blocked_weighted_jaccard(
+            docs, n=3, block_tokens=2, threshold=0.1
+        ).collect()
+    }
+    # set view: repetition invisible (the repeated doc's distinct
+    # 3-gram set contains the single copy's — near-1 similarity)
+    assert setj[(1, 2)] > 0.3
+    # bag view: the 5x repetition drops similarity to ~ n/(5n+bridges)
+    assert bagj[(1, 2)] < setj[(1, 2)] / 2
+    assert (1, 3) not in bagj

@@ -136,3 +136,45 @@ def test_fuzz_balanced_shards_exact_rank(spark, sizes, n_shards):
         pos = rank0 % n_shards
         shard = pos if (rank0 // n_shards) % 2 == 0 else n_shards - 1 - pos
         assert got[i] == (rank, shard), (i, got[i], (rank, shard))
+
+
+@_FUZZ
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+def test_fuzz_kcore_matches_driver_peel(spark, edges, k):
+    """kcore with rounds >= node count must equal the driver-loop
+    fixpoint peel on ANY small graph (self-loops and duplicate edges
+    canonicalized away)."""
+    from mpes_spark.analysis.graph import kcore
+
+    clean = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not clean:
+        return
+    e = spark.createDataFrame(sorted(clean), "src long, dst long")
+    got = {
+        r["node"]: r["deg_core"]
+        for r in kcore(e, k=k, rounds=13).collect()
+    }
+    adj = {}
+    for a, b in clean:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        drop = {n for n, nb in adj.items() if len(nb) < k}
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+    assert got == want
