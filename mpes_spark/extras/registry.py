@@ -1083,6 +1083,78 @@ def stratified_sample(spark, sf_dir):
     return CU.stratified_sample(_docs(spark, sf_dir), quota=5)
 
 
+def _hash_sample_sql(dialect: str, pct: int = 10) -> str:
+    """Deterministic pct% Bernoulli-by-content-hash sample of the
+    documents table — dual-dialect via the shared md5 family."""
+    h = DD._md5_hash_sql(42, "CAST(doc_id AS " +
+                         ("STRING" if dialect == "spark" else "VARCHAR") + ")",
+                         dialect)
+    return (
+        f"SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars "
+        f"FROM documents WHERE ({h}) % 100 < {pct}"
+    )
+
+
+@_q("hash_fraction_sample", _hash_sample_sql("duckdb", pct=10))
+def hash_fraction_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample by seeded content hash —
+    what production quick-looks actually run instead of
+    TABLESAMPLE: reproducible across engines and runs (no RNG
+    state), composable (the same predicate re-selects the same rows
+    downstream), and a pure pushable filter — no shuffle, no
+    sort, survives as a scan predicate at any scale. The md5 family
+    makes the Spark and DuckDB selections bit-identical."""
+    sql = _hash_sample_sql("spark", pct=10).replace(
+        "FROM documents", f"FROM {_pq(sf_dir, 'documents')}"
+    )
+    return spark.sql(sql)
+
+
+_EQUI_NTILES = 8
+
+
+@_q(
+    "equidepth_hist",
+    f"""
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM (
+  SELECT event_type, value,
+         ntile({_EQUI_NTILES}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS bucket
+  FROM events
+) t GROUP BY event_type, bucket
+""".strip(),
+)
+def equidepth_hist(spark, sf_dir):
+    """Equi-depth histogram per group — the statistic a cost-based
+    optimizer collects (equal-COUNT buckets adapt resolution to the
+    data's density; equi-width buckets waste bins on empty ranges
+    under skew): 8 ntile buckets per event_type with row count and
+    [lo, hi] bounds. Deterministic under ties via the (value,
+    event_id) order; the window partitions by group, so partition
+    size is group-bounded. Each bucket's n_rows differing by at most
+    1 within a group is the equi-depth property itself."""
+    from pyspark.sql import Window as _Win
+
+    w = _Win.partitionBy("event_type").orderBy("value", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", "value"
+    )
+    return (
+        ev.withColumn("bucket", F.ntile(_EQUI_NTILES).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
 @_q(
     "contamination_check",
     CU.contamination_sql("documents", "duckdb", n=8),
