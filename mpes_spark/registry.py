@@ -2116,6 +2116,107 @@ def measure_corr_matrix(spark, sf_dir):
     return li.agg(*aggs)
 
 
+_MAD_SQL = (
+    "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m "
+    "  FROM events GROUP BY event_type) "
+    "SELECT e.event_type, round(min(med.m), 6) AS median_value, "
+    "round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad "
+    "FROM events e JOIN med ON med.event_type = e.event_type "
+    "GROUP BY e.event_type"
+)
+
+
+@_q("mad_robust_scale", _MAD_SQL)
+def mad_robust_scale(spark, sf_dir):
+    """Median absolute deviation per group — the robust scale
+    estimator (50% breakdown point; stddev's is 0%: one corrupted
+    sensor value swings sigma arbitrarily, while MAD needs half the
+    data corrupted). The anomaly-scoring denominator production
+    monitors should use where value streams have fat tails. Two
+    passes: per-group exact median (Spark `percentile` ==
+    DuckDB `quantile_cont`, the value_quantiles-proven pairing), a
+    broadcast-sized join back (one row per group), then the median
+    of absolute deviations."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("m")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("m"), 6).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - m), 0.5D)"), 6
+            ).alias("mad"),
+        )
+    )
+
+
+_ZIPF_SQL = """
+WITH tf AS (
+  SELECT tok, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) t GROUP BY tok
+),
+rk AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))
+           AS lx,
+         ln(CAST(freq AS DOUBLE)) AS ly
+  FROM tf
+)
+SELECT CAST(count(*) AS BIGINT) AS n_types,
+       round(regr_slope(ly, lx), 6) AS zipf_slope,
+       round(regr_intercept(ly, lx), 6) AS zipf_intercept
+FROM rk
+""".strip()
+
+
+@_q("zipf_slope", _ZIPF_SQL)
+def zipf_slope(spark, sf_dir):
+    """Zipf exponent of the corpus: OLS slope of log(freq) vs
+    log(rank) over the full term-frequency table — natural text sits
+    near -1; a synthetic or template-dominated corpus shows up
+    immediately as a flat (head-heavy vocabulary, no rare tail) or
+    cliff-shaped fit, the one-number companion to the vocab_growth
+    curve. Shape: one token count agg, a rank window over the
+    TYPE-grained relation, and closed-form OLS from first/second
+    moments (slope = cov/var — Spark covar_samp/var_samp against
+    DuckDB's regr_*, identical after the (n-1) cancels); 6-decimal
+    round sits ~6 orders above the cross-engine summation residual.
+
+    100-TB note: the global rank window is fine while the vocabulary
+    fits a partition; at web scale fit the freq >= K HEAD instead —
+    head ranks are UNAFFECTED by dropping the tail (a freq-1 type
+    never precedes a freq >= 2 type in the order), so the standard
+    head-only Zipf fit needs no ranking of the hapax mass at all,
+    only its count if the tail point is wanted."""
+    toks = (
+        _docs_tbl(spark, sf_dir)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql import Window as _Win
+
+    w = _Win.orderBy(F.col("freq").desc(), F.col("tok"))
+    rk = toks.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    slope = F.covar_samp("ly", "lx") / F.var_samp("lx")
+    intercept = F.avg("ly") - slope * F.avg("lx")
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def _docs_tbl(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 _WINSOR_SQL = (
     "WITH b AS (SELECT event_type, "
     "  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi "
