@@ -506,3 +506,54 @@ def test_join_delta_signed_round_trip_mixed_churn(spark):
     assert any(v < 0 for v in net.values())
     # and insert-joins-insert (delta x delta) rows exist: key 3
     assert any(k == 3 and v > 0 for (k, _, _, _), v in net.items())
+
+
+def test_mad_hand_computed(spark):
+    """MAD on a hand-built group with one wild outlier: the median
+    and MAD must ignore it (robustness), where stddev would not."""
+    from __spark_entry__ import queries
+    import pyspark.sql.functions as F
+
+    rows = [("a", 1, float(v)) for v, _ in zip([10, 12, 14, 16, 18, 1_000_000], range(6))]
+    df = spark.createDataFrame(
+        [(t, i, v) for i, (t, _, v) in enumerate(rows)],
+        "event_type string, event_id long, value double",
+    )
+    med = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("m")
+    )
+    out = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("m"), 6).alias("median_value"),
+            F.round(F.expr("percentile(abs(value - m), 0.5D)"), 6).alias("mad"),
+        )
+        .collect()[0]
+    )
+    # values sorted: 10 12 14 16 18 1e6 -> median 15, |dev| sorted:
+    # 1 1 3 3 5 999985 -> mad 3
+    assert out["median_value"] == 15.0
+    assert out["mad"] == 3.0
+
+
+def test_equidepth_property(spark):
+    """Equi-depth means equal depth: within each group the bucket
+    row-counts differ by at most 1, buckets tile the value range in
+    order (lo of bucket k+1 >= hi of bucket k), and counts sum to
+    the group total."""
+    from __spark_entry__ import queries
+
+    rows = queries()["equidepth_hist"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["event_type"], []).append(r)
+    assert by_group
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r["bucket"])
+        counts = [r["n_rows"] for r in rs]
+        assert max(counts) - min(counts) <= 1, (g, counts)
+        for a, b in zip(rs, rs[1:]):
+            assert b["lo"] >= a["hi"] - 1e-9, (g, a, b)

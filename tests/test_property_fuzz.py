@@ -178,3 +178,74 @@ def test_fuzz_kcore_matches_driver_peel(spark, edges, k):
             del adj[n]
     want = {n: len(nb) for n, nb in adj.items()}
     assert got == want
+
+
+@_FUZZ
+@given(
+    specs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # source idx
+            st.integers(min_value=1, max_value=60),  # token count
+            st.booleans(),                           # duplicate of a prior doc?
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_fuzz_curation_audit_vs_python(spark, specs):
+    """curation_audit against a pure-Python reference on random
+    corpora: same first-failing-stage verdict per doc, same failure
+    count — including exact-dup attribution to the min-id canonical
+    and the wordcount/meanlen/stopword/dup2gram rule order."""
+    from mpes_spark.extras.curation import AUDIT_STAGES, curation_audit
+    from mpes_spark.extras.text import GOPHER_RULES
+
+    stop_words = {"the", "and", "of", "to", "a", "in", "is", "it"}
+    rows = []
+    for i, (src, ntok, dup) in enumerate(specs):
+        if dup and rows:
+            text = rows[i % len(rows)][2]
+        else:
+            toks = []
+            for j in range(ntok):
+                if j % 7 == 0:
+                    toks.append("the")
+                elif j % 11 == 0:
+                    toks.append("and")
+                else:
+                    toks.append(f"w{i}x{j}")
+            text = " ".join(toks)
+        rows.append((i, f"s{src}", text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["verdict"], r["n_rules_failed"])
+        for r in curation_audit(docs).collect()
+    }
+
+    def norm(t):
+        return " ".join(t.strip().lower().split())
+
+    first_by_fp = {}
+    for i, _, text in rows:
+        fp = norm(text)
+        first_by_fp.setdefault(fp, i)
+    r = GOPHER_RULES
+    for i, _, text in rows:
+        toks = text.split()
+        n = len(toks)
+        mwl = sum(len(w) for w in toks) / n
+        stop = sum(1 for w in toks if w in stop_words)
+        grams = [" ".join(toks[j : j + 2]) for j in range(n - 1)]
+        dup2 = 0.0 if n < 2 else round(1 - len(set(grams)) / len(grams), 6)
+        fails = {
+            "exact_dup": first_by_fp[norm(text)] != i,
+            "wordcount": not (r["wordcount"][0] <= n <= r["wordcount"][1]),
+            "meanlen": not (r["meanlen"][0] <= mwl <= r["meanlen"][1]),
+            "stopword": stop < r["stopword"][0],
+            "dup2gram": dup2 > r["dup2gram"][1],
+        }
+        verdict = next(
+            (s for s in AUDIT_STAGES if fails[s]), "kept"
+        )
+        nf = sum(fails.values())
+        assert got[i] == (verdict, nf), (i, got[i], (verdict, nf), text)
