@@ -1056,3 +1056,69 @@ def test_contamination_monitor_sink_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert sum(v for (s, sev), v in got.items() if sev == "heavy") >= 1
+
+
+def test_maintenance_sinks_bound_state_parts(spark, tmp_path):
+    """The r7 maintenance sinks must keep their state-parts lists
+    BOUNDED under compaction — the growth hazard class ADVICE r6
+    flagged on neardup_ingest_sink, asserted here preemptively: after
+    N batches with compact_every=K, the funnel fp-parts and novelty
+    shingle-parts lists hold at most K entries, and results equal a
+    no-compaction run exactly."""
+    from mpes_spark.extras.dedup import ngram_novelty
+    from mpes_spark.streaming.stateful import (
+        funnel_maintenance_sink,
+        novelty_maintenance_sink,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(60)
+    src = str(tmp_path / "bound_stream")
+    # 6 files -> 6 micro-batches
+    for i in range(6):
+        docs.filter(F.col("doc_id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = (
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+
+    def run(sink_factory):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        handle, current = sink_factory()
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return handle, current
+
+    # funnel: compacted vs uncompacted parity + bounded parts
+    h_c, cur_c = run(lambda: funnel_maintenance_sink(compact_every=2))
+    h_u, cur_u = run(lambda: funnel_maintenance_sink(compact_every=None))
+    got_c = {(r["source"], r["verdict"]): r["n_docs"] for r in cur_c().collect()}
+    got_u = {(r["source"], r["verdict"]): r["n_docs"] for r in cur_u().collect()}
+    assert got_c == got_u
+    state_c = h_c.__closure__
+    # parts bound: reach into the sink's state dict via the closure
+    sc = next(c.cell_contents for c in state_c if isinstance(c.cell_contents, dict) and "fp_parts" in c.cell_contents)
+    assert len(sc["fp_parts"]) <= 2, len(sc["fp_parts"])
+
+    # novelty: same, vs the batch operator
+    h_n, cur_n = run(lambda: novelty_maintenance_sink(n=3, compact_every=2))
+    got_n = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+        for r in cur_n().collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+        for r in ngram_novelty(spark.read.parquet(src), n=3).collect()
+    }
+    assert got_n == want
+    sn = next(c.cell_contents for c in h_n.__closure__ if isinstance(c.cell_contents, dict) and "sh_parts" in c.cell_contents)
+    assert len(sn["sh_parts"]) <= 2, len(sn["sh_parts"])
