@@ -4154,7 +4154,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. oracled queries in ascending last-gated round — longest-ago
        first, so every query cycles back through the window and no
        green row goes more than a few rounds unrefreshed;
-    3. ALL rows-only-by-design queries (no DuckDB twin: xxhash64 hash
+    3. never-gated rows-only queries (no DuckDB twin) — ONE debut
+       appearance each, so every registered query has at least one
+       driver row (spark_rows populated, err null) proving it runs
+       under the harness; once gated they drop to the back;
+    4. already-gated rows-only-by-design queries (xxhash64 hash
        families, learned quantizers, synthetic-source ingest) dead
        last — they burn gate slots on `err: no_oracle` rows otherwise.
 
@@ -4180,7 +4184,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key=lambda n: (last.get(n, 0), idx[n]),
     )
     rows_only = [n for n in base if n not in oracled]
-    return {n: base[n] for n in [*ora, *rows_only]}
+    ro_debut = [n for n in rows_only if n not in last]
+    ro_gated = [n for n in rows_only if n in last]
+    ora_new = [n for n in ora if n not in last]
+    ora_old = [n for n in ora if n in last]
+    return {n: base[n] for n in [*ora_new, *ro_debut, *ora_old, *ro_gated]}
 
 
 def all_oracles() -> dict[str, str]:
