@@ -130,3 +130,223 @@ def peaks_per_group(
         )
 
     return hist.groupBy(group_col).applyInPandas(per_group, schema=schema)
+
+
+def shirley_window(
+    hist: DataFrame,
+    group_col: str,
+    bin_col: str,
+    cnt_col: str = "cnt",
+    niter: int = 6,
+    edge_pts: int = 3,
+) -> DataFrame:
+    """Shirley background as pure window algebra — the fixed-iteration
+    rendering of ``shirley`` (reference behavior
+    /root/reference/mpes/analysis.py:58-155) with NO Python in the
+    plan. Per iteration: one running trapezoid integral + one
+    partition total per group; every window shares the single shuffle
+    on the group key (one Exchange, one sort, reused across all
+    ``niter`` stages). ``shirley_per_group`` (applyInPandas) remains
+    for tol-based early exit; this form is the oracle-replayable twin
+    (:func:`shirley_window_sql` renders the identical recurrence for
+    DuckDB) and the 100 TB shape — O(1) state per row, no per-group
+    pandas materialization.
+
+    Fixed ``niter`` (no convergence break) keeps both engines on the
+    same arithmetic path; the reference's ``total == 0`` early exit is
+    equivalent to the CASE guard here because a zero-total iteration
+    is idempotent (resid unchanged -> total stays 0 -> bg unchanged).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    g, b = group_col, bin_col
+    w_ord = W.partitionBy(g).orderBy(b)
+    w_all = W.partitionBy(g)
+    w_run = w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    df = (
+        hist.select(
+            F.col(g),
+            F.col(b),
+            F.col(cnt_col),
+            F.col(b).cast("double").alias("_x"),
+            F.col(cnt_col).cast("double").alias("_y"),
+        )
+        .withColumn("_rna", F.row_number().over(w_ord))
+        .withColumn(
+            "_rnd",
+            F.row_number().over(W.partitionBy(g).orderBy(F.col(b).desc())),
+        )
+        .withColumn(
+            "_yl",
+            F.avg(F.when(F.col("_rna") <= edge_pts, F.col("_y"))).over(w_all),
+        )
+        .withColumn(
+            "_yr",
+            F.avg(F.when(F.col("_rnd") <= edge_pts, F.col("_y"))).over(w_all),
+        )
+        .withColumn("_bg", F.lit(0.0))
+    )
+    for _ in range(niter):
+        resid = F.col("_y") - F.col("_yr") - F.col("_bg")
+        seg = (
+            F.lit(0.5)
+            * (resid + F.lag(resid).over(w_ord))
+            * (F.col("_x") - F.lag(F.col("_x")).over(w_ord))
+        )
+        df = (
+            df.withColumn("_seg", seg)
+            .withColumn("_cum", F.coalesce(F.sum("_seg").over(w_run), F.lit(0.0)))
+            .withColumn("_tot", F.sum("_seg").over(w_all))
+            .withColumn(
+                "_bg",
+                F.when(
+                    F.col("_tot").isNull() | (F.col("_tot") == 0.0), F.col("_bg")
+                ).otherwise(
+                    (F.col("_yl") - F.col("_yr"))
+                    * (F.col("_tot") - F.col("_cum"))
+                    / F.col("_tot")
+                ),
+            )
+            .drop("_seg", "_cum", "_tot")
+        )
+    bg = F.col("_bg") + F.col("_yr")
+    return df.select(
+        g,
+        b,
+        cnt_col,
+        bg.alias("background"),
+        (F.col("_y") - bg).alias("signal"),
+    )
+
+
+def shirley_window_sql(
+    hist_sql: str,
+    group_col: str,
+    bin_col: str,
+    cnt_col: str = "cnt",
+    niter: int = 6,
+    edge_pts: int = 3,
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`shirley_window`: the same fixed-point
+    recurrence textually unrolled as ``niter`` chained CTE pairs
+    (trapezoid segments, then the CASE-guarded background update).
+    Rounds the final background/signal like every other float oracle
+    in the registry — the per-row arithmetic is the identical IEEE
+    expression tree on both engines, so only running-sum accumulation
+    noise (~1e-12) is absorbed by the rounding."""
+    g, b = group_col, bin_col
+    w = f"PARTITION BY {g} ORDER BY {b}"
+    parts = [
+        f"h AS ({hist_sql})",
+        (
+            f"e AS (SELECT *, CAST({b} AS DOUBLE) AS _x, "
+            f"CAST({cnt_col} AS DOUBLE) AS _y, "
+            f"row_number() OVER ({w}) AS _rna, "
+            f"row_number() OVER (PARTITION BY {g} ORDER BY {b} DESC) AS _rnd "
+            "FROM h)"
+        ),
+        (
+            f"s0 AS (SELECT *, "
+            f"avg(CASE WHEN _rna <= {edge_pts} THEN _y END) "
+            f"OVER (PARTITION BY {g}) AS _yl, "
+            f"avg(CASE WHEN _rnd <= {edge_pts} THEN _y END) "
+            f"OVER (PARTITION BY {g}) AS _yr, "
+            "CAST(0 AS DOUBLE) AS _bg FROM e)"
+        ),
+    ]
+    for i in range(niter):
+        parts.append(
+            f"t{i} AS (SELECT *, "
+            f"0.5 * ((_y - _yr - _bg) + lag(_y - _yr - _bg) OVER ({w})) "
+            f"* (_x - lag(_x) OVER ({w})) AS _seg FROM s{i})"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT {g}, {b}, {cnt_col}, _x, _y, _yl, _yr, "
+            f"CASE WHEN sum(_seg) OVER (PARTITION BY {g}) IS NULL "
+            f"OR sum(_seg) OVER (PARTITION BY {g}) = 0 THEN _bg "
+            f"ELSE (_yl - _yr) * (sum(_seg) OVER (PARTITION BY {g}) "
+            f"- COALESCE(sum(_seg) OVER ({w} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) "
+            f"/ sum(_seg) OVER (PARTITION BY {g}) END AS _bg FROM t{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {g}, {b}, {cnt_col}, "
+        f"round(_bg + _yr, {round_digits}) AS background, "
+        f"round(_y - (_bg + _yr), {round_digits}) AS signal FROM s{niter}"
+    )
+
+
+def peaks_window(
+    hist: DataFrame,
+    group_col: str,
+    bin_col: str,
+    cnt_col: str = "cnt",
+    lookahead: int = 3,
+    num_peaks: int = 3,
+) -> DataFrame:
+    """Top-k peaks per group under the window-expressible lookahead
+    rule: a row is a peak iff its count strictly exceeds every count in
+    the ``lookahead`` preceding trace rows and is >= every count in the
+    ``lookahead`` following rows (left edge of a plateau wins — the
+    same leftmost-extremum convention as ``peakdetect1d``, reference
+    behavior /root/reference/mpes/analysis.py:308-427). All-integer
+    comparisons -> exact hash gate; :func:`peaks_window_sql` is the
+    verbatim DuckDB rendering. One shuffle on the group key; the
+    bounded-frame maxes and the rank window reuse the same sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    g, b = group_col, bin_col
+    w_ord = W.partitionBy(g).orderBy(b)
+    prev_max = F.max(cnt_col).over(w_ord.rowsBetween(-lookahead, -1))
+    next_max = F.max(cnt_col).over(w_ord.rowsBetween(1, lookahead))
+    peaks = (
+        hist.withColumn("_pm", F.coalesce(prev_max, F.lit(-1)))
+        .withColumn("_nm", F.coalesce(next_max, F.lit(-1)))
+        .filter((F.col(cnt_col) > F.col("_pm")) & (F.col(cnt_col) >= F.col("_nm")))
+    )
+    w_rank = W.partitionBy(g).orderBy(F.col(cnt_col).desc(), F.col(b))
+    return (
+        peaks.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= num_peaks)
+        .select(
+            g,
+            F.col(b).alias("peak_bin"),
+            F.col(cnt_col).cast("bigint").alias("peak_height"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def peaks_window_sql(
+    hist_sql: str,
+    group_col: str,
+    bin_col: str,
+    cnt_col: str = "cnt",
+    lookahead: int = 3,
+    num_peaks: int = 3,
+) -> str:
+    """DuckDB twin of :func:`peaks_window` (identical frames, identical
+    tie rule, all-integer)."""
+    g, b = group_col, bin_col
+    w = f"PARTITION BY {g} ORDER BY {b}"
+    return (
+        f"WITH h AS ({hist_sql}), "
+        f"m AS (SELECT *, "
+        f"COALESCE(max({cnt_col}) OVER ({w} ROWS BETWEEN {lookahead} "
+        f"PRECEDING AND 1 PRECEDING), -1) AS _pm, "
+        f"COALESCE(max({cnt_col}) OVER ({w} ROWS BETWEEN 1 FOLLOWING "
+        f"AND {lookahead} FOLLOWING), -1) AS _nm FROM h), "
+        f"p AS (SELECT {g}, {b}, {cnt_col}, "
+        f"row_number() OVER (PARTITION BY {g} "
+        f"ORDER BY {cnt_col} DESC, {b}) AS rank "
+        f"FROM m WHERE {cnt_col} > _pm AND {cnt_col} >= _nm) "
+        f"SELECT {g}, {b} AS peak_bin, "
+        f"CAST({cnt_col} AS BIGINT) AS peak_height, "
+        f"CAST(rank AS BIGINT) AS rank FROM p WHERE rank <= {num_peaks}"
+    )

@@ -1667,6 +1667,41 @@ def kcore_copurchase(spark, sf_dir):
     return kcore(edges, k=2, rounds=4)
 
 
+@_q("kcore3_copurchase", _kcore_sql(_COPURCHASE_EDGES_SQL, k=3, rounds=12))
+def kcore3_copurchase(spark, sf_dir):
+    """3-core of the part co-purchase graph — the discriminating-k
+    variant of ``kcore_copurchase`` (VERDICT r7 #7): at the gate SF the
+    k=3 peel removes TEN waves before the fixpoint (935-node core
+    survives; measured per-SF depths 0/10/2 at sf0.001/0.01/0.1), so
+    the unrolled-round machinery is genuinely exercised rather than
+    converging in one pass. rounds=12 > max measured depth, and
+    peeling monotonicity makes any rounds >= true depth the exact
+    fixpoint (pytest asserts this on an engineered squared-path +
+    clique graph that peels one wave per round)."""
+    from mpes_spark.analysis.graph import kcore
+
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=3, rounds=12)
+
+
 @_q("copurchase_triangles", _tri_sql(_COPURCHASE_EDGES_SQL))
 def copurchase_triangles(spark, sf_dir):
     """Per-node triangle counts over the part co-purchase graph
@@ -2623,6 +2658,59 @@ def peaks_per_group_q(spark, sf_dir):
 
     hist = histogram_per_group(t(spark, sf_dir, "events"), _AX_SH, "event_type")
     return peaks_per_group(hist, "event_type", "value_bin", num_peaks=3)
+
+
+# -- hash-gated twins of the two applyInPandas spectral queries above:
+#    the same per-group algorithms re-expressed as pure window algebra
+#    (zero Python in the plan), so a direct DuckDB oracle applies
+#    (VERDICT r7 #4/#5) ------------------------------------------------------
+from mpes_spark.analysis.grouped import (  # noqa: E402
+    peaks_window_sql as _peaks_w_sql,
+    shirley_window_sql as _shirley_w_sql,
+)
+
+_SH_HIST_SQL = bin_sparse_sql("events", [_AX_SH], extra_keys=["event_type"])
+
+
+@_q(
+    "shirley_oracle",
+    _shirley_w_sql(_SH_HIST_SQL, "event_type", _AX_SH.out),
+)
+def shirley_oracle(spark, sf_dir):
+    """Per-group Shirley background (``shirley``,
+    /root/reference/mpes/analysis.py:58-155) with the fixed-iteration
+    recurrence rendered as pure window algebra in BOTH engines — six
+    unrolled trapezoid-integral iterations, one shuffle on the group
+    key, O(1) state per row (the 100 TB shape; the applyInPandas
+    variant ``edc_shirley_grouped`` keeps tol-based early exit)."""
+    from mpes_spark.analysis.grouped import shirley_window
+
+    hist = histogram_per_group(t(spark, sf_dir, "events"), _AX_SH, "event_type")
+    out = shirley_window(hist, "event_type", _AX_SH.out)
+    return out.select(
+        "event_type",
+        _AX_SH.out,
+        "cnt",
+        F.round("background", 4).alias("background"),
+        F.round("signal", 4).alias("signal"),
+    )
+
+
+@_q(
+    "peaks_per_group_oracle",
+    _peaks_w_sql(_SH_HIST_SQL, "event_type", _AX_SH.out),
+)
+def peaks_per_group_oracle(spark, sf_dir):
+    """Top-3 peaks per group under the window-expressible lookahead
+    rule (strict max over the preceding lookahead trace rows, >= over
+    the following — the leftmost-extremum convention of
+    ``peakdetect1d``, /root/reference/mpes/analysis.py:308-427).
+    All-integer comparisons -> exact hash gate; bounded frames reuse
+    the single group-key sort."""
+    from mpes_spark.analysis.grouped import peaks_window
+
+    hist = histogram_per_group(t(spark, sf_dir, "events"), _AX_SH, "event_type")
+    return peaks_window(hist, "event_type", _AX_SH.out)
 
 
 # ===========================================================================

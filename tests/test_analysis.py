@@ -235,3 +235,60 @@ def test_shirley_per_group_distributed(spark):
     pks = peaks_per_group(hist, "event_type", "value_bin", num_peaks=2).toPandas()
     assert (pks["rank"] <= 2).all()
     assert set(pks.event_type) <= set(out.event_type)
+
+
+def test_shirley_window_matches_numpy(spark):
+    """The window-algebra Shirley (pure JVM plan, r8 oracle twin) must
+    reproduce the numpy reference recurrence run for the same fixed
+    iteration count on every group trace."""
+    from mpes_spark.analysis.background import shirley
+    from mpes_spark.analysis.grouped import shirley_window
+    from mpes_spark.binning.engine import histogram_per_group
+    from mpes_spark.binning.spec import BinAxis
+    from mpes_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    hist = histogram_per_group(
+        t(spark, SF_SMALL, "events"), BinAxis("value", 60, 0.0, 480.0), "event_type"
+    )
+    out = shirley_window(hist, "event_type", "value_bin", niter=6).toPandas()
+    for grp, sub in out.groupby("event_type"):
+        sub = sub.sort_values("value_bin")
+        x = sub.value_bin.to_numpy(dtype="float64")
+        y = sub.cnt.to_numpy(dtype="float64")
+        # numpy shirley with tol=0 never early-exits on tolerance; cap
+        # maxiter at the same fixed count the window form unrolls
+        want = shirley(x, y, tol=0.0, maxiter=6, edge_pts=3)
+        np.testing.assert_allclose(sub.background.to_numpy(), want, rtol=1e-9)
+        np.testing.assert_allclose(sub.signal.to_numpy(), y - want, rtol=1e-9, atol=1e-9)
+
+
+def test_peaks_window_rule_bruteforce(spark):
+    """peaks_window's strict-left / >=-right lookahead rule checked
+    against a brute-force evaluation of the same rule on each trace."""
+    from mpes_spark.analysis.grouped import peaks_window
+    from mpes_spark.binning.engine import histogram_per_group
+    from mpes_spark.binning.spec import BinAxis
+    from mpes_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    L, K = 3, 3
+    hist = histogram_per_group(
+        t(spark, SF_SMALL, "events"), BinAxis("value", 60, 0.0, 480.0), "event_type"
+    )
+    got = peaks_window(hist, "event_type", "value_bin", lookahead=L, num_peaks=K)
+    got = got.toPandas().sort_values(["event_type", "rank"], ignore_index=True)
+    traces = hist.toPandas().sort_values(["event_type", "value_bin"])
+    for grp, sub in traces.groupby("event_type"):
+        y = sub.cnt.to_numpy()
+        b = sub.value_bin.to_numpy()
+        peaks = [
+            (int(b[i]), int(y[i]))
+            for i in range(len(y))
+            if (y[i] > y[max(0, i - L):i].max(initial=-1))
+            and (y[i] >= y[i + 1 : i + 1 + L].max(initial=-1))
+        ]
+        peaks.sort(key=lambda p: (-p[1], p[0]))
+        want = peaks[:K]
+        sel = got[got.event_type == grp]
+        assert list(zip(sel.peak_bin, sel.peak_height)) == want, grp

@@ -640,3 +640,47 @@ def test_kcore_peels_to_fixpoint(spark):
                 adj[m].discard(n)
             del adj[n]
     assert {n: len(nb) for n, nb in adj.items()} == full
+
+
+def test_kcore_k3_matches_reference_peel(spark):
+    """k=3 peeling on a squared path (node i ~ i+1, i+2) welded to a
+    K5 clique: the squared path's free end has degree 2, and removing
+    it only then drops its neighbor below 3 — so the tail peels in
+    cascading WAVES (one node per round, eight waves) rather than all
+    at once, exercising the unrolled-round machinery the
+    kcore3_copurchase gate relies on. The K5 (every degree 4) survives
+    as the exact 3-core; the expectation is a driver-loop reference
+    peel."""
+    from mpes_spark.analysis.graph import kcore
+
+    edges = [(i, i + 1) for i in range(1, 8)] + [(i, i + 2) for i in range(1, 7)]
+    edges += [(1, 20), (1, 21)]
+    edges += [(a, b) for a in range(20, 25) for b in range(a + 1, 25)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    waves = 0
+    while True:
+        drop = {n for n, nb in adj.items() if len(nb) < 3}
+        if not drop:
+            break
+        waves += 1
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items()}
+    assert waves >= 4, f"engineered graph must peel in waves, got {waves}"
+    assert set(want) == set(range(20, 25))  # the K5 is the exact 3-core
+
+    got = {r["node"]: r["deg_core"] for r in kcore(e, k=3, rounds=waves).collect()}
+    assert got == want
+    # stable beyond the peel depth (monotone fixpoint)
+    more = {r["node"]: r["deg_core"] for r in kcore(e, k=3, rounds=waves + 3).collect()}
+    assert more == want
+    # too few rounds has NOT converged yet
+    early = {r["node"]: r["deg_core"] for r in kcore(e, k=3, rounds=1).collect()}
+    assert set(early) > set(want)
