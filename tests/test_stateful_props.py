@@ -41,6 +41,21 @@ def test_cumulative_histogram_matches_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+    # MEASURED state-bound telemetry (VERDICT r7 stretch #9): the
+    # state store must hold exactly one row per group key — state is
+    # (group -> packed bin/count arrays), grid-bounded by construction
+    # — so numRowsTotal is bounded by the group cardinality on every
+    # batch, never by event count.
+    n_groups = spark.read.parquet(src).select("event_type").distinct().count()
+    n_events = spark.read.parquet(src).count()
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    assert state_rows, "no stateOperators telemetry in progress events"
+    assert max(state_rows) <= n_groups, (state_rows, n_groups)
+    assert max(state_rows) < n_events  # the bound is structural, not slack
     # last emitted state per (group, bin) = cumulative counts
     got = {
         (r.group, r.bin): r.cnt

@@ -428,6 +428,23 @@ def test_dedup_stream_watermark_bounds_state(spark, tmp_path):
         for r in spark.sql("SELECT doc_id FROM wm_dedup_sink").collect()
     )
     assert got == [1, 3, 4, 9, 10]
+    # MEASURED state telemetry (VERDICT r7 stretch #9): watermark
+    # eviction must actually REMOVE rows from the state store — the
+    # final batch's numRowsTotal stays below the total distinct
+    # fingerprints ever seen, and some batch reports removed rows.
+    state_rows = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    removed = sum(
+        op.get("numRowsRemoved") or 0
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    )
+    assert state_rows, "no stateOperators telemetry in progress events"
+    assert removed > 0, "watermark never evicted state"
+    assert state_rows[-1] < 5, state_rows  # 5 distinct fingerprints seen
 
 
 def test_interval_attribution_join_rejects_collisions(spark):

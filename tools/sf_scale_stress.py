@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""sf0.1 -> sf1 scaling stress (VERDICT r7 #6): measure, don't argue.
+
+Generates a synthetic 10x replica of /root/testdata/sf0.1 (TPC-H-style
+key-shifted copies — every scaling table's keys are offset per copy so
+entity counts scale with data volume; text/embedding payloads get a
+copy-specific perturbation so near-dup and ANN structure replicates
+rather than degenerating into 10-way exact duplicates), then times the
+superlinear-risk query families at both scales and prints the
+per-query time ratio against the 10x data ratio.
+
+Usage:
+    python tools/sf_scale_stress.py gen   [out_dir]   # ~170 MB
+    python tools/sf_scale_stress.py run   [out_dir]   # ratio table
+
+Interpretation rule (recorded in SCALING.md): at 10x data on a fixed
+32-thread box, a shuffle-bound O(n log n) operator may cost up to
+~12-13x; anything beyond ~15x is flagged SUPERLINEAR and needs a plan
+audit. Sub-10x means the sf0.1 run was overhead-dominated (fixed
+per-query session/compile costs) — common for sub-second queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+DEFAULT_OUT = "/tmp/sf1_synth"
+COPIES = 10
+
+# key columns to shift per copy, by table (TPC-H scaling convention:
+# region/nation stay fixed; every other entity scales with volume)
+SHIFT = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["doc_id"],
+}
+STATIC = ["region", "nation"]
+
+# the superlinear-risk families (candidate generation, prefix joins,
+# graph iterations, connected components, ANN banding) plus two
+# known-linear references to anchor the ratio scale
+QUERIES = [
+    "exact_dedup_count",      # linear reference (hash groupBy)
+    "hist_2d",                # linear reference (scan + bounded agg)
+    "neardup_prefix_filter",
+    "neardup_dual_measure",
+    "neardup_cross_ingest",
+    "minhash_lsh_pairs",
+    "simhash_neardup",
+    "dedup_clusters",
+    "entity_clusters",
+    "pagerank_weighted",
+    "copurchase_triangles",
+    "kcore_copurchase",
+    "label_communities",
+    "embed_neardup_banded",
+    "semantic_dedup",
+    "topk_cosine",
+]
+
+
+def _session(tag: str):
+    from mpes_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"sf_scale_stress_{tag}", master="local[32]", shuffle_partitions=32
+    )
+
+
+def gen(out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    spark = _session("gen")
+    os.makedirs(out_dir, exist_ok=True)
+    for tb in STATIC:
+        spark.read.parquet(f"{SRC}/{tb}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{tb}.parquet"
+        )
+        print(f"copied {tb}")
+    for tb, keys in SHIFT.items():
+        df = spark.read.parquet(f"{SRC}/{tb}.parquet")
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(COPIES):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * offs[k]))
+            if tb == "documents" and i > 0 and "text" in df.columns:
+                # copy-specific suffix: shingle sets shift slightly, so
+                # cross-copy pairs fall below near-dup thresholds while
+                # each copy keeps the original near-dup structure
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replicavariant{i}"))
+                )
+            if tb == "embeddings" and i > 0 and "embedding" in df.columns:
+                # deterministic per-copy, per-dim jitter (~1e-3): keeps
+                # cosine structure but prevents 10-way identical vectors
+                # from inflating every LSH bucket quadratically
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda v, j: v
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("doc_id") * (j + 1) + F.lit(i)),
+                                F.lit(2001),
+                            ).cast("float")
+                            - F.lit(1000.0)
+                        )
+                        * F.lit(1e-6),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/{tb}.parquet")
+        print(f"wrote {tb} x{COPIES}")
+    spark.stop()
+
+
+def run(out_dir: str, reps: int = 3) -> None:
+    from __spark_entry__ import queries
+
+    q = queries()
+    results: dict[str, dict[str, float]] = {}
+    for tag, sf_dir in (("sf0.1", SRC), ("sf1", out_dir)):
+        spark = _session(tag)
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy(
+        ).count().collect()
+        for name in QUERIES:
+            samples = []
+            for _ in range(reps):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                q[name](spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[tag] = round(statistics.median(samples), 3)
+            print(f"{tag} {name}: {results[name][tag]}s {samples}", flush=True)
+        spark.stop()
+    print(f"\n{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  verdict")
+    doc = {}
+    for name in QUERIES:
+        a, b = results[name]["sf0.1"], results[name]["sf1"]
+        r = b / a
+        verdict = "SUPERLINEAR" if r > 15 else ("ok" if r >= 1 else "overhead")
+        doc[name] = {"sf0.1": a, "sf1": b, "ratio": round(r, 2), "verdict": verdict}
+        print(f"{name:28s} {a:8.2f} {b:8.2f} {r:7.2f}  {verdict}")
+    with open("/tmp/sf_scale_stress.json", "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print("\nwrote /tmp/sf_scale_stress.json")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_OUT
+    if mode == "gen":
+        gen(out)
+    elif mode == "run":
+        run(out)
+    else:
+        raise SystemExit(f"unknown mode {mode}")
