@@ -45,7 +45,7 @@ SHIFT = {
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 STATIC = ["region", "nation"]
 
@@ -99,9 +99,14 @@ def gen(out_dir: str) -> None:
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * offs[k]))
             if tb == "documents" and i > 0 and "text" in df.columns:
-                # copy-specific suffix: shingle sets shift slightly, so
-                # cross-copy pairs fall below near-dup thresholds while
-                # each copy keeps the original near-dup structure
+                # copy-specific suffix: one extra token only shifts a
+                # few shingles, so cross-copy pairs REMAIN near-dups —
+                # every doc gains ~9 high-similarity variants (a 10-way
+                # duplicate clique, the template-spam shape). That makes
+                # the TRUE pair set grow ~quadratically per dup group;
+                # measured output ratios are recorded alongside time
+                # ratios so output-sensitive joins are judged on
+                # time-per-output-pair, not raw wall clock.
                 c = c.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replicavariant{i}"))
                 )
@@ -116,7 +121,7 @@ def gen(out_dir: str) -> None:
                         lambda v, j: v
                         + (
                             F.pmod(
-                                F.xxhash64(F.col("doc_id") * (j + 1) + F.lit(i)),
+                                F.xxhash64(F.col("vec_id") * (j + 1) + F.lit(i)),
                                 F.lit(2001),
                             ).cast("float")
                             - F.lit(1000.0)
