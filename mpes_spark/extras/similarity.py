@@ -336,6 +336,91 @@ def train_ivf_centroids(
     return cent
 
 
+def quantizer_error(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    sample_rows: int = 2_000,
+    seed: int = 11,
+    vec: str = "embedding",
+) -> float:
+    """Mean nearest-centroid squared distance over a bounded seeded
+    sample — the quantization-error health metric for a trained IVF
+    coarse quantizer. Collect is capped at ``sample_rows`` regardless
+    of corpus size (same discipline as :func:`train_ivf_centroids`)."""
+    cent = np.asarray(centroids, dtype="float64")
+    n = corpus.count()
+    if n > sample_rows:
+        frac = min(1.0, 2.0 * sample_rows / n)
+        sampled = corpus.select(vec).sample(fraction=frac, seed=seed).limit(sample_rows)
+    else:
+        sampled = corpus.select(vec)
+    X = np.stack(sampled.toPandas()[vec].to_numpy()).astype("float64")
+    d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return float(d2.min(axis=1).mean())
+
+
+def quantizer_refresh(
+    corpus: DataFrame,
+    state: dict | None,
+    *,
+    drift_threshold: float = 0.25,
+    k: int = 16,
+    sample_rows: int = 10_000,
+    err_sample_rows: int = 2_000,
+    iters: int = 10,
+    seed: int = 7,
+    vec: str = "embedding",
+) -> dict:
+    """Drift-triggered IVF quantizer maintenance (the production ANN
+    upkeep story): measure the current quantization error on a bounded
+    sample; when it exceeds ``(1 + drift_threshold) x`` the error
+    recorded at train time, re-train the coarse quantizer on a fresh
+    bounded sample and reset the baseline. Composes the two gated
+    components (:func:`train_ivf_centroids` sampling discipline,
+    :func:`quantizer_error` metric) — centroids stay k x dim driver
+    state, nothing corpus-sized ever reaches the driver, so the same
+    call pattern works from a streaming ``foreachBatch`` sink.
+
+    ``state`` is ``None`` (first call -> trains) or the dict a prior
+    call returned: ``{"centroids", "baseline_err", "generation"}``.
+    Returns the (possibly refreshed) state plus per-call telemetry
+    ``{"err", "retrained"}``."""
+    if state is None:
+        cent = train_ivf_centroids(
+            corpus, k=k, sample_rows=sample_rows, iters=iters, seed=seed, vec=vec
+        )
+        base = quantizer_error(
+            corpus, cent, sample_rows=err_sample_rows, seed=seed + 1, vec=vec
+        )
+        return {
+            "centroids": cent,
+            "baseline_err": base,
+            "generation": 0,
+            "err": base,
+            "retrained": True,
+        }
+    err = quantizer_error(
+        corpus, state["centroids"], sample_rows=err_sample_rows,
+        seed=seed + 1, vec=vec,
+    )
+    if err <= (1.0 + drift_threshold) * state["baseline_err"]:
+        return {**state, "err": err, "retrained": False}
+    cent = train_ivf_centroids(
+        corpus, k=k, sample_rows=sample_rows, iters=iters,
+        seed=seed + state["generation"] + 1, vec=vec,
+    )
+    base = quantizer_error(
+        corpus, cent, sample_rows=err_sample_rows, seed=seed + 1, vec=vec
+    )
+    return {
+        "centroids": cent,
+        "baseline_err": base,
+        "generation": state["generation"] + 1,
+        "err": err,
+        "retrained": True,
+    }
+
+
 def ivf_assign(
     df: DataFrame, centroids: np.ndarray, vec: str = "embedding", out: str = "list_id"
 ) -> DataFrame:

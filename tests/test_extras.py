@@ -2145,3 +2145,42 @@ def test_weighted_jaccard_repetition_aware(spark):
     # bag view: the 5x repetition drops similarity to ~ n/(5n+bridges)
     assert bagj[(1, 2)] < setj[(1, 2)] / 2
     assert (1, 3) not in bagj
+
+
+def test_quantizer_refresh_drift_trigger(spark):
+    """IVF quantizer maintenance (r8): stable distribution -> no
+    retrain; shifted distribution -> error breaches the threshold,
+    retrain fires, and the refreshed quantizer's error on the new
+    distribution drops back to (near) its baseline."""
+    import numpy as np
+
+    from mpes_spark.extras.similarity import quantizer_error, quantizer_refresh
+
+    rng = np.random.default_rng(3)
+    dim = 8
+
+    def corpus(center, n=400, start=0):
+        rows = [
+            (start + i, (center + rng.normal(0, 0.05, dim)).tolist())
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = corpus(np.zeros(dim))
+    st = quantizer_refresh(a, None, k=4, sample_rows=400, iters=5)
+    assert st["retrained"] and st["generation"] == 0
+
+    # same distribution again: no retrain
+    a2 = corpus(np.zeros(dim), start=1000)
+    st2 = quantizer_refresh(a2, st, k=4, sample_rows=400, iters=5)
+    assert not st2["retrained"]
+    assert st2["generation"] == 0
+
+    # shifted distribution: drift trips, quantizer refreshes
+    b = corpus(np.full(dim, 5.0), start=2000)
+    st3 = quantizer_refresh(b, st2, k=4, sample_rows=400, iters=5)
+    assert st3["retrained"] and st3["generation"] == 1
+    assert st3["err"] > (1.25) * st2["baseline_err"]  # what tripped it
+    # refreshed centroids actually fit the new distribution
+    post = quantizer_error(b, st3["centroids"], sample_rows=400)
+    assert post < 0.2 * st3["err"]
