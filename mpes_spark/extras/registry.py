@@ -999,9 +999,17 @@ def pca_project_oracle(spark, sf_dir):
     sign freedom), then inlined as LITERALS into both the Spark
     projection (JVM fold per axis + scalar centering) and the DuckDB
     twin (sequential list_dot_product) — built at import from the
-    gate-SF table, so at sf0.01 both engines project on bit-identical
-    axes. At other SFs the query trains on its own sf_dir
-    (self-consistent PCA; the gate only ever runs at sf0.01)."""
+    gate-SF table. The SAME trained axes are applied at every SF
+    (train once, project anywhere — the production pattern), so both
+    engines project whatever corpus the runner mounts onto
+    bit-identical literal axes and parity holds at sf0.01 AND the
+    sf0.1 full sweep (r8 fix: the Spark side used to re-train per
+    sf_dir, diverging from the literal-axis oracle off the gate SF).
+    Only when the gate-SF table was unavailable at import (so no
+    oracle exists either) does the query fall back to self-trained
+    axes."""
+    if _PCA_SQL is not None:
+        return SIM.pca_project(_embs(spark, sf_dir), _PCA_COMPS, _PCA_MU)
     comps, mu = SIM.pca_components_from_parquet(
         f"{sf_dir}/embeddings.parquet", k=4
     )

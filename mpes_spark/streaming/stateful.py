@@ -503,3 +503,76 @@ def contamination_monitor_sink(
         return state["tally"]
 
     return handle, current
+
+
+def ann_maintenance_sink(
+    *,
+    k: int = 8,
+    drift_threshold: float = 0.25,
+    sample_rows: int = 10_000,
+    err_sample_rows: int = 2_000,
+    iters: int = 10,
+    seed: int = 7,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming IVF index maintenance (r8): each micro-batch is
+    IVF-assigned and folded into the accumulated inverted-list corpus;
+    the coarse quantizer's health is checked per batch with the
+    bounded-sample drift rule (``quantizer_refresh``) and, when a
+    distribution shift trips the threshold, the quantizer retrains on
+    the incoming batch and the ACCUMULATED corpus is re-assigned under
+    the new generation — so `current()` always returns a consistent
+    (id, vec, list_id) relation where every row's list is its nearest
+    centroid of the live generation.
+
+    State: centroids are k x dim driver floats; the corpus relation is
+    localCheckpoint-pinned each batch (lineage one batch deep, the
+    rollup-sink discipline). Reassignment on retrain is one
+    Arrow-batched pass over the accumulated relation — the honest cost
+    of an IVF rebuild, paid only when drift actually fires.
+
+    Returns (handle, current, state) — state exposes the quantizer
+    dict (generation, baseline_err, last err, retrain count) for
+    telemetry assertions."""
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.similarity import ivf_assign, quantizer_refresh
+
+    state: dict = {"quant": None, "corpus": None, "retrains": 0}
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        rows = batch.select(id_col, vec)
+        prior = state["quant"]
+        state["quant"] = quantizer_refresh(
+            rows,
+            prior,
+            drift_threshold=drift_threshold,
+            k=k,
+            sample_rows=sample_rows,
+            err_sample_rows=err_sample_rows,
+            iters=iters,
+            seed=seed,
+            vec=vec,
+        )
+        cent = state["quant"]["centroids"]
+        if state["quant"]["retrained"]:
+            state["retrains"] += 1
+            if state["corpus"] is not None:
+                # new generation: re-list the accumulated corpus once
+                state["corpus"] = (
+                    ivf_assign(state["corpus"].drop("list_id"), cent, vec=vec)
+                    .localCheckpoint(eager=True)
+                )
+        assigned = ivf_assign(rows, cent, vec=vec)
+        merged = (
+            assigned
+            if state["corpus"] is None
+            else state["corpus"].unionByName(assigned)
+        )
+        state["corpus"] = merged.localCheckpoint(eager=True)
+
+    def current() -> DataFrame | None:
+        return state["corpus"]
+
+    return handle, current, state

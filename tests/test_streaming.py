@@ -1139,3 +1139,69 @@ def test_maintenance_sinks_bound_state_parts(spark, tmp_path):
     assert got_n == want
     sn = next(c.cell_contents for c in h_n.__closure__ if isinstance(c.cell_contents, dict) and "sh_parts" in c.cell_contents)
     assert len(sn["sh_parts"]) <= 2, len(sn["sh_parts"])
+
+
+def test_ann_maintenance_sink_refresh_and_consistency(spark, tmp_path):
+    """Streaming IVF maintenance (r8): early batches share a
+    distribution (no retrain after the initial train); a later batch
+    from a shifted distribution trips the drift rule, the quantizer
+    retrains, and the ACCUMULATED corpus is re-assigned — asserted by
+    checking every accumulated row's list_id equals a fresh batch
+    assignment under the final centroids."""
+    import numpy as np
+
+    from mpes_spark.extras.similarity import ivf_assign
+    from mpes_spark.streaming.stateful import ann_maintenance_sink
+
+    rng = np.random.default_rng(5)
+    dim = 8
+
+    def rows(center, n, start):
+        return [
+            (start + i, (center + rng.normal(0, 0.05, dim)).tolist())
+            for i in range(n)
+        ]
+
+    src = str(tmp_path / "ann_stream")
+    batches = [
+        rows(np.zeros(dim), 200, 0),
+        rows(np.zeros(dim), 200, 1000),
+        rows(np.full(dim, 5.0), 200, 2000),  # shifted -> retrain
+    ]
+    import time as _time
+
+    for i, b in enumerate(batches):
+        if i:
+            _time.sleep(1.1)  # distinct mtimes -> deterministic order
+        spark.createDataFrame(
+            b, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    handle, current, state = ann_maintenance_sink(
+        k=4, sample_rows=400, err_sample_rows=200, iters=5
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+
+    assert state["retrains"] == 2  # initial train + one drift refresh
+    assert state["quant"]["generation"] == 1
+    got = current().toPandas().sort_values("vec_id", ignore_index=True)
+    assert len(got) == 600
+    # consistency: every accumulated row's list matches a fresh
+    # assignment under the final-generation centroids
+    want = (
+        ivf_assign(current().drop("list_id"), state["quant"]["centroids"])
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert got["list_id"].tolist() == want["list_id"].tolist()
