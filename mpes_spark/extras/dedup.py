@@ -1917,3 +1917,188 @@ SELECT source_a, source_b,
   CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_b
 FROM lab GROUP BY source_a, source_b
 """.strip()
+
+
+def positioned_shingles(
+    df: DataFrame, text: str = "text", n: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Word n-grams WITH start positions: (id, pos, sh) — the
+    positioned variant of :func:`shingle_table` (which is distinct and
+    positionless). Pure array ops, no UDF."""
+    toks = df.select(F.col(id_col), F.split(F.col(text), " ").alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    gen = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+    )
+    return toks.select(F.col(id_col), F.posexplode(gen).alias("pos", "sh"))
+
+
+def dup_spans(
+    df: DataFrame,
+    text: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated substring spans per document — the practical
+    Spark rendering of exact substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is COVERED when some word ``n``-gram starting at or
+    over it also occurs in >= ``min_docs`` distinct documents; covered
+    positions merge into maximal spans (gaps-and-islands). Returns
+    (id, span_start, span_end) in token coordinates.
+
+    Scale shape (the suffix-array alternative that actually
+    distributes): positioned n-grams are linear in corpus tokens; the
+    duplicated-gram set is one exact two-level aggregation (distinct
+    (sh, doc) then count per sh — map-side combined, never a
+    count-distinct shuffle of raw positions); positions join the dup
+    set equi-keyed on the gram (AQE splits viral boilerplate grams);
+    the island merge is one window per doc. Two shuffles + one join —
+    no suffix array, no quadratic candidate set."""
+    pos_sh = positioned_shingles(df, text, n, id_col)
+    dup = (
+        pos_sh.select("sh", id_col)
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("sh")
+    )
+    hits = pos_sh.join(dup, "sh").select(
+        F.col(id_col),
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return isl.groupBy(id_col, "island").agg(
+        F.min("s").alias("span_start"), F.max("e").alias("span_end")
+    ).select(id_col, "span_start", "span_end")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics over :func:`dup_spans`:
+    (id, n_spans, dup_tokens, total_tokens, dup_frac) — the corpus
+    health report for substring-level duplication, and the gate query
+    for the whole family (all-integer except the final rounded
+    fraction; :func:`dup_span_stats_sql` is the DuckDB twin)."""
+    total = df.select(
+        F.col(id_col), F.size(F.split(F.col(text), " ")).alias("total_tokens")
+    )
+    spans = dup_spans(df, text, n, min_docs, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    return total.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)) / F.col("total_tokens"), 6
+        ).alias("dup_frac"),
+    )
+
+
+def dup_span_stats_sql(
+    table: str, n: int = 5, min_docs: int = 2, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`dup_span_stats` — identical tokenization
+    (single-space split, the module convention), identical island
+    rule, identical rounding."""
+    return f"""
+WITH toks AS (SELECT {id_col}, string_split(text, ' ') AS toks FROM {table}),
+pos_sh AS (
+  SELECT {id_col}, u.i AS pos,
+         array_to_string(toks[u.i + 1: u.i + {n}], ' ') AS sh
+  FROM toks, unnest(range(len(toks) - {n} + 1)) AS u(i)
+  WHERE len(toks) >= {n}),
+dup AS (
+  SELECT sh FROM (SELECT DISTINCT sh, {id_col} FROM pos_sh) d
+  GROUP BY sh HAVING count(*) >= {min_docs}),
+hits AS (
+  SELECT p.{id_col}, p.pos AS s, p.pos + {n - 1} AS e
+  FROM pos_sh p JOIN dup USING (sh)),
+ord AS (
+  SELECT *, max(e) OVER (PARTITION BY {id_col} ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM hits),
+isl AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+    OVER (PARTITION BY {id_col} ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ord),
+spans AS (
+  SELECT {id_col}, island, min(s) AS s0, max(e) AS e1
+  FROM isl GROUP BY {id_col}, island),
+per_doc AS (
+  SELECT {id_col}, count(*) AS n_spans, sum(e1 - s0 + 1) AS dup_tokens
+  FROM spans GROUP BY {id_col}),
+totals AS (SELECT {id_col}, len(string_split(text, ' ')) AS total_tokens FROM {table})
+SELECT t.{id_col},
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(t.total_tokens AS BIGINT) AS total_tokens,
+       round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / t.total_tokens, 6) AS dup_frac
+FROM totals t LEFT JOIN per_doc p ON p.{id_col} = t.{id_col}
+""".strip()
+
+
+def dup_span_mask(
+    df: DataFrame,
+    text: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    marker: str = "",
+) -> DataFrame:
+    """Masked-text rendering of :func:`dup_spans`: duplicated spans are
+    removed from the token stream (optionally replaced by ``marker``),
+    yielding the CLEANED corpus — the actual Lee-et-al training-data
+    product. Pure higher-order array expressions: spans are
+    collect_list'ed per doc (span count per doc is bounded by
+    tokens/2n — small), tokens outside every span are kept with one
+    ``filter`` lambda. No UDF, no text round-trip through Python."""
+    spans = dup_spans(df, text, n, min_docs, id_col).groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    out = df.join(spans, id_col, "left").withColumn(
+        "_toks", F.split(F.col(text), " ")
+    )
+    kept = F.expr(
+        "filter(transform(_toks, (t, i) -> CASE WHEN _spans IS NULL THEN t "
+        "WHEN exists(_spans, sp -> i >= sp.span_start AND i <= sp.span_end) "
+        "THEN NULL ELSE t END), t -> t IS NOT NULL)"
+    )
+    masked = F.array_join(kept, " ")
+    if marker:
+        # marker mode: each removed span collapses to one marker token
+        def _mask():
+            return F.expr(
+                "array_join(filter(transform(_toks, (t, i) -> CASE "
+                "WHEN _spans IS NULL THEN t "
+                "WHEN exists(_spans, sp -> i = sp.span_start) THEN "
+                f"'{marker}' "
+                "WHEN exists(_spans, sp -> i > sp.span_start AND "
+                "i <= sp.span_end) THEN NULL ELSE t END), "
+                "t -> t IS NOT NULL), ' ')"
+            )
+
+        masked = _mask()
+    return out.withColumn("masked_text", masked).drop("_spans", "_toks")

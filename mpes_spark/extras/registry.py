@@ -577,6 +577,21 @@ def neardup_dual_measure(spark, sf_dir):
     )
 
 
+@_q("dup_span_stats", DD.dup_span_stats_sql("documents", n=5, min_docs=2))
+def dup_span_stats(spark, sf_dir):
+    """Exact substring-level dedup report (Lee et al. 2022): per doc,
+    the maximal spans covered by 5-grams occurring in >= 2 distinct
+    documents — (n_spans, dup_tokens, total_tokens, dup_frac). The
+    distributable suffix-array alternative: positioned n-grams linear
+    in tokens, ONE exact two-level dup-gram agg (distinct (sh, doc)
+    then count — never a count-distinct over raw positions), one
+    equi-join of positions onto the dup set (AQE splits viral
+    boilerplate grams), one gaps-and-islands window per doc. The
+    masked-corpus product (``dup_span_mask``) reuses the same spans
+    with a higher-order token filter — no UDF anywhere."""
+    return DD.dup_span_stats(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
 @_q("ngram_novelty", DD.ngram_novelty_sql("documents", "duckdb", n=3))
 def ngram_novelty(spark, sf_dir):
     """Per-document novelty: fraction of the doc's distinct 3-gram

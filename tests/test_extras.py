@@ -2184,3 +2184,48 @@ def test_quantizer_refresh_drift_trigger(spark):
     # refreshed centroids actually fit the new distribution
     post = quantizer_error(b, st3["centroids"], sample_rows=400)
     assert post < 0.2 * st3["err"]
+
+
+def test_dup_span_mask_removes_planted_passage(spark):
+    """Exact substring dedup (r8): a passage planted verbatim into
+    several docs is detected as one maximal span per host doc and
+    dup_span_mask removes exactly those tokens, leaving unique text
+    intact (and the marker mode collapses each span to one marker)."""
+    from mpes_spark.extras.dedup import dup_span_mask, dup_span_stats, dup_spans
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+    uniq = {
+        1: "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        2: "kilo lima mike november oscar papa quebec romeo sierra tango",
+        3: "uniform victor whiskey xray yankee zulu one two three four",
+    }
+    rows = [
+        (1, uniq[1] + " " + passage),
+        (2, passage + " " + uniq[2]),
+        (3, uniq[3]),  # no duplication
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dup_spans(docs, n=5, min_docs=2).collect()
+    }
+    # doc 1 hosts the passage at tokens 10..19, doc 2 at 0..9
+    assert spans == {1: (10, 19), 2: (0, 9)}
+
+    stats = {r.doc_id: r for r in dup_span_stats(docs, n=5, min_docs=2).collect()}
+    assert stats[1].n_spans == 1 and stats[1].dup_tokens == 10
+    assert stats[2].n_spans == 1 and stats[2].dup_tokens == 10
+    assert stats[3].n_spans == 0 and stats[3].dup_frac == 0.0
+
+    masked = {r.doc_id: r.masked_text for r in dup_span_mask(docs, n=5, min_docs=2).collect()}
+    assert masked[1] == uniq[1]
+    assert masked[2] == uniq[2]
+    assert masked[3] == uniq[3]
+
+    marked = {
+        r.doc_id: r.masked_text
+        for r in dup_span_mask(docs, n=5, min_docs=2, marker="<DUP>").collect()
+    }
+    assert marked[1] == uniq[1] + " <DUP>"
+    assert marked[2] == "<DUP> " + uniq[2]
