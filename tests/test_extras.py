@@ -2229,3 +2229,56 @@ def test_dup_span_mask_removes_planted_passage(spark):
     }
     assert marked[1] == uniq[1] + " <DUP>"
     assert marked[2] == "<DUP> " + uniq[2]
+
+
+def test_dup_spans_matches_bruteforce_on_random_corpora(spark):
+    """dup_spans vs an O(n^2) python reference on seeded random
+    corpora: for every doc, the covered-position set from merged spans
+    must equal the union of [p, p+n-1] over positions whose n-gram
+    occurs in >= 2 distinct docs — including plateaus, overlaps,
+    in-doc repeats (which must NOT count without a second doc), and
+    doc-boundary edges."""
+    import numpy as np
+
+    from mpes_spark.extras.dedup import dup_spans
+
+    n = 3
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{j}" for j in range(6)]  # tiny vocab -> many collisions
+        docs = [
+            (i, " ".join(rng.choice(vocab, size=rng.integers(2, 14)).tolist()))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {}
+        spans_by_doc = {}
+        for r in dup_spans(df, n=n, min_docs=2).collect():
+            got.setdefault(r.doc_id, set()).update(
+                range(r.span_start, r.span_end + 1)
+            )
+            spans_by_doc.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        # spans must be MAXIMAL: sorted islands are disjoint with a
+        # gap >= 1 between consecutive spans (else they should have
+        # merged into one)
+        for i, sp in spans_by_doc.items():
+            sp.sort()
+            for (s0, e0), (s1, e1) in zip(sp, sp[1:]):
+                assert s1 > e0 + 1, (i, sp)
+        # brute force
+        grams = {}
+        toks = {i: t.split(" ") for i, t in docs}
+        for i, tk in toks.items():
+            for p in range(len(tk) - n + 1):
+                grams.setdefault(" ".join(tk[p : p + n]), set()).add(i)
+        want = {}
+        for i, tk in toks.items():
+            cov = set()
+            for p in range(len(tk) - n + 1):
+                if len(grams[" ".join(tk[p : p + n])]) >= 2:
+                    cov.update(range(p, p + n))
+            if cov:
+                want[i] = cov
+        assert got == want, f"seed {seed}"
