@@ -1974,9 +1974,11 @@ def dup_spans(
     )
     w = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    # merge overlapping AND abutting intervals (s == prev_max + 1):
+    # a contiguous run of covered tokens is ONE maximal span
     isl = hits.withColumn(
         "new_isl",
-        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
     ).withColumn(
         "island", F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -2040,7 +2042,7 @@ ord AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
   FROM hits),
 isl AS (
-  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
     OVER (PARTITION BY {id_col} ORDER BY s, e
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM ord),
