@@ -1972,10 +1972,16 @@ def dup_spans(
         F.col("pos").alias("s"),
         (F.col("pos") + F.lit(n - 1)).alias("e"),
     )
+    return merge_spans(hits, id_col)
+
+
+def merge_spans(hits: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Gaps-and-islands merge of covered intervals (id, s, e) into
+    maximal spans: overlapping AND abutting intervals (s == prev
+    running max + 1) coalesce — a contiguous run of covered tokens is
+    ONE maximal span. One window per id."""
     w = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    # merge overlapping AND abutting intervals (s == prev_max + 1):
-    # a contiguous run of covered tokens is ONE maximal span
     isl = hits.withColumn(
         "new_isl",
         F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),

@@ -576,3 +576,85 @@ def ann_maintenance_sink(
         return state["corpus"]
 
     return handle, current, state
+
+
+def dup_span_ingest_sink(
+    *,
+    text: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    compact_every: int | None = None,
+):
+    """``foreachBatch`` substring-level dedup on ingest — the
+    streaming rendering of :func:`mpes_spark.extras.dedup.dup_spans`
+    (Lee et al. 2022): incoming documents are flagged with the maximal
+    spans whose word ``n``-grams have been seen in >= ``min_docs``
+    distinct documents ANYWHERE so far (standing corpus + this batch).
+
+    Semantics (same recall contract as ``neardup_ingest_sink``): the
+    LATER copies of a duplicated passage are flagged at ingest with
+    exactly the spans the batch operator would assign them; the FIRST
+    copy is not retro-flagged (a batch `dup_span_stats` recompute over
+    the landed corpus remains the full-recall sweep). Maintained state
+    is per-gram distinct-doc counts — (sh, df_docs) delta parts merged
+    by sum (docs arrive whole, so per-batch distinct (sh, doc)
+    increments sum to exact global distinct-doc counts) — bounded by
+    distinct grams, never positions; ``compact_every=K`` bounds the
+    union depth like the novelty sink. Per batch: one delta-sized
+    positioned-gram relation, one equi-join against the cumulative
+    dup-gram set, one island-merge window.
+
+    Returns ``(handle, flagged)`` — ``flagged()`` is the accumulated
+    (doc_id, span_start, span_end) audit over all ingested batches."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.dedup import merge_spans, positioned_shingles
+
+    state: dict = {"gram_parts": [], "flag_parts": [], "batches": 0}
+
+    def _union(parts):
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _merge(rel: DataFrame) -> DataFrame:
+        return rel.groupBy("sh").agg(F.sum("df_docs").alias("df_docs"))
+
+    def handle(batch: DataFrame, _batch_id: int) -> None:
+        pos = positioned_shingles(batch, text, n, id_col).localCheckpoint(
+            eager=True
+        )
+        inc = (
+            pos.select("sh", id_col)
+            .distinct()
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_docs"))
+            .localCheckpoint(eager=True)
+        )
+        state["gram_parts"].append(inc)
+        state["batches"] += 1
+        dup = (
+            _merge(_union(state["gram_parts"]))
+            .filter(F.col("df_docs") >= min_docs)
+            .select("sh")
+        )
+        hits = pos.join(dup, "sh").select(
+            F.col(id_col),
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(n - 1)).alias("e"),
+        )
+        state["flag_parts"].append(
+            merge_spans(hits, id_col).localCheckpoint(eager=True)
+        )
+        if compact_every and state["batches"] % compact_every == 0:
+            state["gram_parts"] = [
+                _merge(_union(state["gram_parts"])).localCheckpoint(eager=True)
+            ]
+
+    def flagged() -> DataFrame | None:
+        if not state["flag_parts"]:
+            return None
+        return _union(state["flag_parts"])
+
+    return handle, flagged

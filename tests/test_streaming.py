@@ -1205,3 +1205,68 @@ def test_ann_maintenance_sink_refresh_and_consistency(spark, tmp_path):
         .sort_values("vec_id", ignore_index=True)
     )
     assert got["list_id"].tolist() == want["list_id"].tolist()
+
+
+def test_dup_span_ingest_sink_flags_later_copies(spark, tmp_path):
+    """Streaming substring dedup (r8): a passage planted in batch 1
+    and re-ingested in batches 2/3 must flag the LATER copies with
+    exactly the spans the batch operator assigns them (cross-batch
+    and within-batch duplication both fire); the first copy is not
+    retro-flagged — the documented ingest contract. Compaction must
+    not change the audit."""
+    import time as _time
+
+    from mpes_spark.extras.dedup import dup_spans
+    from mpes_spark.streaming.stateful import dup_span_ingest_sink
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    uniq = {
+        1: "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        2: "kilo lima mike november oscar papa quebec romeo sierra tango",
+        3: "uniform victor whiskey xray yankee zulu one two three four",
+        4: "red orange yellow green blue indigo violet umbra penumbra shade",
+    }
+    batches = [
+        [(1, uniq[1] + " " + passage)],          # first copy: unflagged
+        [(2, passage + " " + uniq[2]), (3, uniq[3])],
+        [(4, uniq[4] + " " + passage)],          # third copy
+    ]
+    src = str(tmp_path / "dup_span_stream")
+    for i, rows in enumerate(batches):
+        if i:
+            _time.sleep(1.1)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(compact_every):
+        handle, flagged = dup_span_ingest_sink(n=5, compact_every=compact_every)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        return {
+            r.doc_id: (r.span_start, r.span_end) for r in flagged().collect()
+        }
+
+    got = run(None)
+    # later copies flagged with exactly the batch operator's spans
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want_full = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dup_spans(all_docs, n=5, min_docs=2).collect()
+    }
+    assert got == {k: v for k, v in want_full.items() if k != 1}
+    assert 1 in want_full  # batch recompute WOULD flag the first copy
+    # compaction changes nothing
+    assert run(1) == got
