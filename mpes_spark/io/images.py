@@ -1,0 +1,262 @@
+"""Numpy-only image codecs + text-format loaders.
+
+Upgrades the multimodal image stub to FUNCTIONAL for every format
+that needs no imaging library: binary/ascii netpbm (PGM/PPM — P2, P3,
+P5, P6 incl. 16-bit), uncompressed BMP (8-bit palette and 24-bit
+BI_RGB), and the Igor-generated ARPES ``.txt`` matrix. Only
+PNG/JPEG/TIFF — formats whose decode genuinely requires a codec
+library — remain env-gated behind the documented
+``NotImplementedError``.
+
+Reference behaviors reproduced (API parity, fresh implementation):
+``readimg`` /root/reference/mpes/fprocessing.py:290-296 (skimage there;
+format-dispatched native parsers here), ``readARPEStxt`` :354-379,
+``mat2im`` :395-419 (including its exact scaling arithmetic quirks),
+``im2mat`` :421-427.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import struct
+
+import numpy as np
+
+__all__ = [
+    "read_pnm",
+    "write_pnm",
+    "read_bmp",
+    "readimg",
+    "im2mat",
+    "mat2im",
+    "read_arpes_txt",
+    "decode_image_bytes",
+]
+
+_PNM_MAGICS = (b"P2", b"P3", b"P5", b"P6")
+
+
+def _pnm_tokens(buf: bytes):
+    """Yield whitespace-separated header tokens, skipping # comments."""
+    i = 0
+    while i < len(buf):
+        c = buf[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            j = buf.find(b"\n", i)
+            i = len(buf) if j == -1 else j + 1
+        else:
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            yield i, buf[i:j]
+            i = j
+
+
+def read_pnm(data: bytes) -> np.ndarray:
+    """Decode netpbm P2/P3 (ascii) or P5/P6 (binary) bytes into a
+    (H, W) or (H, W, 3) uint8/uint16 array."""
+    magic = data[:2]
+    if magic not in _PNM_MAGICS:
+        raise ValueError(f"not a supported PNM magic: {magic!r}")
+    rgb = magic in (b"P3", b"P6")
+    binary = magic in (b"P5", b"P6")
+    toks = _pnm_tokens(data)
+    next(toks)  # magic
+    hdr = []
+    end = 2
+    for pos, tok in toks:
+        hdr.append(int(tok))
+        end = pos + len(tok)
+        if len(hdr) == 3:
+            break
+    if len(hdr) != 3:
+        raise ValueError("truncated PNM header")
+    width, height, maxval = hdr
+    nchan = 3 if rgb else 1
+    count = width * height * nchan
+    if binary:
+        raw = data[end + 1 :]  # exactly one whitespace byte after maxval
+        dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+        arr = np.frombuffer(raw[: count * dt.itemsize], dtype=dt)
+        if arr.size != count:
+            raise ValueError("truncated PNM payload")
+    else:
+        vals = [int(t) for _, t in _pnm_tokens(data[end:])]
+        if len(vals) < count:
+            raise ValueError("truncated PNM payload")
+        arr = np.asarray(vals[:count], dtype="uint16" if maxval > 255 else "uint8")
+    arr = arr.astype("uint16" if maxval > 255 else "uint8")
+    return arr.reshape((height, width, 3) if rgb else (height, width))
+
+
+def write_pnm(arr: np.ndarray, path: str | None = None) -> bytes:
+    """Encode a (H, W) array as binary PGM (P5) or (H, W, 3) as binary
+    PPM (P6); uint16 data writes big-endian with maxval 65535."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        magic = b"P5"
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+    else:
+        raise ValueError(f"need (H, W) or (H, W, 3), got {a.shape}")
+    if a.dtype == np.uint8:
+        maxval, payload = 255, a.tobytes()
+    else:
+        a16 = a.astype(np.uint16)
+        maxval, payload = 65535, a16.astype(">u2").tobytes()
+    head = b"%s\n%d %d\n%d\n" % (magic, a.shape[1], a.shape[0], maxval)
+    out = head + payload
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(out)
+    return out
+
+
+def read_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP (BI_RGB): 24-bit -> (H, W, 3) RGB,
+    8-bit palette -> palette-expanded (H, W, 3). Bottom-up and
+    top-down row orders both handled; rows are 4-byte padded."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size, width, height, _planes, bpp, compression) = struct.unpack_from(
+        "<IiihHI", data, 14
+    )
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24):
+        raise ValueError(f"only 8/24-bit BI_RGB supported, got {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    if bpp == 8:
+        # palette: BGRA quads right after the info header
+        pal_off = 14 + hdr_size
+        n_colors = (data_off - pal_off) // 4
+        pal = np.frombuffer(data[pal_off : pal_off + 4 * n_colors], dtype="u1")
+        pal = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        rows = np.frombuffer(
+            data[data_off : data_off + row_bytes * height], dtype="u1"
+        ).reshape(height, row_bytes)[:, :width]
+        img = pal[rows]
+    else:
+        rows = np.frombuffer(
+            data[data_off : data_off + row_bytes * height], dtype="u1"
+        ).reshape(height, row_bytes)[:, : width * 3]
+        img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    return img if top_down else img[::-1].copy()
+
+
+def decode_image_bytes(payload: bytes) -> np.ndarray:
+    """Magic-dispatched decode of in-memory image bytes. PNM and BMP
+    decode natively (numpy-only); PNG/JPEG/TIFF raise the documented
+    env-gate (they need a codec library this runtime lacks)."""
+    if payload[:2] in _PNM_MAGICS:
+        return read_pnm(payload)
+    if payload[:2] == b"BM":
+        return read_bmp(payload)
+    named = {
+        b"\x89PN": "PNG",
+        b"\xff\xd8\xff": "JPEG",
+        b"II*\x00": "TIFF",
+        b"MM\x00*": "TIFF",
+    }
+    for magic, name in named.items():
+        if payload[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"{name} decoding requires an imaging library not present "
+                "in this runtime; plug PIL/opencv into decode_image_bytes — "
+                "PNM/BMP decode natively and the Spark plumbing is complete"
+            )
+    raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+
+
+def readimg(f_addr: str) -> np.ndarray:
+    """Read an image file (``readimg``, reference
+    mpes/fprocessing.py:290-296 — skimage there, native parsers here)."""
+    with open(f_addr, "rb") as fh:
+        return decode_image_bytes(fh.read())
+
+
+def im2mat(fdir: str) -> np.ndarray:
+    """Image file -> numpy array (``im2mat``, reference
+    mpes/fprocessing.py:421-427)."""
+    return readimg(fdir)
+
+
+def mat2im(
+    datamat: np.ndarray,
+    dtype: str = "uint8",
+    scaling=("normal",),
+    savename: str | None = None,
+) -> np.ndarray:
+    """Data matrix -> displayable image array (``mat2im``, reference
+    mpes/fprocessing.py:395-419) with the reference's exact scaling
+    arithmetic, including its quirks: gamma factors parsed from
+    'gamma<a>-<g>' apply a * x**g; 'normal' maps via
+    (255/max) * (x - min) — max of the POST-gamma data, so the top of
+    the range is only reached when min == 0 — and 'inv' (without
+    'normal') is 255 minus that. Saves as binary PGM/PPM when
+    ``savename`` is given (the library-free twin of PIL ``im.save``)."""
+    dataconv = np.abs(np.asarray(datamat, dtype="float64"))
+    for scstr in scaling:
+        if "gamma" in scstr:
+            gf = [float(x) for x in re.split("gamma|-", scstr)[1:]]
+            dataconv = gf[0] * (dataconv ** gf[1])
+    if "normal" in scaling:
+        dataconv = (255 / dataconv.max()) * (dataconv - dataconv.min())
+    elif "inv" in scaling and "normal" not in scaling:
+        dataconv = 255 - (255 / dataconv.max()) * (dataconv - dataconv.min())
+    if dtype == "uint8":
+        imrsc = dataconv.astype(np.uint8)
+    else:
+        imrsc = dataconv.astype(dtype)
+    if savename:
+        write_pnm(imrsc, savename)
+    return imrsc
+
+
+def read_arpes_txt(fdir, with_coords: bool = True):
+    """Igor-generated ARPES .txt matrix (``readARPEStxt``, reference
+    mpes/fprocessing.py:354-379): row 0 carries the angle axis (from
+    column 1), column 0 carries the energy axis (from row 1), the rest
+    is the intensity matrix. ``with_coords=False`` skips the first row
+    and returns the raw matrix."""
+    if hasattr(fdir, "read"):
+        raw = fdir.read()
+    else:
+        with open(fdir) as fh:
+            raw = fh.read()
+    rows = [
+        [float(x) for x in line.replace("\t", " ").split()]
+        for line in io.StringIO(raw)
+        if line.strip()
+    ]
+    if with_coords:
+        # the reference reads with column names taken from the DATA
+        # rows (skiprows=1), so a short/ragged angle row is NaN-padded
+        # on the right and an over-long one is truncated — mirror that
+        width = max(len(r) for r in rows[1:]) if len(rows) > 1 else len(rows[0])
+        rows = [
+            (r + [float("nan")] * (width - len(r)))[:width] for r in rows
+        ]
+        mat = np.asarray(rows, dtype="float64")
+        arpes = mat[1:, 1:]
+        energy = mat[1:, 0]
+        angle = mat[0, 1:]
+        return arpes, energy, angle
+    return np.asarray(rows[1:], dtype="float64")
+
+
+def resample_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width[, C]) — pure numpy
+    integer indexing (pixel-center convention), the library-free
+    resize kernel for the multimodal pipeline."""
+    a = np.asarray(img)
+    h, w = a.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return a[rows][:, cols]

@@ -287,9 +287,20 @@ def test_multimodal_frame_sampling(spark):
         assert list(grp.frame_idx) == list(range(0, n, 10))
 
 
-def test_decode_stub_raises():
+def test_decode_image_env_gate_and_native_formats():
+    """PNG/JPEG/TIFF stay env-gated (no codec library in the runtime);
+    PNM and BMP now decode NATIVELY through decode_image (r8)."""
+    import numpy as np
+
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+        MM.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\xff\xd8\xff\xe0")
+    from mpes_spark.io.images import write_pnm
+
+    img = np.arange(12, dtype="uint8").reshape(3, 4)
+    got = MM.decode_image(write_pnm(img))
+    np.testing.assert_array_equal(got, img)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,188 @@
+"""Numpy-only image codecs (io/images.py): PNM round-trips, hand-built
+BMP golden bytes, ARPES txt loader vs the reference's slicing
+semantics, and mat2im's exact scaling arithmetic."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from mpes_spark.io.images import (
+    decode_image_bytes,
+    im2mat,
+    mat2im,
+    read_arpes_txt,
+    read_bmp,
+    read_pnm,
+    readimg,
+    write_pnm,
+)
+
+
+def test_pnm_binary_roundtrip_gray_and_rgb(tmp_path):
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(read_pnm(write_pnm(gray)), gray)
+    np.testing.assert_array_equal(read_pnm(write_pnm(rgb)), rgb)
+    # file path round-trip through readimg/im2mat
+    p = str(tmp_path / "x.pgm")
+    write_pnm(gray, p)
+    np.testing.assert_array_equal(readimg(p), gray)
+    np.testing.assert_array_equal(im2mat(p), gray)
+
+
+def test_pnm_16bit_and_ascii():
+    deep = np.array([[0, 300], [65535, 12345]], dtype=np.uint16)
+    got = read_pnm(write_pnm(deep))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, deep)
+    # ascii P2 with comments and irregular whitespace
+    p2 = b"P2 # magic comment\n# another\n 3 2\n255\n0 1 2\n3   4\t5\n"
+    np.testing.assert_array_equal(
+        read_pnm(p2), np.array([[0, 1, 2], [3, 4, 5]], dtype=np.uint8)
+    )
+    # ascii P3 rgb
+    p3 = b"P3\n2 1\n255\n255 0 0  0 255 0\n"
+    np.testing.assert_array_equal(
+        read_pnm(p3), np.array([[[255, 0, 0], [0, 255, 0]]], dtype=np.uint8)
+    )
+
+
+def _bmp24(pixels: np.ndarray) -> bytes:
+    """Hand-assemble a bottom-up 24-bit BI_RGB BMP from (H, W, 3) RGB."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for row in pixels[::-1]:  # bottom-up storage
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        body += line + b"\x00" * (row_bytes - len(line))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + info + body
+
+
+def test_bmp24_golden():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(read_bmp(_bmp24(px)), px)
+    np.testing.assert_array_equal(decode_image_bytes(_bmp24(px)), px)
+
+
+def test_bmp8_palette():
+    # 2x2 8-bit with a 4-entry palette (stored BGRA)
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (7, 7, 7)]  # RGB
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for (r, g, b) in pal)
+    idx = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    row_bytes = 4  # width 2 padded to 4
+    body = b""
+    for row in idx[::-1]:
+        body += row.tobytes() + b"\x00" * (row_bytes - 2)
+    off = 14 + 40 + len(pal_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiihHIIiiII", 40, 2, 2, 1, 8, 0, len(body), 0, 0, 4, 0)
+    img = read_bmp(hdr + info + pal_bytes + body)
+    want = np.array([[pal[0], pal[1]], [pal[2], pal[3]]], dtype=np.uint8)
+    np.testing.assert_array_equal(img, want)
+
+
+def test_bmp_rejects_compressed():
+    info = struct.pack("<IiihHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0)
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    with pytest.raises(ValueError, match="compressed"):
+        read_bmp(hdr + info)
+
+
+def test_read_arpes_txt_slicing_matches_reference():
+    """Reference semantics (mpes/fprocessing.py:354-379): row 0 col 1+
+    is the angle axis, col 0 row 1+ the energy axis, the rest the
+    intensity matrix; a short angle row NaN-pads on the right."""
+    txt = "0.0\t-5.0\t-4.0\t-3.0\n" \
+          "1.1\t10\t11\t12\n" \
+          "1.2\t20\t21\t22\n"
+    arpes, energy, angle = read_arpes_txt(io.StringIO(txt))
+    np.testing.assert_array_equal(arpes, [[10, 11, 12], [20, 21, 22]])
+    np.testing.assert_array_equal(energy, [1.1, 1.2])
+    np.testing.assert_array_equal(angle, [-5.0, -4.0, -3.0])
+    # ragged angle row: NaN-padded (the reference's names=dataidx read)
+    ragged = "0.0\t-5.0\t-4.0\n1.1\t10\t11\t12\n1.2\t20\t21\t22\n"
+    _, _, ang2 = read_arpes_txt(io.StringIO(ragged))
+    assert ang2[0] == -5.0 and ang2[1] == -4.0 and np.isnan(ang2[2])
+    # with_coords=False drops only the first row
+    raw = read_arpes_txt(io.StringIO(txt), with_coords=False)
+    np.testing.assert_array_equal(raw[:, 0], [1.1, 1.2])
+
+
+def test_mat2im_scaling_arithmetic(tmp_path):
+    """mat2im must reproduce the reference's exact formulas
+    (mpes/fprocessing.py:395-419), including gamma parsing from
+    'gamma<a>-<g>' and the (255/max)*(x - min) normal map."""
+    mat = np.array([[-1.0, 2.0], [3.0, 4.0]])
+    # normal: (255/max(|x|)) * (|x| - min(|x|))
+    want = (255 / 4.0) * (np.abs(mat) - 1.0)
+    np.testing.assert_array_equal(mat2im(mat), want.astype(np.uint8))
+    # gamma0.5-2 then normal: y = 0.5*x^2 -> (255/8)*(y - 0.5)
+    y = 0.5 * np.abs(mat) ** 2
+    want_g = (255 / y.max()) * (y - y.min())
+    got_g = mat2im(mat, scaling=["gamma0.5-2", "normal"])
+    np.testing.assert_array_equal(got_g, want_g.astype(np.uint8))
+    # inv without normal
+    want_i = 255 - (255 / 4.0) * (np.abs(mat) - 1.0)
+    np.testing.assert_array_equal(mat2im(mat, scaling=["inv"]), want_i.astype(np.uint8))
+    # savename writes a decodable PGM
+    p = str(tmp_path / "m.pgm")
+    out = mat2im(mat, savename=p)
+    np.testing.assert_array_equal(readimg(p), out)
+
+
+def test_decode_image_bytes_unknown_magic():
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image_bytes(b"\x00\x01\x02\x03junk")
+
+
+def test_resample_nearest_kernel():
+    from mpes_spark.io.images import resample_nearest
+
+    img = np.arange(16, dtype="uint8").reshape(4, 4)
+    up = resample_nearest(img, 8, 8)
+    assert up.shape == (8, 8)
+    # each source pixel tiles a 2x2 block under nearest-neighbor 2x
+    np.testing.assert_array_equal(up[0:2, 0:2], np.full((2, 2), img[0, 0]))
+    np.testing.assert_array_equal(up[6:8, 6:8], np.full((2, 2), img[3, 3]))
+    down = resample_nearest(img, 2, 2)
+    # pixel centers at (1,1),(1,3),(3,1),(3,3)
+    np.testing.assert_array_equal(down, img[[1, 3]][:, [1, 3]])
+    # rgb passthrough of the channel axis
+    rgb = np.stack([img] * 3, axis=-1)
+    assert resample_nearest(rgb, 2, 2).shape == (2, 2, 3)
+
+
+def test_resize_images_decoded_end_to_end(spark):
+    """REAL multimodal resize (r8): PNM payloads decode, resample, and
+    re-encode per Arrow batch; output dims and pixels are exact."""
+    from mpes_spark.extras.multimodal import resize_images_decoded
+    from mpes_spark.io.images import read_pnm, resample_nearest, write_pnm
+
+    rng = np.random.default_rng(2)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 8, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (i, "image", bytearray(write_pnm(im)), {"width": im.shape[1], "height": im.shape[0], "sample_rate": 0, "n_frames": 0})
+        for i, im in imgs.items()
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    )
+    out = resize_images_decoded(assets, width=4, height=3).collect()
+    assert len(out) == 4
+    for r in out:
+        want = resample_nearest(imgs[r.asset_id], 4, 3)
+        got = read_pnm(bytes(r.payload))
+        assert got.shape == (3, 4, 3)
+        np.testing.assert_array_equal(got, want)
+        assert r.meta.width == 4 and r.meta.height == 3
