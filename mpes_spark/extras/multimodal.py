@@ -283,3 +283,75 @@ def resize_images_decoded(
             yield out
 
     return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+def image_decode_stats(
+    docs: DataFrame, width: int = 16, max_bytes: int = 128, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-gated exercise of the REAL image codec path (r8): each
+    document's leading utf-8 bytes become a grayscale image (row width
+    ``width``, zero-padded to a full last row), ENCODED to binary PGM
+    and DECODED back via the numpy codecs inside one Arrow batch, then
+    reduced to integer pixel statistics. Because the synthetic image
+    is a deterministic function of the text, a DuckDB twin
+    (:func:`image_decode_stats_sql`) can compute the same statistics
+    straight from the characters — so the driver's hash gate verifies
+    the full encode -> decode -> aggregate round-trip, not a fake.
+    All-integer output: exact gate. mapInPandas, partition-preserving,
+    payload never leaves the batch."""
+    import numpy as np
+
+    from mpes_spark.io.images import read_pnm, write_pnm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, npix, sums, mx = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                pad = (-len(raw)) % width
+                buf = np.frombuffer(raw + b"\x00" * pad, dtype="u1")
+                img = buf.reshape(-1, width)
+                decoded = read_pnm(write_pnm(img))  # the real round-trip
+                ids.append(did)
+                npix.append(int(decoded.size))
+                sums.append(int(decoded.astype("int64").sum()))
+                mx.append(int(decoded.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_pixels": pd.Series(npix, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, "text").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_pixels bigint, sum_pixels bigint, "
+        "max_pixel bigint",
+    )
+
+
+def image_decode_stats_sql(
+    table: str, width: int = 16, max_bytes: int = 128, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`image_decode_stats`: the synthetic image
+    is the first ``max_bytes`` utf-8 bytes of the (ASCII, per the test
+    fixtures) text zero-padded to a multiple of ``width``, so pixel
+    stats are character stats plus the padding arithmetic."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+  FROM {table}
+),
+agg AS (
+  SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
+  FROM chars GROUP BY {id_col}
+)
+SELECT {id_col},
+       CAST(n_raw + ((-n_raw) % {width} + {width}) % {width} AS BIGINT) AS n_pixels,
+       CAST(s AS BIGINT) AS sum_pixels,
+       CAST(CASE WHEN ((-n_raw) % {width} + {width}) % {width} > 0
+                 THEN greatest(m, 0) ELSE m END AS BIGINT) AS max_pixel
+FROM agg
+""".strip()

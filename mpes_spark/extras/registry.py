@@ -1515,6 +1515,21 @@ def multimodal_features(spark, sf_dir):
 
 
 @_q(
+    "image_decode_stats",
+    MM.image_decode_stats_sql("documents", width=16, max_bytes=128),
+)
+def image_decode_stats(spark, sf_dir):
+    """The REAL image codec under the driver's hash gate (r8): each
+    doc's leading bytes become a grayscale image, encoded to binary
+    PGM and decoded back via the numpy-only codecs inside one Arrow
+    batch, then reduced to integer pixel stats. The oracle re-derives
+    the same stats from the characters, so a hash match proves the
+    encode -> decode round-trip is lossless — the codec is gated, not
+    stubbed."""
+    return MM.image_decode_stats(_docs(spark, sf_dir), width=16, max_bytes=128)
+
+
+@_q(
     "frame_sample_manifest",
     MM.frame_manifest_sql("documents", every_n=10, frames_mod=90),
 )
