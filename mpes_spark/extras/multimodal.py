@@ -355,3 +355,64 @@ SELECT {id_col},
                  THEN greatest(m, 0) ELSE m END AS BIGINT) AS max_pixel
 FROM agg
 """.strip()
+
+
+def audio_decode_stats(
+    docs: DataFrame, rate: int = 16_000, max_bytes: int = 128, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL audio codec under the hash gate (r8, the WAV twin of
+    :func:`image_decode_stats`): each doc's leading bytes become int16
+    PCM samples, ENCODED to RIFF/WAVE and DECODED back via the
+    numpy-only codec inside one Arrow batch, then reduced to integer
+    sample statistics + the round-tripped sample rate. The oracle
+    re-derives the stats from the characters, so a hash match proves
+    the encode -> decode round-trip lossless."""
+    import numpy as np
+
+    from mpes_spark.io.audio import decode_audio_bytes, write_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, sums, mx, rates = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                samples = np.frombuffer(raw, dtype="u1").astype(np.int16)
+                decoded, got_rate = decode_audio_bytes(write_wav(samples, rate))
+                ids.append(did)
+                ns.append(int(decoded.size))
+                sums.append(int(decoded.astype("int64").sum()))
+                mx.append(int(decoded.max()))
+                rates.append(int(got_rate))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_samples": pd.Series(sums, dtype="int64"),
+                    "max_sample": pd.Series(mx, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, "text").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_samples bigint, sum_samples bigint, "
+        "max_sample bigint, sample_rate bigint",
+    )
+
+
+def audio_decode_stats_sql(
+    table: str, rate: int = 16_000, max_bytes: int = 128, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`audio_decode_stats` (pure-ASCII fixtures:
+    sample i = ascii(char i) of the leading ``max_bytes`` chars)."""
+    return f"""
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(byte) AS BIGINT) AS sum_samples,
+       CAST(max(byte) AS BIGINT) AS max_sample,
+       CAST({rate} AS BIGINT) AS sample_rate
+FROM (
+  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+  FROM {table}
+) GROUP BY {id_col}
+""".strip()

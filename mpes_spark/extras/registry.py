@@ -1530,6 +1530,19 @@ def image_decode_stats(spark, sf_dir):
 
 
 @_q(
+    "audio_decode_stats",
+    MM.audio_decode_stats_sql("documents", rate=16_000, max_bytes=128),
+)
+def audio_decode_stats(spark, sf_dir):
+    """The REAL audio codec under the hash gate (r8): leading doc
+    bytes -> int16 PCM -> RIFF/WAVE encode -> numpy decode -> integer
+    sample stats + round-tripped sample rate, all inside one Arrow
+    batch; the oracle re-derives the stats from the characters, so a
+    hash match proves the WAV encode -> decode round-trip lossless."""
+    return MM.audio_decode_stats(_docs(spark, sf_dir), rate=16_000, max_bytes=128)
+
+
+@_q(
     "frame_sample_manifest",
     MM.frame_manifest_sql("documents", every_n=10, frames_mod=90),
 )
