@@ -1,0 +1,96 @@
+"""Privacy governance operators (r8): k-anonymity auditing and a
+deterministic differential-privacy noise mechanism — the release-side
+counterpart of the PII scan/redact family in :mod:`extras.text`.
+
+Both operators are engine-portable by construction (pure Column
+algebra; closed-form inverse-CDF noise from the shared md5 hash
+family), so each carries a full DuckDB hash-gate twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpes_spark.extras.dedup import _md5_hash_sql
+
+__all__ = [
+    "k_anonymity_report",
+    "k_anonymity_report_sql",
+    "dp_noisy_counts_sql",
+]
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: one row per
+    equivalence-class-size bucket — (class_size, n_classes, n_rows,
+    violates) where ``violates`` marks classes smaller than ``k``
+    (rows re-identifiable within fewer than k candidates; Sweeney
+    2002). Release gate: the table is k-anonymous iff no violating
+    bucket exists. Two map-side-combined aggregations (quasi-group
+    sizes, then a size histogram) — output bounded by distinct class
+    sizes, no joins, all-integer exact gate."""
+    classes = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            (F.count(F.lit(1)) * F.col("class_size")).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("class_size").cast("bigint").alias("class_size"),
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < k).alias("violates"),
+        )
+    )
+
+
+def k_anonymity_report_sql(table: str, quasi: list[str], k: int = 5) -> str:
+    q = ", ".join(quasi)
+    return f"""
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(count(*) * class_size AS BIGINT) AS n_rows,
+       class_size < {k} AS violates
+FROM (SELECT {q}, count(*) AS class_size FROM {table} GROUP BY {q})
+GROUP BY class_size
+""".strip()
+
+
+def dp_noisy_counts_sql(
+    table: str,
+    keys: list[str],
+    dialect: str,
+    epsilon: float = 1.0,
+    seed: int = 7,
+) -> str:
+    """Laplace-mechanism noisy group counts (Dwork et al. 2006),
+    dual-dialect: count + Lap(1/epsilon) per group with the noise
+    drawn DETERMINISTICALLY from the shared md5 hash of the group key
+    — u = (hash mod 2^30 + 0.5) / 2^30 in (0,1) with exactly
+    representable steps, noise = -(1/eps) * sign(u - 0.5) *
+    ln(1 - 2|u - 0.5|) (inverse CDF). A seeded-hash draw makes the
+    release reproducible and hash-gateable (the identical expression
+    tree runs on both engines; the one ln() rounds away at 6 digits);
+    swapping in true randomness is the seed argument. One
+    map-side-combined aggregation; the noise expression is per GROUP,
+    so its cost is grid-bounded, never row-bounded."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    q = ", ".join(keys)
+    key_sql = " || '|' || ".join(f"CAST({c} AS {s})" for c in keys)
+    h = _md5_hash_sql(seed, f"({key_sql})", dialect)
+    b = 1.0 / float(epsilon)
+    u = f"((({h}) % {1 << 30}) + 0.5) / {float(1 << 30)!r}"
+    return f"""
+SELECT {q},
+       CAST(true_count AS BIGINT) AS true_count,
+       round(true_count + (-{b!r}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+         AS noisy_count
+FROM (
+  SELECT {q}, count(*) AS true_count, {u} AS u
+  FROM {table} GROUP BY {q}
+)
+""".strip()

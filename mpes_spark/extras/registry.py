@@ -1529,6 +1529,38 @@ def image_decode_stats(spark, sf_dir):
     return MM.image_decode_stats(_docs(spark, sf_dir), width=16, max_bytes=128)
 
 
+from mpes_spark.extras import privacy as PV  # noqa: E402
+
+
+@_q(
+    "k_anonymity_report",
+    PV.k_anonymity_report_sql("documents", ["lang", "source"], k=5),
+)
+def k_anonymity_report(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) over the (lang, source)
+    quasi-identifiers: equivalence-class-size histogram with a
+    ``violates`` flag for classes under k=5 — the release gate a
+    training-data distribution needs before publishing per-slice
+    stats. Two map-side-combined aggs, all-integer exact gate."""
+    return PV.k_anonymity_report(_docs(spark, sf_dir), ["lang", "source"], k=5)
+
+
+@_q(
+    "dp_noisy_counts",
+    PV.dp_noisy_counts_sql("documents", ["lang", "source"], "duckdb", epsilon=1.0),
+)
+def dp_noisy_counts(spark, sf_dir):
+    """Laplace-mechanism noisy per-slice counts (Dwork et al. 2006)
+    with the noise drawn deterministically from the shared md5 hash of
+    the group key — reproducible releases, hash-gateable mechanism
+    (identical inverse-CDF expression tree on both engines); swapping
+    in true randomness is the seed argument."""
+    sql = PV.dp_noisy_counts_sql(
+        _pq(sf_dir, "documents"), ["lang", "source"], "spark", epsilon=1.0
+    )
+    return spark.sql(sql)
+
+
 @_q(
     "audio_decode_stats",
     MM.audio_decode_stats_sql("documents", rate=16_000, max_bytes=128),
