@@ -416,3 +416,82 @@ FROM (
   FROM {table}
 ) GROUP BY {id_col}
 """.strip()
+
+
+def video_decode_stats(
+    docs: DataFrame, max_bytes: int = 96, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL video container under the hash gate (r8, completing
+    the image/audio/video codec trio): each doc's leading bytes become
+    two 4x4 RGB frames, ENCODED into an uncompressed-DIB AVI (header +
+    movi + idx1) and round-tripped back through the numpy-only
+    container parser (header parse -> idx1 frame index -> DIB decode)
+    inside one Arrow batch, then reduced to integer pixel statistics.
+    The oracle re-derives the stats from the characters, so a hash
+    match proves container encode -> index -> decode lossless."""
+    import numpy as np
+
+    from mpes_spark.io.video import (
+        avi_frame_index,
+        decode_avi_frame,
+        read_avi_header,
+        write_avi_dib,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nf, npx, sums, mx = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                raw = raw + b"\x00" * (max_bytes - len(raw))
+                frames = list(
+                    np.frombuffer(raw, dtype="u1").reshape(2, 4, 4, 3)
+                )
+                avi = write_avi_dib(frames, fps=25)
+                hdr = read_avi_header(avi)
+                idx = avi_frame_index(avi)
+                decoded = [
+                    decode_avi_frame(avi, o, s, hdr["width"], hdr["height"], hdr["codec"])
+                    for o, s in idx
+                ]
+                stack = np.stack(decoded)
+                ids.append(did)
+                nf.append(int(hdr["n_frames"]))
+                npx.append(int(stack.size))
+                sums.append(int(stack.astype("int64").sum()))
+                mx.append(int(stack.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_pixels": pd.Series(npx, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, "text").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_frames bigint, n_pixels bigint, "
+        "sum_pixels bigint, max_pixel bigint",
+    )
+
+
+def video_decode_stats_sql(
+    table: str, max_bytes: int = 96, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`video_decode_stats` (ASCII fixtures: pixel
+    i = ascii(char i) of the leading bytes, zero-padded to
+    ``max_bytes``; all texts exceed 32 in code, so padding never wins
+    the max)."""
+    return f"""
+SELECT {id_col},
+       CAST(2 AS BIGINT) AS n_frames,
+       CAST({max_bytes} AS BIGINT) AS n_pixels,
+       CAST(sum(byte) AS BIGINT) AS sum_pixels,
+       CAST(max(byte) AS BIGINT) AS max_pixel
+FROM (
+  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+  FROM {table}
+) GROUP BY {id_col}
+""".strip()

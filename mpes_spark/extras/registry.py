@@ -1575,6 +1575,19 @@ def audio_decode_stats(spark, sf_dir):
 
 
 @_q(
+    "video_decode_stats",
+    MM.video_decode_stats_sql("documents", max_bytes=96),
+)
+def video_decode_stats(spark, sf_dir):
+    """The REAL video container under the hash gate (r8, completing
+    the codec trio): leading doc bytes -> two 4x4 RGB frames ->
+    uncompressed-DIB AVI encode (header + movi + idx1 index) -> full
+    round-trip through the numpy-only parser (header, frame index,
+    DIB decode) -> integer pixel stats; oracle from the characters."""
+    return MM.video_decode_stats(_docs(spark, sf_dir), max_bytes=96)
+
+
+@_q(
     "frame_sample_manifest",
     MM.frame_manifest_sql("documents", every_n=10, frames_mod=90),
 )
