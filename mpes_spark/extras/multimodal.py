@@ -495,3 +495,51 @@ FROM (
   FROM {table}
 ) GROUP BY {id_col}
 """.strip()
+
+
+def sample_frames_decoded(
+    assets: DataFrame, every_n: int = 1, id_col: str = "asset_id"
+) -> DataFrame:
+    """REAL video frame extraction (r8): for DIB-AVI payloads, parse
+    the container, take every ``every_n``-th entry of the frame index,
+    DECODE those frames, and emit one row per sampled frame with
+    integer pixel stats — the decoded upgrade of :func:`sample_frames`
+    (which emits a manifest without touching payload bytes).
+    mapInPandas, partition-preserving; compressed codecs raise the
+    documented env gate instead of passing through wrong."""
+    from mpes_spark.io.video import (
+        avi_frame_index,
+        decode_avi_frame,
+        read_avi_header,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, sums, mx = [], [], [], []
+            for aid, payload in zip(pdf[id_col], pdf["payload"]):
+                avi = bytes(payload)
+                hdr = read_avi_header(avi)
+                idx = avi_frame_index(avi)
+                for i in range(0, len(idx), every_n):
+                    off, size = idx[i]
+                    frame = decode_avi_frame(
+                        avi, off, size, hdr["width"], hdr["height"], hdr["codec"]
+                    )
+                    ids.append(aid)
+                    fidx.append(i)
+                    sums.append(int(frame.astype("int64").sum()))
+                    mx.append(int(frame.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return assets.select(id_col, "payload").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, frame_idx bigint, sum_pixels bigint, "
+        "max_pixel bigint",
+    )

@@ -94,3 +94,57 @@ FROM (
   FROM {table} GROUP BY {q}
 )
 """.strip()
+
+
+def l_diversity_report(
+    df: DataFrame, quasi: list[str], sensitive: str, ell: int = 2
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007): per
+    quasi-identifier equivalence class, the count of DISTINCT
+    sensitive values; a class with fewer than ``ell`` distinct values
+    leaks the sensitive attribute even when k-anonymous. Output is the
+    (n_sensitive -> class count/row count) histogram with a violates
+    flag — the same bucketed-report shape as
+    :func:`k_anonymity_report`, so the two gates compose into one
+    release checklist. Two-level exact distinct (group by quasi +
+    sensitive first) — never a count-distinct shuffle of raw rows."""
+    per_class = (
+        df.select(*quasi, sensitive)
+        .distinct()
+        .groupBy(*quasi)
+        .agg(F.count(F.lit(1)).alias("n_sensitive"))
+    )
+    sizes = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("class_rows"))
+    joined = per_class.join(sizes, quasi)
+    return (
+        joined.groupBy("n_sensitive")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_rows").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+            "n_classes",
+            "n_rows",
+            (F.col("n_sensitive") < ell).alias("violates"),
+        )
+    )
+
+
+def l_diversity_report_sql(
+    table: str, quasi: list[str], sensitive: str, ell: int = 2
+) -> str:
+    q = ", ".join(quasi)
+    return f"""
+WITH per_class AS (
+  SELECT {q}, count(*) AS n_sensitive
+  FROM (SELECT DISTINCT {q}, {sensitive} FROM {table}) d GROUP BY {q}
+),
+sizes AS (SELECT {q}, count(*) AS class_rows FROM {table} GROUP BY {q})
+SELECT CAST(n_sensitive AS BIGINT) AS n_sensitive,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_rows) AS BIGINT) AS n_rows,
+       n_sensitive < {ell} AS violates
+FROM per_class JOIN sizes USING ({q})
+GROUP BY n_sensitive
+""".strip()

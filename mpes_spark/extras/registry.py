@@ -1546,6 +1546,19 @@ def k_anonymity_report(spark, sf_dir):
 
 
 @_q(
+    "l_diversity_report",
+    PV.l_diversity_report_sql("documents", ["lang"], "source", ell=2),
+)
+def l_diversity_report(spark, sf_dir):
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) over
+    lang classes with source as the sensitive attribute: the
+    (distinct-sensitive-count -> classes/rows) histogram with a
+    violates flag — composing with k_anonymity_report into the full
+    release checklist. Two-level exact distinct, all-integer gate."""
+    return PV.l_diversity_report(_docs(spark, sf_dir), ["lang"], "source", ell=2)
+
+
+@_q(
     "dp_noisy_counts",
     PV.dp_noisy_counts_sql("documents", ["lang", "source"], "duckdb", epsilon=1.0),
 )

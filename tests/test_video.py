@@ -65,3 +65,24 @@ def test_avi_env_gate_for_compressed_codecs():
         decode_avi_frame(avi, off, size, 5, 4, "MJPG")
     with pytest.raises(ValueError, match="not a RIFF/AVI"):
         read_avi_header(b"RIFF....WAVE")
+
+
+def test_sample_frames_decoded_distributed(spark):
+    """Real distributed frame extraction: DIB-AVI payloads in a binary
+    column decode per Arrow batch; every sampled frame's pixel stats
+    match the source arrays exactly."""
+    from mpes_spark.extras.multimodal import sample_frames_decoded
+
+    rng = np.random.default_rng(7)
+    vids = {
+        i: [rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(5)]
+        for i in range(6)
+    }
+    rows = [(i, bytearray(write_avi_dib(f))) for i, f in vids.items()]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = sample_frames_decoded(assets, every_n=2).collect()
+    assert len(out) == 6 * 3  # frames 0, 2, 4 of each clip
+    for r in out:
+        src = vids[r.asset_id][r.frame_idx]
+        assert r.sum_pixels == int(src.astype("int64").sum())
+        assert r.max_pixel == int(src.max())
