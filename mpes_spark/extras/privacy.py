@@ -148,3 +148,76 @@ SELECT CAST(n_sensitive AS BIGINT) AS n_sensitive,
 FROM per_class JOIN sizes USING ({q})
 GROUP BY n_sensitive
 """.strip()
+
+
+def t_closeness_report(
+    df: DataFrame, quasi: list[str], sensitive: str, t: float = 0.3
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), total-variation rendering
+    for categorical sensitive attributes (TV distance IS the
+    variational EMD for the uniform ground metric): per quasi class,
+    tv = 0.5 * sum_v |P_class(v) - P_global(v)|; classes with tv > t
+    leak distributional information even when l-diverse. Output one
+    row per class with the rounded distance and a violates flag.
+
+    Shape: one (quasi, sensitive) count agg, one global sensitive agg
+    (broadcast — sensitive cardinality-sized), one class-size agg; the
+    |p - q| sum folds back with a map-side-combined groupBy. No joins
+    larger than class x sensitive-value."""
+    cls_val = df.groupBy(*quasi, sensitive).agg(F.count(F.lit(1)).alias("cv"))
+    cls_sz = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("cn"))
+    glob = df.groupBy(sensitive).agg(F.count(F.lit(1)).alias("gv"))
+    n_total = df.count()
+    # per (class, sensitive-value) contribution; values absent from a
+    # class contribute P_global(v) on their own (handled by the
+    # right-join against the global relation)
+    joined = (
+        cls_sz.crossJoin(F.broadcast(glob))
+        .join(cls_val, [*quasi, sensitive], "left")
+        .select(
+            *quasi,
+            "cn",
+            F.abs(
+                F.coalesce(F.col("cv"), F.lit(0)) / F.col("cn")
+                - F.col("gv") / F.lit(float(n_total))
+            ).alias("d"),
+        )
+    )
+    return (
+        joined.groupBy(*quasi)
+        .agg(F.round(F.lit(0.5) * F.sum("d"), 6).alias("tv_distance"),
+             F.max("cn").alias("class_rows"))
+        .select(
+            *quasi,
+            F.col("class_rows").cast("bigint").alias("class_rows"),
+            "tv_distance",
+            (F.col("tv_distance") > t).alias("violates"),
+        )
+    )
+
+
+def t_closeness_report_sql(
+    table: str, quasi: list[str], sensitive: str, t: float = 0.3
+) -> str:
+    q = ", ".join(quasi)
+    return f"""
+WITH cls_val AS (
+  SELECT {q}, {sensitive}, count(*) AS cv FROM {table} GROUP BY {q}, {sensitive}
+),
+cls_sz AS (SELECT {q}, count(*) AS cn FROM {table} GROUP BY {q}),
+gdist AS (SELECT {sensitive}, count(*) AS gv FROM {table} GROUP BY {sensitive}),
+tot AS (SELECT count(*) AS n FROM {table}),
+pairs AS (
+  SELECT s.{q.replace(', ', ', s.')}, s.cn,
+         abs(COALESCE(v.cv, 0) / CAST(s.cn AS DOUBLE)
+             - g.gv / CAST(t.n AS DOUBLE)) AS d
+  FROM cls_sz s CROSS JOIN gdist g CROSS JOIN tot t
+  LEFT JOIN cls_val v
+    ON {' AND '.join(f'v.{c} = s.{c}' for c in quasi)}
+   AND v.{sensitive} = g.{sensitive}
+)
+SELECT {q}, CAST(max(cn) AS BIGINT) AS class_rows,
+       round(0.5 * sum(d), 6) AS tv_distance,
+       round(0.5 * sum(d), 6) > {t!r} AS violates
+FROM pairs GROUP BY {q}
+""".strip()

@@ -1559,6 +1559,19 @@ def l_diversity_report(spark, sf_dir):
 
 
 @_q(
+    "t_closeness_report",
+    PV.t_closeness_report_sql("documents", ["lang"], "source", t=0.05),
+)
+def t_closeness_report(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007, total-variation rendering):
+    per lang class, the TV distance between its source distribution
+    and the corpus-global one, violates flag at t=0.05 — completing
+    the k-anonymity / l-diversity / t-closeness release trio. One
+    class x sensitive-value relation, global relation broadcast."""
+    return PV.t_closeness_report(_docs(spark, sf_dir), ["lang"], "source", t=0.05)
+
+
+@_q(
     "dp_noisy_counts",
     PV.dp_noisy_counts_sql("documents", ["lang", "source"], "duckdb", epsilon=1.0),
 )

@@ -80,3 +80,27 @@ def test_frame_features_rms_and_zero_crossings():
     assert (f2[:, 1] == 0).all()
     # trailing partial frame dropped
     assert frame_features(np.zeros(100, dtype=np.int16), frame=256).shape == (0, 2)
+
+
+# -- hypothesis round-trip fuzz (r8 codec) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@given(
+    samples=arrays(dtype=np.int16, shape=st.integers(1, 400)),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 3),
+)
+@settings(max_examples=80, deadline=None)
+def test_wav_roundtrip_fuzz(samples, rate, channels):
+    if channels > 1:
+        n = (len(samples) // channels) * channels
+        if n == 0:
+            return
+        samples = samples[:n].reshape(-1, channels)
+    got, got_rate = read_wav(write_wav(samples, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(got, samples)

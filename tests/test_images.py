@@ -186,3 +186,33 @@ def test_resize_images_decoded_end_to_end(spark):
         assert got.shape == (3, 4, 3)
         np.testing.assert_array_equal(got, want)
         assert r.meta.width == 4 and r.meta.height == 3
+
+
+# -- hypothesis round-trip fuzz (r8 codecs) ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@given(
+    arr=arrays(
+        dtype=st.sampled_from([np.uint8, np.uint16]),
+        shape=st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_pnm_gray_roundtrip_fuzz(arr):
+    got = read_pnm(write_pnm(arr))
+    np.testing.assert_array_equal(got, arr.astype(got.dtype))
+
+
+@given(
+    arr=arrays(
+        dtype=np.uint8,
+        shape=st.tuples(st.integers(1, 9), st.integers(1, 9), st.just(3)),
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_pnm_rgb_roundtrip_fuzz(arr):
+    np.testing.assert_array_equal(read_pnm(write_pnm(arr)), arr)
