@@ -2632,6 +2632,50 @@ def salted_agg_counts(spark, sf_dir):
     )
 
 
+# -- Z-order (Morton) layout clustering key (r8): the data-LAYOUT
+#    complement of predicate pushdown — cluster a 100 TB event table by
+#    z(value_bin, user_bucket) and rectangular window queries prune to
+#    O(perimeter) files ------------------------------------------------------
+from mpes_spark.transforms.columns import morton_key_expr, morton_key_sql  # noqa: E402
+
+_Z_X = "CAST(floor(value / 8.0) AS BIGINT)"
+_Z_Y = "(user_id % 64)"
+
+
+@_q(
+    "morton_tile_counts",
+    "SELECT CAST(floor(z / 256) AS BIGINT) AS tile, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(min(z) AS BIGINT) AS z_lo, CAST(max(z) AS BIGINT) AS z_hi FROM ("
+    f"SELECT {morton_key_sql([_Z_X, _Z_Y], bits=7)} AS z "
+    "FROM events WHERE value >= 0 AND value < 1024"
+    ") t GROUP BY tile",
+)
+def morton_tile_counts(spark, sf_dir):
+    """Z-order layout-clustering key under the hash gate: events keyed
+    by the Morton interleave of (value bin, user bucket), rolled up to
+    16x16 z-tiles (z div 256) with per-tile z ranges — the layout audit
+    you run before range-partitioning a 100 TB table by z so
+    rectangular (value, user) window scans prune to O(perimeter)
+    files. Pure integer bit algebra, bit-identical in both engines."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 1024)
+    )
+    x = F.floor(F.col("value") / 8.0).cast("bigint")
+    y = F.col("user_id") % 64
+    z = morton_key_expr([x, y], bits=7)
+    return (
+        ev.select(z.alias("z"))
+        .withColumn("tile", F.floor(F.col("z") / 256).cast("bigint"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("z").cast("bigint").alias("z_lo"),
+            F.max("z").cast("bigint").alias("z_hi"),
+        )
+    )
+
+
 # -- distributed per-group spectral analysis (applyInPandas over the
 #    sparse histogram relation; iterative algorithms -> no SQL oracle,
 #    numpy parity lives in tests/test_analysis.py) --------------------------

@@ -169,3 +169,54 @@ def map_partitions(df: DataFrame, fn, schema) -> DataFrame:
     — Arrow-batched ``mapInPandas``; the slow path, use only when no
     Column composition expresses the op."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def morton_key_expr(cols, bits: int = 10):
+    """Morton (Z-order) interleaved key from 2-3 non-negative integer
+    Columns — the multi-dimensional data-CLUSTERING key: sorting or
+    range-partitioning a 100 TB event table by z(kx_bin, ky_bin) puts
+    spatially adjacent cells in the same parquet files, so any
+    rectangular momentum-window query prunes to O(perimeter) files
+    instead of scanning the corpus (the layout-level complement of the
+    engine's predicate pushdown; same idea as Delta/Iceberg Z-ORDER,
+    rendered as a pure Column expression). ``bits`` LSBs of each
+    dimension interleave (dimension i occupies bit positions
+    i + k*ndim); values are masked into range, never errored — layout
+    keys must not abort a petabyte write.
+
+    Pure integer bit algebra -> bit-identical in any engine;
+    :func:`morton_key_sql` is the verbatim SQL rendering."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    ndim = len(cols)
+    if ndim not in (2, 3):
+        raise ValueError("morton_key_expr takes 2 or 3 columns")
+    parts = []
+    for i, c in enumerate(cols):
+        c = F.col(c) if isinstance(c, str) else c
+        c = c.cast("bigint").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            parts.append(
+                c.bitwiseAND(F.lit(1 << b)).cast("bigint")
+                * F.lit(1 << (b * (ndim - 1) + i))
+            )
+    return reduce(lambda a, x: a + x, parts).cast("bigint")
+
+
+def morton_key_sql(cols, bits: int = 10) -> str:
+    """SQL twin of :func:`morton_key_expr` (same shift-free
+    mask-and-scale rendering, so the expression parses identically in
+    Spark SQL and DuckDB)."""
+    cols = list(cols)
+    ndim = len(cols)
+    if ndim not in (2, 3):
+        raise ValueError("morton_key_sql takes 2 or 3 columns")
+    parts = []
+    for i, c in enumerate(cols):
+        masked = f"(CAST({c} AS BIGINT) & {(1 << bits) - 1})"
+        for b in range(bits):
+            parts.append(f"(({masked} & {1 << b}) * {1 << (b * (ndim - 1) + i)})")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
