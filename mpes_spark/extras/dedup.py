@@ -1409,16 +1409,11 @@ def cluster_summary(
     )
 
 
-def connected_components_sql(pairs_sql: str) -> str:
-    """DuckDB oracle twin of pair-list connected components: a
-    recursive CTE materializing full reachability over the
-    symmetrized edge list (terminates because UNION dedups), then
-    ``min(reachable)`` as the cluster label — O(component^2) paths,
-    exact at oracle scale; the Spark side's log-rounds propagation is
-    the 100-TB rendering of the same fixpoint. Returns the
-    :func:`cluster_summary` shape."""
-    return f"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
+def _cc_label_ctes(pairs_sql: str) -> str:
+    """The recursive-CTE chain computing per-node min-label connected
+    components — shared by the cluster-summary oracle and every
+    oracle that composes on the labels (``lab(node, cluster_id)``)."""
+    return f"""pairs AS ({pairs_sql}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -1430,7 +1425,19 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
 ),
-lab AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a)
+lab AS (SELECT a AS node, min(b) AS cluster_id FROM reach GROUP BY a)"""
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """DuckDB oracle twin of pair-list connected components: a
+    recursive CTE materializing full reachability over the
+    symmetrized edge list (terminates because UNION dedups), then
+    ``min(reachable)`` as the cluster label — O(component^2) paths,
+    exact at oracle scale; the Spark side's log-rounds propagation is
+    the 100-TB rendering of the same fixpoint. Returns the
+    :func:`cluster_summary` shape."""
+    return f"""
+WITH RECURSIVE {_cc_label_ctes(pairs_sql)}
 SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs, max(node) AS max_id
 FROM lab GROUP BY cluster_id
 """.strip()

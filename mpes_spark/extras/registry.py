@@ -715,6 +715,78 @@ def dedup_clusters(spark, sf_dir):
     return DD.cluster_summary(DD.connected_components(pairs))
 
 
+def _cluster_safe_split_sql() -> str:
+    """Oracle for leakage-safe splitting: CC labels over near-dup
+    pairs -> every doc keyed by its cluster root (singletons by their
+    own id) -> the md5 split draw on the ROOT -> per-split rollup plus
+    a global count of roots spanning >1 split (must be 0 — the whole
+    point)."""
+    ctes = DD._cc_label_ctes(
+        DD.blocked_jaccard_sql("documents", "duckdb", n=3, block_tokens=2, threshold=0.2)
+    )
+    assigned = CU.dataset_split_sql("rooted", by="root")
+    return f"""
+WITH RECURSIVE {ctes},
+rooted AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS root
+  FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+),
+assigned AS ({assigned}),
+spanning AS (
+  SELECT count(*) AS n_span FROM (
+    SELECT root FROM (SELECT DISTINCT root, split FROM assigned) rs
+    GROUP BY root HAVING count(*) > 1
+  ) v
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(n_span AS BIGINT) AS roots_spanning
+FROM assigned CROSS JOIN spanning
+GROUP BY split, n_span
+""".strip()
+
+
+@_q("cluster_safe_splits", _cluster_safe_split_sql())
+def cluster_safe_splits(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (the contamination guard
+    Lee et al./GPT-3 appendix splits need): near-dup CLUSTERS, not
+    docs, are the split unit — CC labels over blocked-Jaccard pairs
+    give every doc a cluster root (singletons key by their own id),
+    the deterministic md5 draw assigns the ROOT, so near-identical
+    docs can never straddle train/test. Output: per-split doc/root
+    counts plus the global roots-spanning-splits count, which the
+    construction forces to ZERO (gated, not asserted). Composes three
+    gated components (pair gen, CC, split draw); one extra shuffle on
+    the root key beyond the cluster pass."""
+    d = _docs(spark, sf_dir)
+    pairs = DD.blocked_jaccard_pairs(d, n=3, block_tokens=2, threshold=0.2)
+    cc = DD.connected_components(pairs)
+    rooted = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("root")
+    )
+    assigned = CU.dataset_split(rooted, by="root")
+    per_root = assigned.select("root", "split").distinct()
+    spanning = (
+        per_root.groupBy("root")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_span"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("root").cast("bigint").alias("n_roots"),
+        )
+        .crossJoin(F.broadcast(spanning))
+        .select(
+            "split", "n_docs", "n_roots",
+            F.col("n_span").cast("bigint").alias("roots_spanning"),
+        )
+    )
+
+
 @_q(
     "dedup_canonical_quality",
     DD.canonical_by_quality_sql(
