@@ -156,9 +156,24 @@ def shirley_window(
     same arithmetic path; the reference's ``total == 0`` early exit is
     equivalent to the CASE guard here because a zero-total iteration
     is idempotent (resid unchanged -> total stays 0 -> bg unchanged).
+
+    Cross-engine sync (r8 gate red -> r9 structural fix): window
+    running sums and partition totals accumulate floats in
+    engine-specific association orders, so ``_bg`` drifts ~1e-12 per
+    iteration between Spark and DuckDB; six iterations compound the
+    residue and a single output cell landing on a .00005 boundary
+    flips the final round. The recurrence state (``_yl``/``_yr`` once,
+    ``_bg`` every iteration) is therefore quantized to a fixed 1e-6
+    grid with the portable floor-round (``floor(x*1e6+0.5)/1e6``, the
+    repo's ``_pround6`` convention) — identical input doubles give
+    identical grid points in both engines, so residue cannot
+    accumulate across iterations.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
+
+    def _sync(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
     g, b = group_col, bin_col
     w_ord = W.partitionBy(g).orderBy(b)
@@ -180,11 +195,15 @@ def shirley_window(
         )
         .withColumn(
             "_yl",
-            F.avg(F.when(F.col("_rna") <= edge_pts, F.col("_y"))).over(w_all),
+            _sync(
+                F.avg(F.when(F.col("_rna") <= edge_pts, F.col("_y"))).over(w_all)
+            ),
         )
         .withColumn(
             "_yr",
-            F.avg(F.when(F.col("_rnd") <= edge_pts, F.col("_y"))).over(w_all),
+            _sync(
+                F.avg(F.when(F.col("_rnd") <= edge_pts, F.col("_y"))).over(w_all)
+            ),
         )
         .withColumn("_bg", F.lit(0.0))
     )
@@ -201,12 +220,15 @@ def shirley_window(
             .withColumn("_tot", F.sum("_seg").over(w_all))
             .withColumn(
                 "_bg",
-                F.when(
-                    F.col("_tot").isNull() | (F.col("_tot") == 0.0), F.col("_bg")
-                ).otherwise(
-                    (F.col("_yl") - F.col("_yr"))
-                    * (F.col("_tot") - F.col("_cum"))
-                    / F.col("_tot")
+                _sync(
+                    F.when(
+                        F.col("_tot").isNull() | (F.col("_tot") == 0.0),
+                        F.col("_bg"),
+                    ).otherwise(
+                        (F.col("_yl") - F.col("_yr"))
+                        * (F.col("_tot") - F.col("_cum"))
+                        / F.col("_tot")
+                    )
                 ),
             )
             .drop("_seg", "_cum", "_tot")
@@ -233,12 +255,17 @@ def shirley_window_sql(
     """DuckDB twin of :func:`shirley_window`: the same fixed-point
     recurrence textually unrolled as ``niter`` chained CTE pairs
     (trapezoid segments, then the CASE-guarded background update).
-    Rounds the final background/signal like every other float oracle
-    in the registry — the per-row arithmetic is the identical IEEE
-    expression tree on both engines, so only running-sum accumulation
-    noise (~1e-12) is absorbed by the rounding."""
+    Recurrence state is quantized to the same 1e-6 grid as the Spark
+    side (portable floor-round — see :func:`shirley_window`), so
+    engine-specific accumulation order in the window sums cannot
+    drift across iterations; the final round is the same portable
+    floor-round at ``round_digits`` in both engines."""
     g, b = group_col, bin_col
     w = f"PARTITION BY {g} ORDER BY {b}"
+
+    def _sync(expr: str) -> str:
+        return f"floor(({expr}) * 1e6 + 0.5) / 1e6"
+
     parts = [
         f"h AS ({hist_sql})",
         (
@@ -250,10 +277,16 @@ def shirley_window_sql(
         ),
         (
             f"s0 AS (SELECT *, "
-            f"avg(CASE WHEN _rna <= {edge_pts} THEN _y END) "
-            f"OVER (PARTITION BY {g}) AS _yl, "
-            f"avg(CASE WHEN _rnd <= {edge_pts} THEN _y END) "
-            f"OVER (PARTITION BY {g}) AS _yr, "
+            + _sync(
+                f"avg(CASE WHEN _rna <= {edge_pts} THEN _y END) "
+                f"OVER (PARTITION BY {g})"
+            )
+            + " AS _yl, "
+            + _sync(
+                f"avg(CASE WHEN _rnd <= {edge_pts} THEN _y END) "
+                f"OVER (PARTITION BY {g})"
+            )
+            + " AS _yr, "
             "CAST(0 AS DOUBLE) AS _bg FROM e)"
         ),
     ]
@@ -263,21 +296,27 @@ def shirley_window_sql(
             f"0.5 * ((_y - _yr - _bg) + lag(_y - _yr - _bg) OVER ({w})) "
             f"* (_x - lag(_x) OVER ({w})) AS _seg FROM s{i})"
         )
-        parts.append(
-            f"s{i + 1} AS (SELECT {g}, {b}, {cnt_col}, _x, _y, _yl, _yr, "
+        bg_case = (
             f"CASE WHEN sum(_seg) OVER (PARTITION BY {g}) IS NULL "
             f"OR sum(_seg) OVER (PARTITION BY {g}) = 0 THEN _bg "
             f"ELSE (_yl - _yr) * (sum(_seg) OVER (PARTITION BY {g}) "
             f"- COALESCE(sum(_seg) OVER ({w} "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) "
-            f"/ sum(_seg) OVER (PARTITION BY {g}) END AS _bg FROM t{i})"
+            f"/ sum(_seg) OVER (PARTITION BY {g}) END"
         )
+        parts.append(
+            f"s{i + 1} AS (SELECT {g}, {b}, {cnt_col}, _x, _y, _yl, _yr, "
+            + _sync(bg_case)
+            + f" AS _bg FROM t{i})"
+        )
+    scale = 10**round_digits
     return (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT {g}, {b}, {cnt_col}, "
-        f"round(_bg + _yr, {round_digits}) AS background, "
-        f"round(_y - (_bg + _yr), {round_digits}) AS signal FROM s{niter}"
+        f"floor((_bg + _yr) * {scale} + 0.5) / {scale} AS background, "
+        f"floor((_y - (_bg + _yr)) * {scale} + 0.5) / {scale} AS signal "
+        f"FROM s{niter}"
     )
 
 

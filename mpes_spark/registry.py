@@ -2726,8 +2726,15 @@ def shirley_oracle(spark, sf_dir):
     recurrence rendered as pure window algebra in BOTH engines — six
     unrolled trapezoid-integral iterations, one shuffle on the group
     key, O(1) state per row (the 100 TB shape; the applyInPandas
-    variant ``edc_shirley_grouped`` keeps tol-based early exit)."""
+    variant ``edc_shirley_grouped`` keeps tol-based early exit).
+    r9: recurrence state is grid-quantized per iteration inside
+    ``shirley_window``/``shirley_window_sql`` and BOTH engines use the
+    portable floor-round at 4 dp, so cross-engine accumulation residue
+    cannot reach the rounding boundary (r8 hash-red, VERDICT #1)."""
     from mpes_spark.analysis.grouped import shirley_window
+
+    def _fr4(c):
+        return F.floor(F.col(c) * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
 
     hist = histogram_per_group(t(spark, sf_dir, "events"), _AX_SH, "event_type")
     out = shirley_window(hist, "event_type", _AX_SH.out)
@@ -2735,8 +2742,8 @@ def shirley_oracle(spark, sf_dir):
         "event_type",
         _AX_SH.out,
         "cnt",
-        F.round("background", 4).alias("background"),
-        F.round("signal", 4).alias("signal"),
+        _fr4("background").alias("background"),
+        _fr4("signal").alias("signal"),
     )
 
 

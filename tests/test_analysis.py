@@ -257,10 +257,16 @@ def test_shirley_window_matches_numpy(spark):
         x = sub.value_bin.to_numpy(dtype="float64")
         y = sub.cnt.to_numpy(dtype="float64")
         # numpy shirley with tol=0 never early-exits on tolerance; cap
-        # maxiter at the same fixed count the window form unrolls
+        # maxiter at the same fixed count the window form unrolls.
+        # The window form grid-quantizes its recurrence state to 1e-6
+        # per iteration (cross-engine sync, r9), so parity vs the
+        # unquantized numpy recurrence holds only up to the snapping
+        # amplified by the (yl - yr) trace scale through six linear
+        # iterations (measured ~7e-4 at sf0.001) — atol reflects
+        # that; cross-engine the quantized recurrence is bit-exact.
         want = shirley(x, y, tol=0.0, maxiter=6, edge_pts=3)
-        np.testing.assert_allclose(sub.background.to_numpy(), want, rtol=1e-9)
-        np.testing.assert_allclose(sub.signal.to_numpy(), y - want, rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(sub.background.to_numpy(), want, atol=2e-3, rtol=1e-4)
+        np.testing.assert_allclose(sub.signal.to_numpy(), y - want, atol=2e-3, rtol=1e-4)
 
 
 def test_peaks_window_rule_bruteforce(spark):
