@@ -2103,13 +2103,18 @@ def dup_span_mask(
     )
     masked = F.array_join(kept, " ")
     if marker:
-        # marker mode: each removed span collapses to one marker token
+        # marker mode: each removed span collapses to one marker token.
+        # The marker is embedded in a SQL string literal — escape
+        # single quotes and backslashes so an adversarial marker can't
+        # break the expression parse (ADVICE r8: expression injection).
+        esc = marker.replace("\\", "\\\\").replace("'", "\\'")
+
         def _mask():
             return F.expr(
                 "array_join(filter(transform(_toks, (t, i) -> CASE "
                 "WHEN _spans IS NULL THEN t "
                 "WHEN exists(_spans, sp -> i = sp.span_start) THEN "
-                f"'{marker}' "
+                f"'{esc}' "
                 "WHEN exists(_spans, sp -> i > sp.span_start AND "
                 "i <= sp.span_end) THEN NULL ELSE t END), "
                 "t -> t IS NOT NULL), ' ')"

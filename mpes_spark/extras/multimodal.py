@@ -64,11 +64,12 @@ def assets_from_documents(df: DataFrame, modality: str = "image") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode image bytes to a numpy array. Since r8 this is REAL for
-    every library-free format — netpbm P2/P3/P5/P6 (incl. 16-bit) and
-    uncompressed BMP (8-bit palette / 24-bit) via the numpy-only
-    codecs in :mod:`mpes_spark.io.images`. Only PNG/JPEG/TIFF remain
-    env-gated (their decode genuinely needs a codec library this
+    """Decode image bytes to a numpy array. REAL for every
+    library-free format — netpbm P2/P3/P5/P6 (incl. 16-bit),
+    uncompressed BMP (8-bit palette / 24-bit) and, since r9, PNG
+    (stdlib-zlib inflate + numpy unfiltering) via the numpy-only
+    codecs in :mod:`mpes_spark.io.images`. Only JPEG/TIFF remain
+    env-gated (entropy decode genuinely needs a codec library this
     runtime lacks; plug PIL/opencv into ``decode_image_bytes`` — the
     Spark plumbing around it is complete and unchanged)."""
     from mpes_spark.io.images import decode_image_bytes
@@ -308,11 +309,14 @@ def image_decode_stats(
             ids, npix, sums, mx = [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
                 raw = text.encode("utf-8")[:max_bytes]
+                ids.append(did)
+                if not raw:  # empty doc: no image, stats are zeros
+                    npix.append(0), sums.append(0), mx.append(0)
+                    continue
                 pad = (-len(raw)) % width
                 buf = np.frombuffer(raw + b"\x00" * pad, dtype="u1")
                 img = buf.reshape(-1, width)
                 decoded = read_pnm(write_pnm(img))  # the real round-trip
-                ids.append(did)
                 npix.append(int(decoded.size))
                 sums.append(int(decoded.astype("int64").sum()))
                 mx.append(int(decoded.max()))
@@ -338,22 +342,108 @@ def image_decode_stats_sql(
     """DuckDB twin of :func:`image_decode_stats`: the synthetic image
     is the first ``max_bytes`` utf-8 bytes of the (ASCII, per the test
     fixtures) text zero-padded to a multiple of ``width``, so pixel
-    stats are character stats plus the padding arithmetic."""
+    stats are character stats plus the padding arithmetic. Empty-text
+    docs keep a row of zeros (LEFT JOIN), matching the Spark guard."""
     return f"""
 WITH chars AS (
   SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table}
+  FROM {table} WHERE length(text) > 0
 ),
 agg AS (
   SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
   FROM chars GROUP BY {id_col}
 )
-SELECT {id_col},
-       CAST(n_raw + ((-n_raw) % {width} + {width}) % {width} AS BIGINT) AS n_pixels,
-       CAST(s AS BIGINT) AS sum_pixels,
-       CAST(CASE WHEN ((-n_raw) % {width} + {width}) % {width} > 0
-                 THEN greatest(m, 0) ELSE m END AS BIGINT) AS max_pixel
-FROM agg
+SELECT d.{id_col},
+       CAST(COALESCE(n_raw + ((-n_raw) % {width} + {width}) % {width}, 0) AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s, 0) AS BIGINT) AS sum_pixels,
+       CAST(COALESCE(CASE WHEN ((-n_raw) % {width} + {width}) % {width} > 0
+                 THEN greatest(m, 0) ELSE m END, 0) AS BIGINT) AS max_pixel
+FROM {table} d LEFT JOIN agg USING ({id_col})
+""".strip()
+
+
+def png_decode_stats(
+    docs: DataFrame, width: int = 8, max_bytes: int = 120, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL PNG codec under the hash gate (r9, VERDICT #4 — the
+    format users actually have): each doc's leading utf-8 bytes become
+    an RGB image (``width`` pixels per row, zero-padded to a full last
+    row of width*3 samples), ENCODED to a zlib-compressed PNG and
+    DECODED back through the stdlib-zlib + numpy-unfilter path inside
+    one Arrow batch, then reduced to integer pixel statistics plus the
+    round-tripped row count. The oracle re-derives the stats from the
+    characters, so a hash match proves PNG encode -> inflate ->
+    unfilter -> aggregate lossless. All-integer output: exact gate."""
+    import numpy as np
+
+    from mpes_spark.io.images import read_png, write_png
+
+    chunk = width * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nrows, npix, sums, mx = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                ids.append(did)
+                if not raw:  # empty doc: no image, stats are zeros
+                    nrows.append(0), npix.append(0)
+                    sums.append(0), mx.append(0)
+                    continue
+                pad = (-len(raw)) % chunk
+                buf = np.frombuffer(raw + b"\x00" * pad, dtype="u1")
+                img = buf.reshape(-1, width, 3)
+                decoded = read_png(write_png(img))  # the real round-trip
+                nrows.append(int(decoded.shape[0]))
+                npix.append(int(decoded.size))
+                sums.append(int(decoded.astype("int64").sum()))
+                mx.append(int(decoded.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_rows": pd.Series(nrows, dtype="int64"),
+                    "n_pixels": pd.Series(npix, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, "text").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_rows bigint, n_pixels bigint, "
+        "sum_pixels bigint, max_pixel bigint",
+    )
+
+
+def png_decode_stats_sql(
+    table: str, width: int = 8, max_bytes: int = 120, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`png_decode_stats`: the synthetic RGB
+    image is the leading ``max_bytes`` (ASCII) bytes zero-padded to a
+    multiple of ``width * 3`` samples, so pixel stats are character
+    stats plus padding arithmetic; empty-text docs keep zero rows."""
+    chunk = width * 3
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+  FROM {table} WHERE length(text) > 0
+),
+agg AS (
+  SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
+  FROM chars GROUP BY {id_col}
+),
+pads AS (
+  SELECT {id_col}, n_raw, s, m,
+         n_raw + ((-n_raw) % {chunk} + {chunk}) % {chunk} AS n_padded
+  FROM agg
+)
+SELECT d.{id_col},
+       CAST(COALESCE(n_padded // {chunk}, 0) AS BIGINT) AS n_rows,
+       CAST(COALESCE(n_padded, 0) AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s, 0) AS BIGINT) AS sum_pixels,
+       CAST(COALESCE(CASE WHEN n_padded > n_raw THEN greatest(m, 0) ELSE m END, 0)
+            AS BIGINT) AS max_pixel
+FROM {table} d LEFT JOIN pads USING ({id_col})
 """.strip()
 
 
@@ -376,9 +466,13 @@ def audio_decode_stats(
             ids, ns, sums, mx, rates = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
                 raw = text.encode("utf-8")[:max_bytes]
+                ids.append(did)
+                if not raw:  # empty doc: zero-length PCM, stats zeros
+                    ns.append(0), sums.append(0), mx.append(0)
+                    rates.append(rate)
+                    continue
                 samples = np.frombuffer(raw, dtype="u1").astype(np.int16)
                 decoded, got_rate = decode_audio_bytes(write_wav(samples, rate))
-                ids.append(did)
                 ns.append(int(decoded.size))
                 sums.append(int(decoded.astype("int64").sum()))
                 mx.append(int(decoded.max()))
@@ -404,17 +498,25 @@ def audio_decode_stats_sql(
     table: str, rate: int = 16_000, max_bytes: int = 128, id_col: str = "doc_id"
 ) -> str:
     """DuckDB twin of :func:`audio_decode_stats` (pure-ASCII fixtures:
-    sample i = ascii(char i) of the leading ``max_bytes`` chars)."""
+    sample i = ascii(char i) of the leading ``max_bytes`` chars).
+    Empty-text docs keep a row of zeros, matching the Spark guard."""
     return f"""
-SELECT {id_col},
-       CAST(count(*) AS BIGINT) AS n_samples,
-       CAST(sum(byte) AS BIGINT) AS sum_samples,
-       CAST(max(byte) AS BIGINT) AS max_sample,
+WITH agg AS (
+  SELECT {id_col},
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(byte) AS BIGINT) AS sum_samples,
+         CAST(max(byte) AS BIGINT) AS max_sample
+  FROM (
+    SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+    FROM {table} WHERE length(text) > 0
+  ) GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       COALESCE(n_samples, 0) AS n_samples,
+       COALESCE(sum_samples, 0) AS sum_samples,
+       COALESCE(max_sample, 0) AS max_sample,
        CAST({rate} AS BIGINT) AS sample_rate
-FROM (
-  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table}
-) GROUP BY {id_col}
+FROM {table} d LEFT JOIN agg USING ({id_col})
 """.strip()
 
 
@@ -437,6 +539,9 @@ def video_decode_stats(
         read_avi_header,
         write_avi_dib,
     )
+
+    if max_bytes != 96:  # 2 frames x 4x4 RGB; keep both twins in lockstep
+        raise ValueError("video_decode_stats requires max_bytes == 96")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -484,6 +589,8 @@ def video_decode_stats_sql(
     i = ascii(char i) of the leading bytes, zero-padded to
     ``max_bytes``; all texts exceed 32 in code, so padding never wins
     the max)."""
+    if max_bytes != 96:  # same lockstep guard as the Spark twin
+        raise ValueError("video_decode_stats requires max_bytes == 96")
     return f"""
 SELECT {id_col},
        CAST(2 AS BIGINT) AS n_frames,

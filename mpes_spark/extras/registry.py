@@ -1601,6 +1601,21 @@ def image_decode_stats(spark, sf_dir):
     return MM.image_decode_stats(_docs(spark, sf_dir), width=16, max_bytes=128)
 
 
+@_q(
+    "png_decode_stats",
+    MM.png_decode_stats_sql("documents", width=8, max_bytes=120),
+)
+def png_decode_stats(spark, sf_dir):
+    """The REAL PNG codec under the driver's hash gate (r9, VERDICT
+    #4): leading doc bytes -> RGB image -> zlib-compressed PNG encode
+    -> stdlib-inflate + numpy-unfilter decode -> integer pixel stats +
+    round-tripped row count, all inside one Arrow batch. The oracle
+    re-derives the stats from the characters, so a hash match proves
+    the full PNG round-trip lossless — closing the image env seam for
+    the format users actually have (io/images.py:read_png)."""
+    return MM.png_decode_stats(_docs(spark, sf_dir), width=8, max_bytes=120)
+
+
 from mpes_spark.extras import privacy as PV  # noqa: E402
 
 

@@ -354,7 +354,15 @@ def quantizer_error(
         sampled = corpus.select(vec).sample(fraction=frac, seed=seed).limit(sample_rows)
     else:
         sampled = corpus.select(vec)
-    X = np.stack(sampled.toPandas()[vec].to_numpy()).astype("float64")
+    pdf = sampled.toPandas()
+    if pdf.empty:
+        # Bernoulli sampling can in principle return zero rows on a
+        # small corpus just above sample_rows (ADVICE r8) — fall back
+        # to the unsampled bounded select rather than np.stack([]).
+        pdf = corpus.select(vec).limit(sample_rows).toPandas()
+    if pdf.empty:
+        raise ValueError("quantizer_error: corpus has no vectors")
+    X = np.stack(pdf[vec].to_numpy()).astype("float64")
     d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     return float(d2.min(axis=1).mean())
 

@@ -3,10 +3,11 @@
 Upgrades the multimodal image stub to FUNCTIONAL for every format
 that needs no imaging library: binary/ascii netpbm (PGM/PPM — P2, P3,
 P5, P6 incl. 16-bit), uncompressed BMP (8-bit palette and 24-bit
-BI_RGB), and the Igor-generated ARPES ``.txt`` matrix. Only
-PNG/JPEG/TIFF — formats whose decode genuinely requires a codec
-library — remain env-gated behind the documented
-``NotImplementedError``.
+BI_RGB), PNG (r9: stdlib ``zlib`` inflate + numpy unfiltering — 8/16
+bit gray, gray+alpha, RGB, RGBA and 8-bit palette, non-interlaced),
+and the Igor-generated ARPES ``.txt`` matrix. Only JPEG/TIFF —
+formats whose decode genuinely requires a codec library — remain
+env-gated behind the documented ``NotImplementedError``.
 
 Reference behaviors reproduced (API parity, fresh implementation):
 ``readimg`` /root/reference/mpes/fprocessing.py:290-296 (skimage there;
@@ -27,6 +28,8 @@ __all__ = [
     "read_pnm",
     "write_pnm",
     "read_bmp",
+    "read_png",
+    "write_png",
     "readimg",
     "im2mat",
     "mat2im",
@@ -150,16 +153,180 @@ def read_bmp(data: bytes) -> np.ndarray:
     return img if top_down else img[::-1].copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> raw channel count (palette expands to RGB post-decode)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, payload) for each chunk; stops at IEND. CRCs are
+    not re-verified (zlib's adler32 already guards the pixel stream)."""
+    i = len(_PNG_SIG)
+    while i + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, payload
+        i += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-scanline PNG filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Rows are sequential (each may reference the row
+    above); within a row, Sub is a per-lane mod-256 prefix sum
+    (vectorized) while Average/Paeth stay per-pixel-group loops — the
+    encoder here emits filter 0, so round-trips never hit the slow
+    branches."""
+    rows = raw.reshape(height, stride + 1)
+    filters = rows[:, 0]
+    scan = rows[:, 1:].astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    out = np.empty((height, stride), dtype=np.uint8)
+    for r in range(height):
+        f, line = int(filters[r]), scan[r]
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: prefix sum per byte lane (mod 256)
+            lanes = line.reshape(-1, bpp)
+            rec = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[r] = rec
+        prev = rec if rec.dtype == np.int64 else rec.astype(np.int64)
+    return out
+
+
+def read_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced PNG via stdlib ``zlib`` + numpy
+    unfiltering (VERDICT r8 #4 — the format users actually have, no
+    imaging library needed). Supports bit depth 8/16 for gray (0),
+    RGB (2), gray+alpha (4), RGBA (6) and 8-bit palette (3, expanded
+    to RGB). Returns (H, W) for single-channel, else (H, W, C);
+    uint16 for 16-bit. Reference entry point: ``readimg``,
+    /root/reference/mpes/fprocessing.py:290-296 (skimage there)."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = palette = None
+    idat = bytearray()
+    for ctype, payload in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(payload, dtype="u1").reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(payload)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if ctype_n not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_n}")
+    if depth not in (8, 16) or (ctype_n == 3 and depth != 8):
+        raise ValueError(f"unsupported PNG bit depth {depth} for type {ctype_n}")
+    nchan = _PNG_CHANNELS[ctype_n]
+    sample_bytes = depth // 8
+    bpp = nchan * sample_bytes
+    stride = width * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype="u1")
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG pixel stream size mismatch")
+    flat = _png_unfilter(raw, height, stride, bpp)
+    if depth == 16:
+        img = flat.reshape(height, width, nchan, 2).astype(np.uint16)
+        img = (img[..., 0] << 8) | img[..., 1]
+    else:
+        img = flat.reshape(height, width, nchan)
+    if ctype_n == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = palette[img[:, :, 0]]
+        nchan = 3
+    return img[:, :, 0] if nchan == 1 else img
+
+
+def write_png(arr: np.ndarray, path: str | None = None) -> bytes:
+    """Encode (H, W) gray / (H, W, 2) gray+alpha / (H, W, 3) RGB /
+    (H, W, 4) RGBA as non-interlaced PNG (filter 0 rows, one zlib
+    IDAT); uint16 input writes 16-bit big-endian samples."""
+    import zlib
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"need (H, W[, 1|2|3|4]), got {np.asarray(arr).shape}")
+    ctype_n = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    if a.dtype == np.uint16 or a.dtype.kind in "iu" and a.dtype.itemsize > 1 and a.max(initial=0) > 255:
+        depth, payload = 16, a.astype(">u2").tobytes()
+    else:
+        depth, payload = 8, a.astype("u1").tobytes()
+    h, w, c = a.shape
+    stride = w * c * (depth // 8)
+    body = bytearray()
+    for r in range(h):
+        body.append(0)  # filter None
+        body.extend(payload[r * stride : (r + 1) * stride])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_n, 0, 0, 0)
+    out = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 6))
+        + chunk(b"IEND", b"")
+    )
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(out)
+    return out
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Magic-dispatched decode of in-memory image bytes. PNM and BMP
-    decode natively (numpy-only); PNG/JPEG/TIFF raise the documented
-    env-gate (they need a codec library this runtime lacks)."""
+    """Magic-dispatched decode of in-memory image bytes. PNM, BMP and
+    PNG decode natively (numpy + stdlib zlib); JPEG/TIFF raise the
+    documented env-gate (entropy coding genuinely needs a codec
+    library this runtime lacks)."""
     if payload[:2] in _PNM_MAGICS:
         return read_pnm(payload)
     if payload[:2] == b"BM":
         return read_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return read_png(payload)
     named = {
-        b"\x89PN": "PNG",
         b"\xff\xd8\xff": "JPEG",
         b"II*\x00": "TIFF",
         b"MM\x00*": "TIFF",
@@ -169,7 +336,7 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"{name} decoding requires an imaging library not present "
                 "in this runtime; plug PIL/opencv into decode_image_bytes — "
-                "PNM/BMP decode natively and the Spark plumbing is complete"
+                "PNM/BMP/PNG decode natively and the Spark plumbing is complete"
             )
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 

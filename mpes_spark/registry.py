@@ -4290,13 +4290,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS_r*.json artifacts) and the window leads with
 
     1. never-gated oracled queries (anything new this round), then
-    2. oracled queries in ascending last-gated round — longest-ago
-       first, so every query cycles back through the window and no
-       green row goes more than a few rounds unrefreshed;
-    3. never-gated rows-only queries (no DuckDB twin) — ONE debut
+    2. never-gated rows-only queries (no DuckDB twin) — ONE debut
        appearance each, so every registered query has at least one
        driver row (spark_rows populated, err null) proving it runs
        under the harness; once gated they drop to the back;
+    3. oracled queries in ascending last-gated round — longest-ago
+       first, so every query cycles back through the window and no
+       green row goes more than a few rounds unrefreshed;
     4. already-gated rows-only-by-design queries (xxhash64 hash
        families, learned quantizers, synthetic-source ingest) dead
        last — they burn gate slots on `err: no_oracle` rows otherwise.

@@ -288,19 +288,67 @@ def test_multimodal_frame_sampling(spark):
 
 
 def test_decode_image_env_gate_and_native_formats():
-    """PNG/JPEG/TIFF stay env-gated (no codec library in the runtime);
-    PNM and BMP now decode NATIVELY through decode_image (r8)."""
+    """JPEG/TIFF stay env-gated (entropy decode needs a codec library
+    the runtime lacks); PNM, BMP (r8) and PNG (r9) decode NATIVELY
+    through decode_image."""
     import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG\r\n\x1a\n")
+    from mpes_spark.io.images import write_png
+
+    png_img = np.arange(24, dtype="uint8").reshape(2, 4, 3)
+    np.testing.assert_array_equal(MM.decode_image(write_png(png_img)), png_img)
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\xff\xd8\xff\xe0")
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"II*\x00rest")
     from mpes_spark.io.images import write_pnm
 
     img = np.arange(12, dtype="uint8").reshape(3, 4)
     got = MM.decode_image(write_pnm(img))
     np.testing.assert_array_equal(got, img)
+
+
+def test_codec_stats_empty_text_guard(spark, duck):
+    """ADVICE r8: image/audio/png decode stats must not crash on
+    empty-text documents — both twins emit a zeros row, verified
+    against each other on a fixture that includes the empty doc."""
+    import pandas as pd
+
+    rows = [(1, "hello world"), (2, ""), (3, "x")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    duck.register("rows_df", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck.execute("CREATE OR REPLACE TABLE _ed AS SELECT * FROM rows_df")
+    for spark_fn, sql in [
+        (
+            MM.image_decode_stats(docs, width=16, max_bytes=128),
+            MM.image_decode_stats_sql("_ed", width=16, max_bytes=128),
+        ),
+        (
+            MM.png_decode_stats(docs, width=8, max_bytes=120),
+            MM.png_decode_stats_sql("_ed", width=8, max_bytes=120),
+        ),
+        (
+            MM.audio_decode_stats(docs, rate=16_000, max_bytes=128),
+            MM.audio_decode_stats_sql("_ed", rate=16_000, max_bytes=128),
+        ),
+    ]:
+        got = spark_fn.toPandas().sort_values("doc_id", ignore_index=True)
+        want = duck.execute(sql).df().sort_values("doc_id", ignore_index=True)
+        got = got[sorted(got.columns)].astype("int64")
+        want = want[sorted(want.columns)].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+        empty = got[got.doc_id == 2].iloc[0]
+        assert empty.drop("doc_id").sum() in (0, 16_000)  # audio keeps rate
+
+
+def test_video_decode_stats_max_bytes_lockstep(spark):
+    """ADVICE r8: non-default max_bytes must fail loudly and
+    consistently in BOTH twins (the frame shape is fixed 2x4x4x3)."""
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="max_bytes == 96"):
+        MM.video_decode_stats(docs, max_bytes=48)
+    with pytest.raises(ValueError, match="max_bytes == 96"):
+        MM.video_decode_stats_sql("documents", max_bytes=48)
 
 
 # ---------------------------------------------------------------------------

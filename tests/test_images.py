@@ -216,3 +216,132 @@ def test_pnm_gray_roundtrip_fuzz(arr):
 @settings(max_examples=60, deadline=None)
 def test_pnm_rgb_roundtrip_fuzz(arr):
     np.testing.assert_array_equal(read_pnm(write_pnm(arr)), arr)
+
+
+# ---------------------------------------------------------------------------
+# PNG (r9): stdlib-zlib + numpy-unfilter decoder, filter-0 encoder
+# ---------------------------------------------------------------------------
+
+import zlib
+
+from mpes_spark.io.images import _PNG_SIG, read_png, write_png
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_filtered(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-encoder that can emit ANY per-row filter type (the library
+    encoder always writes filter 0), so the decoder's Sub/Up/Average/
+    Paeth paths are exercised against independently-encoded bytes."""
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    a = img.reshape(h, w * c).astype(np.int64)
+    body = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    bpp = c
+    for r in range(h):
+        f, line = filters[r % len(filters)], a[r]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.zeros_like(line)
+            left[bpp:] = line[:-bpp]
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.zeros_like(line)
+            left[bpp:] = line[:-bpp]
+            enc = (line - (left + prev) // 2) % 256
+        else:  # Paeth
+            enc = np.empty_like(line)
+            for i in range(len(line)):
+                A = line[i - bpp] if i >= bpp else 0
+                B = prev[i]
+                C = prev[i - bpp] if i >= bpp else 0
+                p = A + B - C
+                pa, pb, pc = abs(p - A), abs(p - B), abs(p - C)
+                pred = A if (pa <= pb and pa <= pc) else (B if pb <= pc else C)
+                enc[i] = (line[i] - pred) % 256
+        body.append(f)
+        body.extend((enc % 256).astype("u1").tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2}[c], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((7, 5), np.uint8),
+        ((7, 5), np.uint16),
+        ((4, 6, 2), np.uint8),
+        ((9, 3, 3), np.uint8),
+        ((3, 4, 3), np.uint16),
+        ((5, 5, 4), np.uint8),
+        ((1, 1), np.uint8),
+        ((2, 300, 3), np.uint8),
+    ],
+)
+def test_png_roundtrip(shape, dtype):
+    rng = np.random.default_rng(7)
+    hi = 65535 if dtype == np.uint16 else 255
+    arr = rng.integers(0, hi, size=shape).astype(dtype)
+    got = read_png(write_png(arr))
+    assert got.shape == arr.shape and got.dtype == arr.dtype
+    np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filters(filters):
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 255, size=(12, 9, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(read_png(_encode_filtered(rgb, filters)), rgb)
+    gray = rng.integers(0, 255, size=(10, 7)).astype(np.uint8)
+    np.testing.assert_array_equal(read_png(_encode_filtered(gray, filters)), gray)
+
+
+def test_png_palette_decode():
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 255, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(6, 8)).astype(np.uint8)
+    body = bytearray()
+    for r in range(6):
+        body.append(0)
+        body.extend(idx[r].tobytes())
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 3, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(read_png(png), pal[idx])
+
+
+def test_png_dispatch_and_rejects():
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 255, size=(4, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_image_bytes(write_png(g)), g)
+    # interlaced -> explicit unsupported, not silent garbage
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    png = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlace"):
+        read_png(png)
+    with pytest.raises(ValueError, match="not a PNG"):
+        read_png(b"nope")
+    with pytest.raises(NotImplementedError):  # JPEG still env-gated
+        decode_image_bytes(b"\xff\xd8\xff\xe0rest")
