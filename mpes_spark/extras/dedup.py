@@ -2075,6 +2075,60 @@ FROM totals t LEFT JOIN per_doc p ON p.{id_col} = t.{id_col}
 """.strip()
 
 
+def dup_span_mask_sql(
+    table: str, n: int = 5, min_docs: int = 2, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`dup_span_mask` (removal mode, no marker):
+    reuses the exact span pipeline of :func:`dup_span_stats_sql`, then
+    explodes tokens with their index, anti-joins tokens covered by any
+    span, and reassembles the kept tokens in order — so the driver's
+    hash gate verifies the actual CLEANED-CORPUS product (VERDICT r9
+    #5), string-exact, not just the span accounting. Fully-masked docs
+    keep a row with kept_tokens 0 and empty text."""
+    return f"""
+WITH toks AS (SELECT {id_col}, string_split(text, ' ') AS toks FROM {table}),
+pos_sh AS (
+  SELECT {id_col}, u.i AS pos,
+         array_to_string(toks[u.i + 1: u.i + {n}], ' ') AS sh
+  FROM toks, unnest(range(len(toks) - {n} + 1)) AS u(i)
+  WHERE len(toks) >= {n}),
+dup AS (
+  SELECT sh FROM (SELECT DISTINCT sh, {id_col} FROM pos_sh) d
+  GROUP BY sh HAVING count(*) >= {min_docs}),
+hits AS (
+  SELECT p.{id_col}, p.pos AS s, p.pos + {n - 1} AS e
+  FROM pos_sh p JOIN dup USING (sh)),
+ord AS (
+  SELECT *, max(e) OVER (PARTITION BY {id_col} ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM hits),
+isl AS (
+  SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max + 1 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY {id_col} ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM ord),
+spans AS (
+  SELECT {id_col}, island, min(s) AS s0, max(e) AS e1
+  FROM isl GROUP BY {id_col}, island),
+toks2 AS (
+  SELECT {id_col}, u.i AS i, toks[u.i + 1] AS t
+  FROM toks, unnest(range(len(toks))) AS u(i)),
+kept AS (
+  SELECT k.{id_col}, k.i, k.t
+  FROM toks2 k
+  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.{id_col} = k.{id_col}
+                    AND k.i BETWEEN s.s0 AND s.e1)),
+agg AS (
+  SELECT {id_col}, count(*) AS kept_tokens,
+         string_agg(t, ' ' ORDER BY i) AS masked_text
+  FROM kept GROUP BY {id_col})
+SELECT d.{id_col},
+       CAST(COALESCE(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(masked_text, '') AS masked_text
+FROM {table} d LEFT JOIN agg USING ({id_col})
+""".strip()
+
+
 def dup_span_mask(
     df: DataFrame,
     text: str = "text",

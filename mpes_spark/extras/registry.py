@@ -592,6 +592,26 @@ def dup_span_stats(spark, sf_dir):
     return DD.dup_span_stats(_docs(spark, sf_dir), n=5, min_docs=2)
 
 
+@_q("dup_span_mask", DD.dup_span_mask_sql("documents", n=5, min_docs=2))
+def dup_span_mask(spark, sf_dir):
+    """The CLEANED-CORPUS product of the gated span detector (r9,
+    VERDICT #5): duplicated spans removed from each token stream via
+    one higher-order array filter (no UDF), emitted as the masked
+    text plus its kept-token count. The oracle rebuilds the same
+    masked strings from the identical span pipeline (token explode ->
+    span anti-join -> ordered reassembly), so the hash gate is
+    string-exact on the artifact a pipeline actually ships."""
+    out = DD.dup_span_mask(_docs(spark, sf_dir), n=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.when(F.col("masked_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("masked_text", " ")))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        "masked_text",
+    )
+
+
 @_q("ngram_novelty", DD.ngram_novelty_sql("documents", "duckdb", n=3))
 def ngram_novelty(spark, sf_dir):
     """Per-document novelty: fraction of the doc's distinct 3-gram
