@@ -4256,6 +4256,16 @@ def _last_gated_round() -> dict[str, int]:
     parsed from the committed ``CORRECTNESS_r*.json`` artifacts at the
     repo root. Best-effort: returns {} on a tree without driver
     artifacts, which degrades the rotation to stable registry order."""
+    return _gate_history()[0]
+
+
+def _gate_history() -> tuple[dict[str, int], set[str]]:
+    """(last-gated round per query, names whose MOST RECENT gate row
+    was hash-red). The red set drives the re-gate-immediately rule in
+    :func:`all_queries` (r9): a failed oracle must come back through
+    the window the very next round — sorting by last-GATED round alone
+    would push it to the back for several rounds precisely because it
+    was just seen."""
     import glob
     import json as _json
     import os
@@ -4263,6 +4273,7 @@ def _last_gated_round() -> dict[str, int]:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
+    verdict: dict[str, tuple[int, bool]] = {}
     for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)\.json$", p)
         if not m:
@@ -4274,9 +4285,12 @@ def _last_gated_round() -> dict[str, int]:
         except Exception:  # noqa: BLE001 - rotation is best-effort decoration
             continue
         if isinstance(doc, dict):
-            for name in doc:
+            for name, row in doc.items():
                 last[name] = max(last.get(name, 0), r)
-    return last
+                red = isinstance(row, dict) and row.get("hash_match") is False
+                if name not in verdict or r > verdict[name][0]:
+                    verdict[name] = (r, red)
+    return last, {n for n, (_, red) in verdict.items() if red}
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4289,7 +4303,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     its most recent driver gate row (parsed from the committed
     CORRECTNESS_r*.json artifacts) and the window leads with
 
-    1. never-gated oracled queries (anything new this round), then
+    1. never-gated oracled queries (anything new this round) plus
+       RE-GATES: oracled queries whose most recent gate row was
+       hash-red (r9 rule — a failed oracle comes back through the
+       window the very next round; last-gated-round ordering alone
+       would bury it precisely because it was just seen), then
     2. never-gated rows-only queries (no DuckDB twin) — ONE debut
        appearance each, so every registered query has at least one
        driver row (spark_rows populated, err null) proving it runs
@@ -4316,7 +4334,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | decision_queries()
     )
     oracled = all_oracles()
-    last = _last_gated_round()
+    last, red = _gate_history()
     idx = {n: i for i, n in enumerate(base)}
     ora = sorted(
         (n for n in base if n in oracled),
@@ -4326,8 +4344,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ro_debut = [n for n in rows_only if n not in last]
     ro_gated = [n for n in rows_only if n in last]
     ora_new = [n for n in ora if n not in last]
-    ora_old = [n for n in ora if n in last]
-    return {n: base[n] for n in [*ora_new, *ro_debut, *ora_old, *ro_gated]}
+    ora_red = [n for n in ora if n in last and n in red]
+    ora_old = [n for n in ora if n in last and n not in red]
+    return {
+        n: base[n] for n in [*ora_new, *ora_red, *ro_debut, *ora_old, *ro_gated]
+    }
 
 
 def all_oracles() -> dict[str, str]:

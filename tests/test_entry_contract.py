@@ -60,21 +60,26 @@ def test_entry_runs_smoke(spark):
 
 def test_gate_rotation_policy():
     """all_queries() ordering: never-gated oracled queries first, then
-    never-gated rows-only debuts, then gated oracled queries in
-    ascending last-gated round (from the committed CORRECTNESS_r*.json
-    artifacts), already-gated rows-only queries dead last."""
+    hash-red re-gates (r9 rule), then never-gated rows-only debuts,
+    then gated oracled queries in ascending last-gated round (from the
+    committed CORRECTNESS_r*.json artifacts), already-gated rows-only
+    queries dead last."""
+    from mpes_spark.registry import _gate_history
+
     from __spark_entry__ import oracle_sql, queries
 
     q = list(queries())
     o = set(oracle_sql())
-    last = _last_gated()
+    last, red = _gate_history()
     blocks = [
         [n for n in q if n in o and n not in last],
+        [n for n in q if n in o and n in last and n in red],
         [n for n in q if n not in o and n not in last],
-        [n for n in q if n in o and n in last],
+        [n for n in q if n in o and n in last and n not in red],
         [n for n in q if n not in o and n in last],
     ]
     assert q == [n for b in blocks for n in b]
-    # gated-oracled block is sorted by last-gated round (ties keep order)
-    rounds = [last[n] for n in blocks[2]]
-    assert rounds == sorted(rounds)
+    # gated-oracled blocks are sorted by last-gated round (ties keep order)
+    for blk in (blocks[1], blocks[3]):
+        rounds = [last[n] for n in blk]
+        assert rounds == sorted(rounds)
