@@ -1281,6 +1281,22 @@ FROM sizes z LEFT JOIN rcnt c ON c.{id_col} = z.{id_col}
 # duplicate-cluster resolution (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort EAGER release of a ``localCheckpoint``'s persisted
+    blocks (r9, the dedup_clusters sf1 GC-spike fix): a local
+    checkpoint persists its RDD in the block manager, and without an
+    explicit unpersist those blocks linger until the JVM happens to
+    GC the superseded RDD handle — at sf1 the accumulated superseded
+    label generations produced an 8x-median GC-stalled rep. The
+    checkpointed RDD sits on the analyzed LogicalRDD plan; unpersist
+    it non-blocking. Internal-API access is wrapped so a Spark version
+    drift degrades back to GC-timed cleanup, never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - cleanup is best-effort by design
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
@@ -1356,6 +1372,7 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)  # min root = min label
         rows = [(n, find(n)) for n in parent]
+        _free_local_checkpoint(sym)
         return pairs.sparkSession.createDataFrame(
             rows, f"{id_col} long, cluster_id long"
         )
@@ -1389,11 +1406,16 @@ def connected_components(
             )
             .select("node", F.coalesce(F.col("_jump"), F.col("label")).alias("label"))
         )
+        superseded = lab
         lab = jumped.localCheckpoint()
+        # the new generation is materialized; release the old one's
+        # blocks NOW instead of waiting for JVM GC (sf1 spike fix)
+        _free_local_checkpoint(superseded)
         new_sum = lab.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    _free_local_checkpoint(sym)
     return lab.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
