@@ -358,12 +358,68 @@ def parse_first_event_timestamp(s: str) -> float:
     return datetime.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%z").timestamp()
 
 
+@dataclass
+class Hdf5LiteBackend:
+    """Pure-python HDF5 binding of the seam (r9, VERDICT #8 — closes
+    the last env gate): the same group/alias discovery contract as
+    :class:`Hdf5Backend` (``Stream_*`` datasets, ``Name`` attribute as
+    alias, ``Stream_0`` as the event estimator, ``msMarkers`` dataset,
+    ``FirstEventTimeStamp`` root attribute — ``hdf5Reader.__init__``,
+    /root/reference/mpes/fprocessing.py:479-484) implemented over
+    :mod:`mpes_spark.io.hdf5lite` instead of h5py. Contiguous-layout
+    event files resolve a chunk's [amin, amax) slice to one byte-range
+    decode, so executor tasks read only their own window; chunked or
+    compressed files raise toward the real libhdf5 binding. Only the
+    estimator name is pickled into tasks — each task opens its own
+    file handle (the 100 TB discipline: config travels, data does
+    not)."""
+
+    estimator: str = "Stream_0"
+
+    def _open(self, path: str):
+        from mpes_spark.io.hdf5lite import read_hdf5
+
+        return read_hdf5(path)
+
+    def list_streams(self, path: str) -> list[tuple[str, str]]:
+        f = self._open(path)
+        out = []
+        for g, ds in f.datasets.items():
+            if "Stream" in g:
+                out.append((g, str(ds.attrs.get("Name", g))))
+        return out
+
+    def n_events(self, path: str) -> int:
+        return self._open(path).n_rows(self.estimator)
+
+    def read_stream(self, path: str, group: str, amin: int, amax: int) -> np.ndarray:
+        return self._open(path).read(group, amin, amax)
+
+    def ms_markers(self, path: str) -> np.ndarray:
+        f = self._open(path)
+        return f.read("msMarkers") if "msMarkers" in f.datasets else np.array([])
+
+    def start_time(self, path: str) -> float:
+        import os
+
+        f = self._open(path)
+        s = f.attrs.get("FirstEventTimeStamp")
+        if s is not None:
+            return parse_first_event_timestamp(str(s))
+        return os.path.getmtime(path) - len(self.ms_markers(path)) / 1000.0
+
+    def attributes(self, path: str) -> dict:
+        return dict(self._open(path).attrs)
+
+
 class Hdf5Backend:
     """h5py binding of the seam — group/alias discovery per
     ``hdf5Reader.__init__`` (fprocessing.py:479-484: ``Stream_*``
     groups, ``Name`` attribute as alias, ``Stream_0`` as the event
     estimator). Import-gated: constructing it without h5py raises, but
-    nothing else in this module needs h5py."""
+    nothing else in this module needs h5py. When files are plain
+    contiguous streams (the reference's own layout) the pure-python
+    :class:`Hdf5LiteBackend` reads them with no library at all."""
 
     def __init__(self, estimator: str = "Stream_0"):
         try:

@@ -57,14 +57,20 @@ def _dtype_message(dt: np.dtype) -> bytes:
         props = struct.pack("<HH", 0, dt.itemsize * 8)  # offset, precision
     elif dt.kind == "f":
         cls, ver = 1, 1
-        bits0 = 0x20  # internal padding/norm bits per IEEE LE convention
+        bits0 = 0x20  # mantissa normalization: implied-msb (IEEE)
         if dt.itemsize == 4:
+            sign_pos = 31
             # offset, precision, exp loc, exp size, man loc, man size, bias
-            props = struct.pack("<HHBBBBxI", 0, 32, 23, 8, 0, 23, 127)
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
         elif dt.itemsize == 8:
-            props = struct.pack("<HHBBBBxI", 0, 64, 52, 11, 0, 52, 1023)
+            sign_pos = 63
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
         else:
             raise ValueError(f"unsupported float size {dt.itemsize}")
+        head = struct.pack(
+            "<BBBBI", (ver << 4) | cls, bits0, sign_pos, 0, dt.itemsize
+        )
+        return head + props
     elif dt.kind == "S":
         cls, ver = 3, 1
         bits0 = 0x00  # null-terminated ASCII
@@ -213,11 +219,13 @@ def write_hdf5(
         oh_addr[nm] = _tell()
         out += _v1_header(msgs)
 
-    # 2. local heap: link names (first free offset 8 mirrors libhdf5's
-    #    reserved empty-string slot)
+    # 2. local heap: link names in LEXICOGRAPHIC order (symbol table
+    #    nodes must be name-sorted for libhdf5's binary lookup); the
+    #    leading 8 zero bytes mirror libhdf5's reserved empty-string
+    #    slot
     heap_data = bytearray(b"\x00" * 8)
     name_off: dict[str, int] = {}
-    for nm in names:
+    for nm in sorted(names):
         name_off[nm] = len(heap_data)
         raw = nm.encode() + b"\x00"
         heap_data += raw + b"\x00" * (_pad8(len(raw)) - len(raw))

@@ -1,0 +1,183 @@
+"""Pure-python HDF5 reader/writer (io/hdf5lite.py, VERDICT r9 #8):
+round-trips across dtypes, bounded slice reads, attribute parsing,
+format-error branches, and end-to-end parity of Hdf5LiteBackend
+against DictBackend through the full Spark ingest seam. When h5py is
+present (not in this container) the cross-library check also runs."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from mpes_spark.io.hdf5lite import _SIG, read_hdf5, write_hdf5
+
+
+def _streams(n=5_000, seed=3):
+    rng = np.random.default_rng(seed)
+    return {
+        "Stream_0": rng.random(n),
+        "Stream_1": rng.random(n).astype("float32"),
+        "Stream_2": rng.integers(-(2**20), 2**20, n).astype("int32"),
+        "Stream_3": rng.integers(0, 65535, n).astype("uint16"),
+        "msMarkers": np.arange(0, n, 1000, dtype="int64"),
+    }
+
+
+@pytest.fixture()
+def h5file(tmp_path):
+    p = str(tmp_path / "t.h5")
+    streams = _streams()
+    write_hdf5(
+        p,
+        streams,
+        {f"Stream_{i}": {"Name": a} for i, a in enumerate(["X", "Y", "t", "ADC"])},
+        {"FirstEventTimeStamp": "2023-01-05T10:00:00.000000+0000", "runId": 42},
+    )
+    return p, streams
+
+
+def test_roundtrip_all_dtypes(h5file):
+    p, streams = h5file
+    f = read_hdf5(p)
+    assert sorted(f.datasets) == sorted(streams)
+    for nm, arr in streams.items():
+        got = f.read(nm)
+        assert got.dtype == arr.dtype.newbyteorder("<")
+        np.testing.assert_array_equal(got, arr)
+        assert f.n_rows(nm) == len(arr)
+
+
+def test_bounded_slice_reads(h5file):
+    p, streams = h5file
+    f = read_hdf5(p)
+    for nm, arr in streams.items():
+        np.testing.assert_array_equal(f.read(nm, 100, 250), arr[100:250])
+        np.testing.assert_array_equal(f.read(nm, 0, 1), arr[:1])
+        # stop clamps to n, start clamps to 0
+        np.testing.assert_array_equal(f.read(nm, len(arr) - 3, 10**9), arr[-3:])
+
+
+def test_attributes(h5file):
+    p, _ = h5file
+    f = read_hdf5(p)
+    assert f.attrs["FirstEventTimeStamp"] == "2023-01-05T10:00:00.000000+0000"
+    assert f.attrs["runId"] == 42
+    aliases = {g: ds.attrs["Name"] for g, ds in f.datasets.items() if "Stream" in g}
+    assert aliases == {f"Stream_{i}": a for i, a in enumerate(["X", "Y", "t", "ADC"])}
+
+
+def test_2d_dataset_roundtrip(tmp_path):
+    p = str(tmp_path / "m.h5")
+    mat = np.arange(60, dtype="float64").reshape(12, 5)
+    write_hdf5(p, {"M": mat})
+    f = read_hdf5(p)
+    np.testing.assert_array_equal(f.read("M"), mat)
+    np.testing.assert_array_equal(f.read("M", 2, 5), mat[2:5])
+
+
+def test_error_branches(tmp_path):
+    with pytest.raises(ValueError, match="superblock signature"):
+        read_hdf5(__file__)
+    # unsupported superblock version
+    p = str(tmp_path / "bad.h5")
+    with open(p, "wb") as fh:
+        fh.write(_SIG + bytes([9]) + b"\x00" * 80)
+    with pytest.raises(ValueError, match="superblock version"):
+        read_hdf5(p)
+    # chunked layout refuses loudly: craft a header with layout class 2
+    q = str(tmp_path / "ok.h5")
+    write_hdf5(q, {"D": np.arange(10.0)})
+    f = read_hdf5(q)
+    buf = bytearray(open(q, "rb").read())
+    # find the layout message (version 3, class 1) and flip its class
+    idx = buf.find(struct.pack("<BBQ", 3, 1, f.datasets["D"].data_addr))
+    assert idx > 0
+    buf[idx + 1] = 2
+    r = str(tmp_path / "chunked.h5")
+    open(r, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="chunked"):
+        read_hdf5(r)
+
+
+def test_sorted_symbol_table(tmp_path):
+    """Link names land in lexicographic order in the symbol table node
+    regardless of insertion order (libhdf5's lookup contract)."""
+    p = str(tmp_path / "s.h5")
+    write_hdf5(p, {"zzz": np.arange(3.0), "aaa": np.arange(4.0), "mmm": np.arange(5.0)})
+    f = read_hdf5(p)
+    assert {n: f.n_rows(n) for n in f.datasets} == {"zzz": 3, "aaa": 4, "mmm": 5}
+
+
+def test_h5py_cross_validation(tmp_path):
+    """When a real libhdf5 binding exists, it must read our files and
+    we must read its (contiguous, old-style-group) files. Skipped in
+    containers without h5py — the byte layout is still pinned by the
+    spec-shape tests above."""
+    h5py = pytest.importorskip("h5py")
+    p = str(tmp_path / "x.h5")
+    streams = _streams(n=1_000)
+    write_hdf5(p, streams, {"Stream_0": {"Name": "X"}}, {"tag": "lite"})
+    with h5py.File(p, "r") as f:
+        for nm, arr in streams.items():
+            np.testing.assert_array_equal(f[nm][:], arr)
+        assert f["Stream_0"].attrs["Name"] in (b"X", "X")
+    q = str(tmp_path / "y.h5")
+    with h5py.File(q, "w", libver="earliest") as f:
+        for nm, arr in streams.items():
+            f.create_dataset(nm, data=arr)
+        f["Stream_0"].attrs["Name"] = np.bytes_("X")
+    g = read_hdf5(q)
+    for nm, arr in streams.items():
+        np.testing.assert_array_equal(g.read(nm), arr)
+
+
+def test_backend_parity_through_ingest(spark, tmp_path):
+    """Hdf5LiteBackend through the FULL Spark ingest pipeline produces
+    exactly what DictBackend produces for identical content — chunk
+    plan, alias resolution, float32 cast, timestamp reconstruction."""
+    import pandas as pd
+
+    from mpes_spark.io.binary_source import (
+        DictBackend,
+        Hdf5LiteBackend,
+        IngestSpec,
+        parse_first_event_timestamp,
+        read_events_binary,
+    )
+
+    n = 7_500
+    rng = np.random.default_rng(11)
+    vals = [rng.random(n) * 1000 for _ in range(3)]
+    markers = np.arange(0, n, 1000, dtype="int64")
+    p = str(tmp_path / "ev.h5")
+    write_hdf5(
+        p,
+        {f"Stream_{i}": v for i, v in enumerate(vals)}
+        | {"msMarkers": markers},
+        {f"Stream_{i}": {"Name": a} for i, a in enumerate(["X", "Y", "ADC"])},
+        {"FirstEventTimeStamp": "2023-01-05T10:00:00.000000+0000"},
+    )
+    dict_backend = DictBackend(
+        files={
+            p: {
+                "streams": [
+                    (f"Stream_{i}", a, vals[i])
+                    for i, a in enumerate(["X", "Y", "ADC"])
+                ],
+                "ms_markers": markers,
+                "start_time": parse_first_event_timestamp(
+                    "2023-01-05T10:00:00.000000+0000"
+                ),
+                "mtime": 0.0,
+            }
+        }
+    )
+    spec = IngestSpec(aliases=["X", "ADC"], timestamps=True, chunk_size=2_000)
+    a = read_events_binary(spark, [p], Hdf5LiteBackend(), spec).toPandas()
+    b = read_events_binary(spark, [p], dict_backend, spec).toPandas()
+    a = a.sort_values(list(a.columns), ignore_index=True)
+    b = b.sort_values(list(b.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n
