@@ -209,6 +209,75 @@ def zorder_write(
     )
 
 
+def write_z_ordered(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    *,
+    bits: int = 10,
+    layout: str = "range",
+    tile_bits: int = 6,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """The z-order layout claim as ONE public API (r9, VERDICT #9):
+    cluster ``df`` on the Morton interleave of ``cols`` and write
+    parquet in one of two physical layouts.
+
+    ``layout='range'`` — float/date/timestamp columns are grid-scaled
+    between observed min/max and the table is range-partitioned +
+    sorted on the key (:func:`zorder_write`): each file covers a small
+    hyper-rectangle and parquet footer min/max stats prune any
+    conjunction of range predicates.
+
+    ``layout='tiles'`` — ``cols`` must already be small non-negative
+    integer bins (the :func:`morton_key_expr` contract): rows are
+    hive-partitioned by the z-TILE (``z div 2^tile_bits``), so a
+    rectangular window rewrites to an explicit covering tile set and
+    the scan carries PartitionFilters — partition pruning before any
+    file is opened (measured in tests/test_bucketed.py). Tile count is
+    bounded by ``2^(len(cols)*bits - tile_bits)``; pick ``tile_bits``
+    so tiles stay file-sized at the target scale."""
+    if layout == "range":
+        zorder_write(df, path, cols, bits=bits, n_files=n_files, mode=mode)
+        return
+    if layout != "tiles":
+        raise ValueError(f"layout must be 'range' or 'tiles', got {layout!r}")
+    from pyspark.sql import functions as F
+
+    from mpes_spark.transforms.columns import morton_key_expr
+
+    z = morton_key_expr(cols, bits=bits)
+    (
+        df.withColumn("tile", F.floor(z / F.lit(1 << tile_bits)).cast("bigint"))
+        .write.partitionBy("tile")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def z_tile_cover(ranges: list[tuple[int, int]], bits: int, tile_bits: int) -> list[int]:
+    """Exact covering tile set of a hyper-rectangle for the 'tiles'
+    layout: enumerate the rectangle's integer grid cells through the
+    same interleave and collect distinct ``z div 2^tile_bits``. Cost
+    is the rectangle's CELL count — the query-side companion of
+    :func:`write_z_ordered` (a selective window is small by
+    definition; a non-selective one should scan anyway)."""
+    ndim = len(ranges)
+
+    def z_of(coords: tuple[int, ...]) -> int:
+        out = 0
+        for b in range(bits):
+            for i, v in enumerate(coords):
+                out |= ((v >> b) & 1) << (b * ndim + i)
+        return out
+
+    from itertools import product
+
+    cells = product(*[range(lo, hi) for lo, hi in ranges])
+    return sorted({z_of(c) >> tile_bits for c in cells})
+
+
 # ---------------------------------------------------------------------------
 # binned-histogram persistence (histdict round-trip)
 # ---------------------------------------------------------------------------

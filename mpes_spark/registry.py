@@ -2676,6 +2676,46 @@ def morton_tile_counts(spark, sf_dir):
     )
 
 
+_Z3_C = "(ascii(substr(event_type, 1, 1)) % 32)"
+
+
+@_q(
+    "morton3_tile_counts",
+    "SELECT CAST(floor(z / 512) AS BIGINT) AS tile, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(min(z) AS BIGINT) AS z_lo, CAST(max(z) AS BIGINT) AS z_hi FROM ("
+    f"SELECT {morton_key_sql(['CAST(floor(value / 32.0) AS BIGINT)', '(user_id % 32)', _Z3_C], bits=5)} AS z "
+    "FROM events WHERE value >= 0 AND value < 1024"
+    ") t GROUP BY tile",
+)
+def morton3_tile_counts(spark, sf_dir):
+    """3-D Z-order key under the hash gate (r9, VERDICT #9): the
+    Morton interleave of (value bin, user bucket, event-type code) —
+    the volumetric layout audit for a table queried by 3-D windows
+    (kx, ky, E crops are exactly this shape at 100 TB). 5 bits per
+    dimension -> 15-bit z, rolled up to 8^3-cell tiles (z div 512)
+    with per-tile z ranges. Same shift-free mask-and-scale bit
+    algebra as the 2-D gate; ``write_z_ordered(layout='tiles')``
+    (io/writers.py) is the write-path API of this key."""
+    ev = t(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") < 1024)
+    )
+    x = F.floor(F.col("value") / 32.0).cast("bigint")
+    y = F.col("user_id") % 32
+    c = F.ascii(F.substring("event_type", 1, 1)) % 32
+    z = morton_key_expr([x, y, c], bits=5)
+    return (
+        ev.select(z.alias("z"))
+        .withColumn("tile", F.floor(F.col("z") / 512).cast("bigint"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("z").cast("bigint").alias("z_lo"),
+            F.max("z").cast("bigint").alias("z_hi"),
+        )
+    )
+
+
 # -- distributed per-group spectral analysis (applyInPandas over the
 #    sparse histogram relation; iterative algorithms -> no SQL oracle,
 #    numpy parity lives in tests/test_analysis.py) --------------------------
