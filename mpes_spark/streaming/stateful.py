@@ -657,4 +657,26 @@ def dup_span_ingest_sink(
             return None
         return _union(state["flag_parts"])
 
+    def state_stats() -> dict:
+        """Measured state-bound telemetry (r9, VERDICT stretch #10 —
+        the foreachBatch analog of a state store's numRowsTotal):
+        ``gram_parts`` (union depth; == 1 right after a compaction
+        boundary), ``state_rows`` (total rows across parts) and
+        ``distinct_grams`` (the structural bound: state must stay
+        keyed by gram, never by position — state_rows ==
+        distinct_grams after compaction, and is bounded by
+        batches x distinct_grams before)."""
+        parts = state["gram_parts"]
+        rows = sum(p.count() for p in parts)
+        distinct = (
+            _union(parts).select("sh").distinct().count() if parts else 0
+        )
+        return {
+            "gram_parts": len(parts),
+            "state_rows": rows,
+            "distinct_grams": distinct,
+            "batches": state["batches"],
+        }
+
+    handle.state_stats = state_stats  # type: ignore[attr-defined]
     return handle, flagged

@@ -1253,6 +1253,27 @@ def test_dup_span_ingest_sink_flags_later_copies(spark, tmp_path):
         )
         q.awaitTermination()
         assert q.exception() is None
+        # MEASURED state-bound telemetry (r9 stretch #10): maintained
+        # state is keyed by GRAM, never by position — numeric asserts,
+        # not prose. With compact_every=1 the parts collapse to one
+        # relation of exactly the distinct grams; uncompacted, depth
+        # equals the batch count and rows stay <= batches x grams.
+        stats = handle.state_stats()
+        assert stats["batches"] == len(batches)
+        assert stats["distinct_grams"] > 0
+        if compact_every == 1:
+            assert stats["gram_parts"] == 1
+            assert stats["state_rows"] == stats["distinct_grams"]
+        else:
+            assert stats["gram_parts"] == len(batches)
+            assert stats["state_rows"] <= len(batches) * stats["distinct_grams"]
+        # structural position-independence: every doc text here is ~11
+        # tokens x 4 docs; gram-keyed state must stay well under the
+        # total POSITION count a naive design would hold
+        n_positions = sum(
+            len(t.split()) for b in batches for _, t in b
+        )
+        assert stats["distinct_grams"] <= n_positions
         return {
             r.doc_id: (r.span_start, r.span_end) for r in flagged().collect()
         }

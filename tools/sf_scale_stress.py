@@ -71,6 +71,26 @@ QUERIES = [
     "topk_cosine",
 ]
 
+# r8/r9 families (VERDICT r9 #7): the split/privacy/codec/layout/
+# substring-dedup debuts measured with the same discipline
+QUERIES_R9 = [
+    "cluster_safe_splits",
+    "k_anonymity_report",
+    "l_diversity_report",
+    "t_closeness_report",
+    "dp_noisy_counts",
+    "image_decode_stats",
+    "png_decode_stats",
+    "audio_decode_stats",
+    "video_decode_stats",
+    "morton_tile_counts",
+    "morton3_tile_counts",
+    "dup_span_stats",
+    "dup_span_mask",
+    "kcore3_copurchase",
+    "hdf5_ingest_oracle",   # fixed-volume control (sf-invariant by design)
+]
+
 
 def _session(tag: str):
     from mpes_spark.session import get_spark
@@ -138,16 +158,17 @@ def gen(out_dir: str) -> None:
     spark.stop()
 
 
-def run(out_dir: str, reps: int = 3) -> None:
+def run(out_dir: str, reps: int = 3, names: list[str] | None = None) -> None:
     from __spark_entry__ import queries
 
     q = queries()
+    qlist = names or QUERIES
     results: dict[str, dict[str, float]] = {}
     for tag, sf_dir in (("sf0.1", SRC), ("sf1", out_dir)):
         spark = _session(tag)
         spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy(
         ).count().collect()
-        for name in QUERIES:
+        for name in qlist:
             samples = []
             for _ in range(reps):
                 spark.sparkContext._jvm.System.gc()
@@ -159,7 +180,7 @@ def run(out_dir: str, reps: int = 3) -> None:
         spark.stop()
     print(f"\n{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  verdict")
     doc = {}
-    for name in QUERIES:
+    for name in qlist:
         a, b = results[name]["sf0.1"], results[name]["sf1"]
         r = b / a
         verdict = "SUPERLINEAR" if r > 15 else ("ok" if r >= 1 else "overhead")
@@ -177,5 +198,7 @@ if __name__ == "__main__":
         gen(out)
     elif mode == "run":
         run(out)
+    elif mode == "run_r9":
+        run(out, names=QUERIES_R9)
     else:
         raise SystemExit(f"unknown mode {mode}")
