@@ -181,3 +181,33 @@ def test_backend_parity_through_ingest(spark, tmp_path):
     b = b.sort_values(list(b.columns), ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == n
+
+
+def test_read_events_hdf5_lite_fallback(spark, tmp_path):
+    """The PUBLIC reader entry point works with no h5py in the
+    runtime: Hdf5LiteBackend takes over and the full ingest pipeline
+    (chunk plan, alias lookup, float32 cast, timestamps) runs on a
+    real .h5 file."""
+    from mpes_spark.io.readers import read_events_hdf5
+
+    p = str(tmp_path / "re.h5")
+    n = 4_000
+    write_hdf5(
+        p,
+        {
+            "Stream_0": np.arange(n, dtype="float64"),
+            "Stream_1": np.arange(n, dtype="float64") * 2,
+            "msMarkers": np.arange(0, n, 1000, dtype="int64"),
+        },
+        {"Stream_0": {"Name": "X"}, "Stream_1": {"Name": "ADC"}},
+        {"FirstEventTimeStamp": "2023-01-05T10:00:00.000000+0000"},
+    )
+    pdf = (
+        read_events_hdf5(spark, [p], aliases=["X", "ADC"], timestamps=True, chunk_size=1_500)
+        .toPandas()
+        .sort_values("X", ignore_index=True)
+    )
+    assert list(pdf.columns) == ["X", "ADC", "timeStamps"]
+    assert len(pdf) == n
+    np.testing.assert_allclose(pdf["X"], np.arange(n, dtype="float32"))
+    np.testing.assert_allclose(pdf["ADC"], np.arange(n, dtype="float32") * 2)
