@@ -435,6 +435,39 @@ def jitter_bin(spark, sf_dir):
     return bin_sparse(ev, [_AX_V1D])
 
 
+from mpes_spark.transforms.columns import jitter_hashed_expr as _jit_sql  # noqa: E402
+
+
+def _jitter_oracle_sql(dialect: str) -> str:
+    jv = _jit_sql("value", "event_id", 0.25, 42, dialect)
+    return (
+        f"SELECT CAST(floor(({jv}) / 10.0) AS BIGINT) AS value_bin, "
+        "CAST(count(*) AS BIGINT) AS cnt, "
+        f"floor(min({jv}) * 1e6 + 0.5) / 1e6 AS v_min, "
+        f"floor(max({jv}) * 1e6 + 0.5) / 1e6 AS v_max "
+        f"FROM events WHERE value >= 0 AND value < 500 "
+        "GROUP BY value_bin"
+    )
+
+
+@_q("jitter_bin_oracle", _jitter_oracle_sql("duckdb"))
+def jitter_bin_oracle(spark, sf_dir):
+    """Dithered binning under the FULL hash gate (r9): the uniform
+    jitter is drawn deterministically from the seeded md5 hash of
+    event_id (the DP-noisy-counts draw convention), so BOTH engines
+    evaluate the identical expression tree and the jittered histogram
+    hash-matches exactly — upgrading the jitter family from its
+    rows-only seeded-RNG rendering (``jitter_bin``, which keeps
+    engine-RNG semantics for production). Integer counts exact;
+    min/max are order-independent picks of identical doubles,
+    floor-rounded by the portable convention."""
+    return spark.sql(
+        _jitter_oracle_sql("spark").replace(
+            "FROM events", f"FROM parquet.`{sf_dir}/events.parquet`"
+        )
+    )
+
+
 # ===========================================================================
 # §2.4 Join-shaped lookups / set ops
 # ===========================================================================

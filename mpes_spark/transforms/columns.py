@@ -128,6 +128,25 @@ def apply_jitter(
     return out
 
 
+def jitter_hashed_expr(col: str, key: str, amp: float, seed: int, dialect: str) -> str:
+    """Deterministic uniform jitter as a dual-dialect SQL fragment
+    (r9): ``col + amp * (2u - 1)`` with ``u`` drawn from the seeded
+    md5 hash of the row key — u = ((h mod 2^30) + 0.5) / 2^30, exactly
+    representable steps, the same draw convention as the DP noisy
+    counts gate. Where :func:`apply_jitter` uses engine RNG (seeded
+    ``F.rand`` — reproducible within Spark but not replayable in
+    another engine), this renders the IDENTICAL expression tree in
+    Spark SQL and DuckDB, so dithered binning becomes hash-gateable.
+    Reference semantics: ``applyJitter`` uniform branch,
+    /root/reference/mpes/fprocessing.py:1849-1870."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = _md5_hash_sql(seed, f"CAST({key} AS {s})", dialect)
+    u = f"((({h}) % {1 << 30}) + 0.5) / {float(1 << 30)!r}"
+    return f"({col} + {float(amp)!r} * (2 * ({u}) - 1))"
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
