@@ -188,79 +188,90 @@ def write_hdf5(
     root_attrs: dict | None = None,
 ) -> None:
     """Write a v0-superblock HDF5 file: every array a contiguous
-    dataset in the root group (insertion order preserved in the
-    symbol table node; B-tree keys use the heap offsets), per-dataset
-    scalar attributes (e.g. ``Name``) and root-level attributes."""
+    dataset, per-dataset scalar attributes (e.g. ``Name``) and
+    root-level attributes. Names may contain ``/`` — intermediate
+    path segments become real HDF5 subgroups (the reference's
+    ``binned/V3`` + ``axes/ax{i}`` layout, fprocessing.py:3354-3416),
+    each with its own symbol-table B-tree + local heap. Link names
+    land in lexicographic order (libhdf5's lookup contract)."""
     dataset_attrs = dataset_attrs or {}
     root_attrs = root_attrs or {}
-    names = list(datasets)
-    if len(names) > 64:
-        raise ValueError("writer emits a single symbol-table node (<= 64 links)")
+
+    # build the group tree: node = {"ds": {leaf: full_name}, "sub": {}}
+    def _node():
+        return {"ds": {}, "sub": {}}
+
+    root = _node()
+    for full in datasets:
+        parts = full.split("/")
+        cur = root
+        for seg in parts[:-1]:
+            cur = cur["sub"].setdefault(seg, _node())
+        cur["ds"][parts[-1]] = full
 
     out = bytearray(b"\x00" * 96)  # superblock placeholder
 
     def _tell() -> int:
         return len(out)
 
-    # 1. payload blocks + dataset object headers
-    oh_addr: dict[str, int] = {}
-    for nm in names:
-        arr = np.ascontiguousarray(datasets[nm])
+    def _write_dataset(full: str) -> int:
+        arr = np.ascontiguousarray(datasets[full])
         arr = arr.astype(arr.dtype.newbyteorder("<"))
         data_addr = _tell()
-        out += arr.tobytes()
+        out.extend(arr.tobytes())
         msgs = [
             (0x0001, _dataspace_message(arr.shape)),
             (0x0003, _dtype_message(arr.dtype)),
             (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)),
         ]
-        for an, av in dataset_attrs.get(nm, {}).items():
+        for an, av in dataset_attrs.get(full, {}).items():
             msgs.append((0x000C, _attribute_message(an, av)))
-        oh_addr[nm] = _tell()
-        out += _v1_header(msgs)
+        addr = _tell()
+        out.extend(_v1_header(msgs))
+        return addr
 
-    # 2. local heap: link names in LEXICOGRAPHIC order (symbol table
-    #    nodes must be name-sorted for libhdf5's binary lookup); the
-    #    leading 8 zero bytes mirror libhdf5's reserved empty-string
-    #    slot
-    heap_data = bytearray(b"\x00" * 8)
-    name_off: dict[str, int] = {}
-    for nm in sorted(names):
-        name_off[nm] = len(heap_data)
-        raw = nm.encode() + b"\x00"
-        heap_data += raw + b"\x00" * (_pad8(len(raw)) - len(raw))
-    heap_data_addr = _tell() + 32
-    heap_addr = _tell()
-    out += b"HEAP" + struct.pack(
-        "<BxxxQQQ", 0, len(heap_data), _UNDEF, heap_data_addr
-    )
-    out += bytes(heap_data)
+    def _write_group(node: dict, attrs: dict | None = None) -> tuple[int, int, int]:
+        """Returns (group_oh_addr, btree_addr, heap_addr)."""
+        links: dict[str, int] = {}
+        for seg, sub in node["sub"].items():
+            links[seg], _, _ = _write_group(sub)
+        for leaf, full in node["ds"].items():
+            links[leaf] = _write_dataset(full)
+        if len(links) > 64:
+            raise ValueError("one symbol-table node per group (<= 64 links)")
+        heap_data = bytearray(b"\x00" * 8)
+        name_off: dict[str, int] = {}
+        for nm in sorted(links):
+            name_off[nm] = len(heap_data)
+            raw = nm.encode() + b"\x00"
+            heap_data += raw + b"\x00" * (_pad8(len(raw)) - len(raw))
+        heap_addr = _tell()
+        out.extend(
+            b"HEAP"
+            + struct.pack("<BxxxQQQ", 0, len(heap_data), _UNDEF, heap_addr + 32)
+        )
+        out.extend(bytes(heap_data))
+        snod_addr = _tell()
+        out.extend(b"SNOD" + struct.pack("<BBH", 1, 0, len(links)))
+        for nm in sorted(links, key=lambda n: name_off[n]):
+            out.extend(struct.pack("<QQIxxxx16x", name_off[nm], links[nm], 0))
+        btree_addr = _tell()
+        lo = min(name_off.values()) if links else 0
+        hi = max(name_off.values()) if links else 0
+        out.extend(
+            b"TREE"
+            + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF)
+            + struct.pack("<QQQ", lo, snod_addr, hi)
+        )
+        msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+        for an, av in (attrs or {}).items():
+            msgs.append((0x000C, _attribute_message(an, av)))
+        oh = _tell()
+        out.extend(_v1_header(msgs))
+        return oh, btree_addr, heap_addr
 
-    # 3. symbol table node with one 40-byte entry per link
-    snod_addr = _tell()
-    out += b"SNOD" + struct.pack("<BBH", 1, 0, len(names))
-    for nm in sorted(names, key=lambda n: name_off[n]):
-        out += struct.pack("<QQIxxxx16x", name_off[nm], oh_addr[nm], 0)
+    root_oh_addr, btree_addr, heap_addr = _write_group(root, root_attrs)
 
-    # 4. B-tree v1 root (level 0, single SNOD child); key_i bounds use
-    #    the lowest/highest heap offsets
-    btree_addr = _tell()
-    lo = min(name_off.values()) if names else 0
-    hi = max(name_off.values()) if names else 0
-    out += (
-        b"TREE"
-        + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF)
-        + struct.pack("<QQQ", lo, snod_addr, hi)
-    )
-
-    # 5. root group object header: symbol-table message + root attrs
-    root_msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
-    for an, av in root_attrs.items():
-        root_msgs.append((0x000C, _attribute_message(an, av)))
-    root_oh_addr = _tell()
-    out += _v1_header(root_msgs)
-
-    # 6. superblock v0 with the root symbol-table entry (cached stab)
     eof = _tell()
     sb = _SIG + struct.pack(
         "<BBBBBBBxHHIQQQQ",
@@ -382,11 +393,12 @@ class Hdf5LiteFile:
                 msgs.append((mtype, body))
             off += hdr + msize
 
-    def _group(self, oh_addr: int, into: dict, attrs: dict) -> None:
+    def _group(
+        self, oh_addr: int, into: dict, attrs: dict, prefix: str = ""
+    ) -> None:
         links: list[tuple[str, int]] = []
         stab = None
         is_dataset = False
-        ds_info: dict = {}
         for mtype, body in self._messages(oh_addr):
             if mtype == 0x0011:  # symbol table
                 stab = struct.unpack_from("<QQ", body, 0)
@@ -397,11 +409,6 @@ class Hdf5LiteFile:
                 attrs[k] = v
             elif mtype == 0x0001:
                 is_dataset = True
-                ds_info["shape"] = _parse_dataspace(body)
-            elif mtype == 0x0003:
-                ds_info["dtype"] = _parse_dtype(body)
-            elif mtype == 0x0008:
-                ds_info["layout"] = body
         if is_dataset:
             raise ValueError("expected a group header, found a dataset")
         if stab is not None:
@@ -410,7 +417,7 @@ class Hdf5LiteFile:
             for name_off, child in self._btree_entries(btree_addr):
                 links.append((self._heap_str(heap_data, name_off), child))
         for name, child in links:
-            self._add_dataset(name, child)
+            self._add_dataset(prefix + name, child)
 
     def _parse_link(self, body: bytes) -> tuple[str, int]:
         flags = body[1]
@@ -468,7 +475,14 @@ class Hdf5LiteFile:
     def _add_dataset(self, name: str, oh_addr: int) -> None:
         dtype = shape = layout = None
         attrs: dict = {}
-        for mtype, body in self._messages(oh_addr):
+        msgs = self._messages(oh_addr)
+        if any(m in (0x0011, 0x0002, 0x0006, 0x000A) for m, _ in msgs):
+            # nested group (symbol-table or link-storage header):
+            # recurse with the path prefix — datasets register under
+            # their full 'group/leaf' name
+            self._group(oh_addr, self.datasets, attrs, prefix=name + "/")
+            return
+        for mtype, body in msgs:
             if mtype == 0x0001:
                 shape = _parse_dataspace(body)
             elif mtype == 0x0003:
@@ -478,11 +492,6 @@ class Hdf5LiteFile:
             elif mtype == 0x000C:
                 k, v = _parse_attribute(body)
                 attrs[k] = v
-            elif mtype == 0x0011:
-                # nested group: recurse (flat layouts never hit this,
-                # but a group-of-streams file still resolves)
-                self._group(oh_addr, self.datasets, attrs)
-                return
         if dtype is None or shape is None or layout is None:
             raise ValueError(f"dataset {name!r}: incomplete object header")
         ver, cls = layout[0], layout[1]

@@ -302,17 +302,40 @@ def save_binned_h5(arr: BinnedArray, path: str, mode: str = "w") -> None:
     attribute), and the attrs dict json-encoded under
     ``metadata/attrs``, mirroring the reference's group layout.
 
-    The h5py binding is env-gated exactly like
-    ``io.readers.read_events_hdf5``: the engine's own persistence
-    format is the npz twin (:func:`save_binned`), which round-trips
-    without HDF5 anywhere in the runtime."""
+    Binding (r9, env seam closed): h5py when available (writes the
+    gzip-compressed matrix); otherwise the pure-python
+    :mod:`mpes_spark.io.hdf5lite` writer emits the SAME group layout
+    with contiguous storage — the file opens in any HDF5 tool, and
+    ``save_binned`` (npz) remains the engine's own always-available
+    persistence twin."""
     try:
         import h5py
-    except ImportError as exc:  # pragma: no cover - env without h5py
-        raise NotImplementedError(
-            "save_binned_h5 needs the optional h5py binding; "
-            "save_binned (npz) is the always-available twin"
-        ) from exc
+    except ImportError:
+        from mpes_spark.io.hdf5lite import write_hdf5
+
+        if mode not in ("w", "w-"):  # append needs real libhdf5
+            raise NotImplementedError(
+                "append modes need the h5py binding; the lite writer "
+                "writes whole files"
+            )
+        write_hdf5(
+            path,
+            {
+                "binned/V3": np.asarray(arr.data),
+                **{
+                    f"axes/ax{i}": np.asarray(arr.coords[d])
+                    for i, d in enumerate(arr.dims)
+                },
+                "metadata/attrs": np.frombuffer(
+                    json.dumps(arr.attrs).encode(), dtype=np.uint8
+                ),
+            },
+            {
+                f"axes/ax{i}": {"name": d}
+                for i, d in enumerate(arr.dims)
+            },
+        )
+        return
     with h5py.File(path, mode) as f:
         f.create_dataset("binned/V3", data=arr.data, compression="gzip")
         for i, d in enumerate(arr.dims):
@@ -325,14 +348,23 @@ def save_binned_h5(arr: BinnedArray, path: str, mode: str = "w") -> None:
 
 
 def load_binned_h5(path: str) -> BinnedArray:
-    """Reload a :func:`save_binned_h5` file (env-gated like the
-    writer)."""
+    """Reload a :func:`save_binned_h5` file — h5py when available
+    (handles gzip-chunked matrices), the pure-python reader otherwise
+    (contiguous files, i.e. everything the lite writer produced)."""
     try:
         import h5py
-    except ImportError as exc:  # pragma: no cover - env without h5py
-        raise NotImplementedError(
-            "load_binned_h5 needs the optional h5py binding"
-        ) from exc
+    except ImportError:
+        from mpes_spark.io.hdf5lite import read_hdf5
+
+        f = read_hdf5(path)
+        data = f.read("binned/V3")
+        dims, coords = [], {}
+        for i in range(data.ndim):
+            name = f.datasets[f"axes/ax{i}"].attrs["name"]
+            dims.append(name)
+            coords[name] = f.read(f"axes/ax{i}")
+        attrs = json.loads(bytes(f.read("metadata/attrs").tobytes()).decode())
+        return BinnedArray(data=data, dims=dims, coords=coords, attrs=attrs)
     with h5py.File(path, "r") as f:
         data = f["binned/V3"][()]
         dims, coords = [], {}

@@ -211,3 +211,30 @@ def test_read_events_hdf5_lite_fallback(spark, tmp_path):
     assert len(pdf) == n
     np.testing.assert_allclose(pdf["X"], np.arange(n, dtype="float32"))
     np.testing.assert_allclose(pdf["ADC"], np.arange(n, dtype="float32") * 2)
+
+
+def test_nested_group_roundtrip(tmp_path):
+    """Names with '/' become REAL HDF5 subgroups (the reference's
+    binned/V3 + axes/ax{i} layout), each with its own symbol table;
+    the reader registers children under their full path."""
+    p = str(tmp_path / "g.h5")
+    mat = np.arange(24.0).reshape(4, 6)
+    write_hdf5(
+        p,
+        {
+            "binned/V3": mat,
+            "axes/ax0": np.linspace(0, 1, 4),
+            "axes/ax1": np.linspace(-2, 2, 6),
+            "metadata/attrs": np.frombuffer(b'{"run": 17}', dtype="u1"),
+            "toplevel": np.arange(5.0),
+        },
+        {"axes/ax0": {"name": "E"}, "axes/ax1": {"name": "k"}},
+    )
+    f = read_hdf5(p)
+    assert sorted(f.datasets) == [
+        "axes/ax0", "axes/ax1", "binned/V3", "metadata/attrs", "toplevel"
+    ]
+    np.testing.assert_array_equal(f.read("binned/V3"), mat)
+    assert f.datasets["axes/ax0"].attrs["name"] == "E"
+    assert f.datasets["axes/ax1"].attrs["name"] == "k"
+    assert bytes(f.read("metadata/attrs").tobytes()) == b'{"run": 17}'
