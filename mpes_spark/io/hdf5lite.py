@@ -17,11 +17,14 @@ event range. The reader here resolves a dataset slice to one
 seam's chunk plan maps to byte-range reads (the 100 TB shape: each
 executor task reads only its own [amin, amax) byte window).
 
-Out of scope (clear errors, not silent wrong answers): chunked or
-compressed layouts, variable-length / dense-link storage, Adam7-era
-esoterics like fractal-heap attribute storage. The reference's event
-files are plain contiguous streams; anything else belongs to a real
-libhdf5 binding (``Hdf5Backend``).
+Chunked layouts with the deflate and/or shuffle filters (what
+``h5py .create_dataset(compression="gzip")`` produces) decode
+natively too — chunk B-tree walk + ``zlib`` per chunk. Out of scope
+(clear errors, not silent wrong answers): other filters (szip, lzf),
+variable-length / dense-link storage, fractal-heap attribute
+storage. The reference's event files are plain contiguous streams;
+anything beyond the above belongs to a real libhdf5 binding
+(``Hdf5Backend``).
 """
 
 from __future__ import annotations
@@ -112,6 +115,24 @@ def _parse_dataspace(body: bytes) -> tuple[int, ...]:
     return tuple(
         struct.unpack_from("<Q", body, off + 8 * i)[0] for i in range(rank)
     )
+
+
+def _parse_filter_pipeline(body: bytes) -> tuple[int, ...]:
+    """Filter pipeline message -> filter ids in application order
+    (v1 with 8-padded names, v2 compact)."""
+    ver, nf = body[0], body[1]
+    ids = []
+    off = 8 if ver == 1 else 2
+    for _ in range(nf):
+        fid, name_len, _flags, ncv = struct.unpack_from("<HHHH", body, off)
+        off += 8
+        if ver == 1 or fid >= 256:
+            off += _pad8(name_len) if ver == 1 else name_len
+        off += 4 * ncv
+        if ver == 1 and ncv % 2:
+            off += 4  # v1 pads client data to 8 bytes
+        ids.append(fid)
+    return tuple(ids)
 
 
 def _attribute_message(name: str, value) -> bytes:
@@ -301,6 +322,10 @@ class _Dataset:
     data_size: int
     compact: bytes | None = None
     attrs: dict = field(default_factory=dict)
+    chunk_dims: tuple[int, ...] | None = None  # chunked layout (class 2)
+    chunk_btree: int = -1
+    filters: tuple[int, ...] = ()  # filter pipeline ids, applied order
+    _cache: "np.ndarray | None" = None  # assembled chunked data
 
 
 class Hdf5LiteFile:
@@ -482,6 +507,7 @@ class Hdf5LiteFile:
             # their full 'group/leaf' name
             self._group(oh_addr, self.datasets, attrs, prefix=name + "/")
             return
+        filters: tuple[int, ...] = ()
         for mtype, body in msgs:
             if mtype == 0x0001:
                 shape = _parse_dataspace(body)
@@ -489,6 +515,8 @@ class Hdf5LiteFile:
                 dtype = _parse_dtype(body)
             elif mtype == 0x0008:
                 layout = body
+            elif mtype == 0x000B:
+                filters = _parse_filter_pipeline(body)
             elif mtype == 0x000C:
                 k, v = _parse_attribute(body)
                 attrs[k] = v
@@ -505,21 +533,98 @@ class Hdf5LiteFile:
             self.datasets[name] = _Dataset(
                 dtype, shape, -1, csize, bytes(layout[4 : 4 + csize]), attrs
             )
-        else:
-            raise ValueError(
-                "chunked/compressed layouts need a real libhdf5 binding"
+        elif cls == 2:  # chunked (r9: + deflate/shuffle filters)
+            ndims = layout[2]  # rank + 1 (trailing element-size dim)
+            (btree_addr,) = struct.unpack_from("<Q", layout, 3)
+            dims = struct.unpack_from(f"<{ndims}I", layout, 11)
+            bad = [f for f in filters if f not in (1, 2)]
+            if bad:
+                raise ValueError(
+                    f"unsupported HDF5 filter ids {bad} (deflate=1 and "
+                    "shuffle=2 decode natively; others need libhdf5)"
+                )
+            self.datasets[name] = _Dataset(
+                dtype,
+                shape,
+                -1,
+                0,
+                None,
+                attrs,
+                chunk_dims=tuple(int(d) for d in dims[:-1]),
+                chunk_btree=btree_addr,
+                filters=filters,
             )
+        else:
+            raise ValueError(f"unsupported data layout class {cls}")
 
     # -- data access ---------------------------------------------------------
+
+    def _chunk_entries(self, addr: int, ndims: int):
+        """Walk a v1 chunk B-tree (node type 1): yields
+        (chunk_nbytes, filter_mask, offsets, data_addr)."""
+        buf = self._buf
+        if buf[addr : addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree signature")
+        ntype, level = buf[addr + 4], buf[addr + 5]
+        if ntype != 1:
+            raise ValueError(f"expected chunk B-tree, got node type {ntype}")
+        nused = struct.unpack_from("<H", buf, addr + 6)[0]
+        off = addr + 24
+        key_size = 8 + 8 * (ndims + 1)  # size, mask, ndims+1 u64 offsets
+        for _ in range(nused):
+            nbytes, mask = struct.unpack_from("<II", buf, off)
+            coords = struct.unpack_from(f"<{ndims + 1}Q", buf, off + 8)
+            child = struct.unpack_from("<Q", buf, off + key_size)[0]
+            if level == 0:
+                yield nbytes, mask, coords[:-1], child
+            else:
+                yield from self._chunk_entries(child, ndims)
+            off += key_size + 8
+
+    def _assemble_chunked(self, ds: _Dataset) -> np.ndarray:
+        """Decode every chunk (deflate/shuffle filters) into the full
+        array — grid-bounded materialization for binned/interop files
+        (the event-ingest path uses contiguous layouts and never
+        lands here)."""
+        import zlib
+
+        out = np.zeros(ds.shape, dtype=ds.dtype)
+        cdims = ds.chunk_dims
+        isz = ds.dtype.itemsize
+        for nbytes, mask, coords, addr in self._chunk_entries(
+            ds.chunk_btree, len(ds.shape)
+        ):
+            raw = bytes(self._buf[addr : addr + nbytes])
+            for pos, fid in reversed(list(enumerate(ds.filters))):
+                if mask & (1 << pos):
+                    continue  # filter skipped for this chunk
+                if fid == 1:
+                    raw = zlib.decompress(raw)
+                elif fid == 2:  # shuffle: de-interleave byte planes
+                    a = np.frombuffer(raw, dtype="u1").reshape(isz, -1)
+                    raw = a.T.tobytes()
+            chunk = np.frombuffer(raw, dtype=ds.dtype).reshape(cdims)
+            sel = tuple(
+                slice(c, min(c + d, s))
+                for c, d, s in zip(coords, cdims, ds.shape)
+            )
+            clip = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+            out[sel] = chunk[clip]
+        return out
 
     def read(self, name: str, start: int = 0, stop: int | None = None) -> np.ndarray:
         """Slice a 1-D dataset [start, stop): one byte-range decode of
         the contiguous block (n-D datasets read whole with start/stop
-        on the leading axis)."""
+        on the leading axis). Chunked datasets assemble once (cached)
+        and slice from the cache."""
         ds = self.datasets[name]
         n = ds.shape[0] if ds.shape else 1
         stop = n if stop is None else min(stop, n)
         start = max(0, start)
+        if ds.chunk_dims is not None:
+            if ds._cache is None:
+                ds._cache = self._assemble_chunked(ds)
+            return ds._cache[start:stop]
         row = int(np.prod(ds.shape[1:], dtype=np.int64)) if len(ds.shape) > 1 else 1
         isz = ds.dtype.itemsize * row
         raw = (

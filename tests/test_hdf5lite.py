@@ -86,7 +86,7 @@ def test_error_branches(tmp_path):
         fh.write(_SIG + bytes([9]) + b"\x00" * 80)
     with pytest.raises(ValueError, match="superblock version"):
         read_hdf5(p)
-    # chunked layout refuses loudly: craft a header with layout class 2
+    # unknown layout class refuses loudly: craft a header with class 3
     q = str(tmp_path / "ok.h5")
     write_hdf5(q, {"D": np.arange(10.0)})
     f = read_hdf5(q)
@@ -94,10 +94,10 @@ def test_error_branches(tmp_path):
     # find the layout message (version 3, class 1) and flip its class
     idx = buf.find(struct.pack("<BBQ", 3, 1, f.datasets["D"].data_addr))
     assert idx > 0
-    buf[idx + 1] = 2
-    r = str(tmp_path / "chunked.h5")
+    buf[idx + 1] = 3
+    r = str(tmp_path / "badclass.h5")
     open(r, "wb").write(bytes(buf))
-    with pytest.raises(ValueError, match="chunked"):
+    with pytest.raises(ValueError, match="layout class"):
         read_hdf5(r)
 
 
@@ -238,3 +238,119 @@ def test_nested_group_roundtrip(tmp_path):
     assert f.datasets["axes/ax0"].attrs["name"] == "E"
     assert f.datasets["axes/ax1"].attrs["name"] == "k"
     assert bytes(f.read("metadata/attrs").tobytes()) == b'{"run": 17}'
+
+
+def _chunked_file(path, arr, chunk, filters):
+    """Independent hand-encoder of a chunked+filtered HDF5 dataset
+    (libhdf5's gzip shape) — so the reader's chunk B-tree walk and
+    filter pipeline are tested against bytes it did not write."""
+    import zlib
+
+    _UNDEF = 0xFFFFFFFFFFFFFFFF
+    out = bytearray(b"\x00" * 96)
+    rank = arr.ndim
+    isz = arr.dtype.itemsize
+
+    # 1. chunk payloads
+    entries = []  # (nbytes, coords, addr)
+    grid = [range(0, s, c) for s, c in zip(arr.shape, chunk)]
+    import itertools
+
+    for coords in itertools.product(*grid):
+        full = np.zeros(chunk, dtype=arr.dtype)
+        sel = tuple(slice(c, min(c + d, s)) for c, d, s in zip(coords, chunk, arr.shape))
+        clip = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        full[clip] = arr[sel]
+        raw = full.tobytes()
+        for fid in filters:  # apply in pipeline order
+            if fid == 2:
+                a = np.frombuffer(raw, dtype="u1").reshape(-1, isz)
+                raw = a.T.tobytes()
+            elif fid == 1:
+                raw = zlib.compress(raw, 6)
+        addr = len(out)
+        out.extend(raw)
+        entries.append((len(raw), coords, addr))
+
+    # 2. chunk B-tree (level 0, one node)
+    btree_addr = len(out)
+    out.extend(b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), _UNDEF, _UNDEF))
+    for nbytes, coords, addr in entries:
+        out.extend(struct.pack("<II", nbytes, 0))
+        out.extend(struct.pack(f"<{rank + 1}Q", *coords, 0))
+        out.extend(struct.pack("<Q", addr))
+    out.extend(struct.pack("<II", 0, 0))  # trailing key
+    out.extend(struct.pack(f"<{rank + 1}Q", *arr.shape, isz))
+
+    # 3. object header: dataspace, datatype, filter pipeline v1, layout v3/2
+    from mpes_spark.io.hdf5lite import (
+        _dataspace_message,
+        _dtype_message,
+        _v1_header,
+    )
+
+    fparts = bytearray(struct.pack("<BB6x", 1, len(filters)))
+    for fid in filters:
+        fparts += struct.pack("<HHHH", fid, 0, 0, 1)  # 1 client value
+        fparts += struct.pack("<II", 6, 0)  # value + v1 odd-count pad
+    layout = struct.pack("<BBBQ", 3, 2, rank + 1, btree_addr)
+    layout += struct.pack(f"<{rank + 1}I", *chunk, isz)
+    oh_addr = len(out)
+    out.extend(
+        _v1_header(
+            [
+                (0x0001, _dataspace_message(arr.shape)),
+                (0x0003, _dtype_message(arr.dtype)),
+                (0x000B, bytes(fparts)),
+                (0x0008, layout),
+            ]
+        )
+    )
+
+    # 4. root group with one link
+    heap_addr = len(out)
+    heap = bytearray(b"\x00" * 8)
+    name_off = len(heap)
+    heap += b"D\x00" + b"\x00" * 6
+    out.extend(b"HEAP" + struct.pack("<BxxxQQQ", 0, len(heap), _UNDEF, heap_addr + 32))
+    out.extend(heap)
+    snod_addr = len(out)
+    out.extend(b"SNOD" + struct.pack("<BBH", 1, 0, 1))
+    out.extend(struct.pack("<QQIxxxx16x", name_off, oh_addr, 0))
+    bt = len(out)
+    out.extend(b"TREE" + struct.pack("<BBHQQ", 0, 0, 1, _UNDEF, _UNDEF))
+    out.extend(struct.pack("<QQQ", name_off, snod_addr, name_off))
+    root_oh = len(out)
+    out.extend(_v1_header([(0x0011, struct.pack("<QQ", bt, heap_addr))]))
+    from mpes_spark.io.hdf5lite import _SIG as SIG
+
+    sb = SIG + struct.pack(
+        "<BBBBBBBxHHIQQQQ", 0, 0, 0, 0, 0, 8, 8, 32, 16, 0, 0, _UNDEF, len(out), _UNDEF
+    )
+    sb += struct.pack("<QQIxxxxQQ", 0, root_oh, 1, bt, heap_addr)
+    out[: len(sb)] = sb
+    open(path, "wb").write(bytes(out))
+
+
+@pytest.mark.parametrize("filters", [(1,), (2, 1), ()])
+def test_chunked_gzip_decode(tmp_path, filters):
+    """Chunked layout + deflate/shuffle filters decode natively —
+    tested against an independently hand-encoded file, including
+    edge chunks that overhang the array bounds."""
+    rng = np.random.default_rng(9)
+    arr = rng.random((7, 5))
+    p = str(tmp_path / "c.h5")
+    _chunked_file(p, arr, (3, 2), list(filters))
+    f = read_hdf5(p)
+    ds = f.datasets["D"]
+    assert ds.chunk_dims == (3, 2) and ds.filters == tuple(filters)
+    np.testing.assert_array_equal(f.read("D"), arr)
+    np.testing.assert_array_equal(f.read("D", 2, 5), arr[2:5])
+
+
+def test_chunked_unknown_filter_refuses(tmp_path):
+    arr = np.arange(12.0).reshape(3, 4)
+    p = str(tmp_path / "szip.h5")
+    _chunked_file(p, arr, (2, 2), [4])  # szip id
+    with pytest.raises(ValueError, match="filter ids"):
+        read_hdf5(p)
