@@ -7,10 +7,11 @@ image decode itself is REAL for every library-free format (netpbm
 P2/P3/P5/P6, uncompressed BMP — numpy-only codecs in
 :mod:`mpes_spark.io.images`), and :func:`resize_images_decoded` runs
 a true decode -> nearest-neighbor resample -> re-encode per Arrow
-batch. Only codec-library formats (PNG/JPEG/TIFF) and audio/video
-container parsing remain env-gated behind ``NotImplementedError`` or
-a deterministic fake; swapping in PIL/ffmpeg is a one-function change
-and the distributed plan is unchanged.
+batch. Since r9 PNG decodes natively too (stdlib zlib + numpy
+unfiltering); only entropy-coded formats (JPEG/TIFF, MP3/OGG/FLAC,
+MJPG/H264) remain env-gated behind ``NotImplementedError``; swapping
+in PIL/ffmpeg is a one-function change and the distributed plan is
+unchanged.
 
 Data model: one row per asset,
     (asset_id bigint, modality string, payload binary,
@@ -257,7 +258,7 @@ def resize_images_decoded(
     re-encode as binary PNM — per Arrow batch over ``mapInPandas``,
     partition-preserving, no shuffle. This is the production shape
     :func:`resize_images` documents; payloads in env-gated formats
-    (PNG/JPEG/TIFF) raise the codec gate rather than passing through
+    (JPEG/TIFF) raise the codec gate rather than passing through
     silently wrong."""
     from mpes_spark.io.images import (
         decode_image_bytes,
