@@ -59,6 +59,12 @@ for rep in range(1, REPS + 1):
     order = list(names)
     random.Random(rep).shuffle(order)
     for n in order:
+        # r9 close protocol: clear leaked storage so every sample is
+        # COLD (leaked persists otherwise make interleaved reps reuse
+        # their own cache and understate the suite-cold cost)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         q[n](spark, sf_dir).collect()
