@@ -1154,8 +1154,13 @@ def ngram_novelty(
     the (potentially huge, skewed) shingle relation is never joined
     against itself. A ubiquitous shingle costs one map-side-combined
     count, not a skewed join partition. The shingle relation is
-    persisted across its two consumers."""
-    sh = shingle_table(df, text, n, id_col).persist()
+    RECOMPUTED by its two consumers, not persisted (r9, measured):
+    its lineage is one pruned scan + a stateless explode, so paying it
+    twice is 35% cheaper cold than materializing millions of rows into
+    storage — and at 100 TB a persisted shingle relation (larger than
+    the corpus) would be a memory disaster while the recompute stays
+    embarrassingly parallel."""
+    sh = shingle_table(df, text, n, id_col)
     freq = sh.groupBy("sh").agg(
         F.count(F.lit(1)).alias("df_cnt"), F.min(id_col).alias("owner")
     )
@@ -1224,7 +1229,8 @@ def ngram_novelty_k(
     final join is doc-sized vs doc-sized."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    sh = shingle_table(df, text, n, id_col).persist()
+    # recompute-not-persist: same scale argument as ngram_novelty (r9)
+    sh = shingle_table(df, text, n, id_col)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_cnt"))
     rare = freq.filter(F.col("df_cnt") <= k).select("sh")
     owners = (
