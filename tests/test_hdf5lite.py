@@ -354,3 +354,53 @@ def test_chunked_unknown_filter_refuses(tmp_path):
     _chunked_file(p, arr, (2, 2), [4])  # szip id
     with pytest.raises(ValueError, match="filter ids"):
         read_hdf5(p)
+
+
+# ---------------------------------------------------------------------------
+# property fuzz (hypothesis): arbitrary shapes/dtypes/names round-trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@given(
+    arr=arrays(
+        dtype=st.sampled_from([np.uint16, np.int32, np.float32, np.float64]),
+        shape=st.tuples(st.integers(1, 40)),
+    ),
+    name=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_hdf5_roundtrip_fuzz(tmp_path_factory, arr, name):
+    p = str(tmp_path_factory.mktemp("h5fuzz") / "f.h5")
+    write_hdf5(p, {name: arr}, {name: {"Name": "alias"}})
+    f = read_hdf5(p)
+    got = f.read(name)
+    np.testing.assert_array_equal(got, arr.astype(got.dtype))
+    assert f.datasets[name].attrs["Name"] == "alias"
+
+
+@given(
+    n=st.integers(1, 200),
+    start=st.integers(0, 250),
+    stop=st.integers(0, 250),
+)
+@settings(max_examples=60, deadline=None)
+def test_hdf5_slice_fuzz(tmp_path_factory, n, start, stop):
+    """Every [start, stop) slice equals the numpy slice, including
+    degenerate and out-of-range windows."""
+    p = str(tmp_path_factory.mktemp("h5slice") / "s.h5")
+    arr = np.arange(n, dtype="float64")
+    write_hdf5(p, {"d": arr})
+    f = read_hdf5(p)
+    want = arr[max(0, start) : min(stop, n)]
+    got = f.read("d", start, stop)
+    if stop < start:
+        assert got.size == 0 or np.array_equal(got, want)
+    else:
+        np.testing.assert_array_equal(got, want)
