@@ -429,14 +429,16 @@ def blocked_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """DataFrame rendering of :func:`blocked_jaccard_sql` (same
-    semantics, value-identical output) with the shingle relation
-    persisted across its three consumers — the SQL template's CTE is
-    inlined per reference by Catalyst, so the corpus would be
-    re-scanned and re-exploded once per consumer (the same fix the
-    MinHash path got in round 2). Use this form when the pair list
-    feeds further computation (e.g. cluster resolution); the SQL twin
-    stays the oracle."""
-    sh = shingle_table(df, text, n, id_col).persist()
+    semantics, value-identical output). The shingle relation is
+    RECOMPUTED by its consumers, not persisted (r9, measured cold
+    under the order-independent bench protocol): its lineage is one
+    pruned scan + a stateless explode, so paying it per consumer
+    beats materializing a corpus-scale relation into storage — and at
+    100 TB a persisted shingle table would be a memory hazard while
+    recompute stays embarrassingly parallel. Use this form when the
+    pair list feeds further computation (e.g. cluster resolution);
+    the SQL twin stays the oracle."""
+    sh = shingle_table(df, text, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     blocks = df.select(
         F.col(id_col),
@@ -574,7 +576,7 @@ def blocked_weighted_jaccard(
     doc-total sizes are needed — the exact shape of the set-Jaccard
     verify with icnt -> sum(min). All-integer numerator/denominator:
     the ratio is one IEEE divide, rounded for output only."""
-    sh = weighted_shingle_table(df, text, n, id_col).persist()
+    sh = weighted_shingle_table(df, text, n, id_col)
     sizes = sh.groupBy(id_col).agg(F.sum("cnt").alias("nsh"))
     blocks = df.select(
         F.col(id_col),
@@ -703,7 +705,7 @@ def prefix_filtered_pairs(
         token_sets(df, text, id_col)
         if n == 1
         else shingle_table(df, text, n, id_col)
-    ).persist()
+    )
     # element df via agg + equi-join, NOT a sh-keyed window: a window
     # would buffer each shingle's whole partition — a ubiquitous
     # element at 100 TB is one giant buffered partition, while the
@@ -862,14 +864,15 @@ def prefix_dual_pairs(
     of it) * d candidates, and ubiquitous elements are in nobody's
     prefix); the one-sided join is the price of containment
     completeness and is the standard asymmetric-prefix scheme. All
-    joins equi-keyed; the element relation is persisted across its
-    consumers and released after the verified result materializes."""
+    joins equi-keyed; the element relation is RECOMPUTED per consumer
+    (cheap scan+explode lineage — persisting it was measurably slower
+    cold and would be a memory hazard at scale, r9)."""
     t_eff = min(jaccard_threshold, containment_threshold)
     toks = (
         token_sets(df, text, id_col)
         if n == 1
         else shingle_table(df, text, n, id_col)
-    ).persist()
+    )
     dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
     w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
     wn = Window.partitionBy(id_col)
