@@ -448,6 +448,92 @@ FROM {table} d LEFT JOIN pads USING ({id_col})
 """.strip()
 
 
+def tiff_decode_stats(
+    docs: DataFrame, width: int = 10, max_bytes: int = 120, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL TIFF/LZW codec under the hash gate (r9 late — closes
+    the lossless half of the last image seam): each doc's leading
+    utf-8 bytes become a grayscale image (``width`` pixels per row,
+    zero-padded to a full last row), ENCODED to an LZW-compressed
+    TIFF with horizontal predictor 2 (the real-world pairing) and
+    DECODED back through the numpy TIFF6 path — IFD parse, strip
+    reassembly, early-change LZW inflate, predictor undo — inside one
+    Arrow batch, then reduced to integer pixel statistics plus the
+    round-tripped row count. The oracle re-derives the stats from the
+    characters, so a hash match proves the full compressed round-trip
+    lossless. All-integer output: exact gate."""
+    import numpy as np
+
+    from mpes_spark.io.images import read_tiff, write_tiff
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nrows, npix, sums, mx = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                ids.append(did)
+                if not raw:  # empty doc: no image, stats are zeros
+                    nrows.append(0), npix.append(0)
+                    sums.append(0), mx.append(0)
+                    continue
+                pad = (-len(raw)) % width
+                buf = np.frombuffer(raw + b"\x00" * pad, dtype="u1")
+                img = buf.reshape(-1, width)
+                decoded = read_tiff(  # the real compressed round-trip
+                    write_tiff(img, compression="lzw", predictor=2)
+                )
+                nrows.append(int(decoded.shape[0]))
+                npix.append(int(decoded.size))
+                sums.append(int(decoded.astype("int64").sum()))
+                mx.append(int(decoded.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_rows": pd.Series(nrows, dtype="int64"),
+                    "n_pixels": pd.Series(npix, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, "text").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_rows bigint, n_pixels bigint, "
+        "sum_pixels bigint, max_pixel bigint",
+    )
+
+
+def tiff_decode_stats_sql(
+    table: str, width: int = 10, max_bytes: int = 120, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`tiff_decode_stats`: the synthetic gray
+    image is the leading ``max_bytes`` (ASCII) bytes zero-padded to a
+    multiple of ``width``, so pixel stats are character stats plus
+    padding arithmetic; empty-text docs keep zero rows."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+  FROM {table} WHERE length(text) > 0
+),
+agg AS (
+  SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
+  FROM chars GROUP BY {id_col}
+),
+pads AS (
+  SELECT {id_col}, n_raw, s, m,
+         n_raw + ((-n_raw) % {width} + {width}) % {width} AS n_padded
+  FROM agg
+)
+SELECT d.{id_col},
+       CAST(COALESCE(n_padded // {width}, 0) AS BIGINT) AS n_rows,
+       CAST(COALESCE(n_padded, 0) AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s, 0) AS BIGINT) AS sum_pixels,
+       CAST(COALESCE(CASE WHEN n_padded > n_raw THEN greatest(m, 0) ELSE m END, 0)
+            AS BIGINT) AS max_pixel
+FROM {table} d LEFT JOIN pads USING ({id_col})
+""".strip()
+
+
 def audio_decode_stats(
     docs: DataFrame, rate: int = 16_000, max_bytes: int = 128, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -5,9 +5,13 @@ that needs no imaging library: binary/ascii netpbm (PGM/PPM — P2, P3,
 P5, P6 incl. 16-bit), uncompressed BMP (8-bit palette and 24-bit
 BI_RGB), PNG (r9: stdlib ``zlib`` inflate + numpy unfiltering — 8/16
 bit gray, gray+alpha, RGB, RGBA and 8-bit palette, non-interlaced),
-and the Igor-generated ARPES ``.txt`` matrix. Only JPEG/TIFF —
-formats whose decode genuinely requires a codec library — remain
-env-gated behind the documented ``NotImplementedError``.
+baseline TIFF (r9 late: both byte orders, multi-strip, Compression
+none/LZW/PackBits with the TIFF6 early-change code widths, horizontal
+predictor 2 — reader AND writer, so the LZW round-trip is provable
+without libtiff), and the Igor-generated ARPES ``.txt`` matrix. Only
+entropy-coded JPEG — whose decode genuinely requires a codec
+library — remains env-gated behind the documented
+``NotImplementedError``.
 
 Reference behaviors reproduced (API parity, fresh implementation):
 ``readimg`` /root/reference/mpes/fprocessing.py:290-296 (skimage there;
@@ -30,6 +34,12 @@ __all__ = [
     "read_bmp",
     "read_png",
     "write_png",
+    "read_tiff",
+    "write_tiff",
+    "lzw_encode",
+    "lzw_decode",
+    "packbits_encode",
+    "packbits_decode",
     "readimg",
     "im2mat",
     "mat2im",
@@ -315,29 +325,427 @@ def write_png(arr: np.ndarray, path: str | None = None) -> bytes:
     return out
 
 
+# -- TIFF (r9 late: closes the lossless half of the last image seam;
+#    only entropy-coded JPEG remains env-gated) ----------------------------
+
+# TIFF6 LZW code-width schedule with the spec's "early change": the
+# k-th code since the last ClearCode is written while the encoder's
+# next free table slot is 257 + k, and the width switches one code
+# earlier than the 9-bit ceiling requires (511/1023/2047, not
+# 512/1024/2048). Both sides derive the width from this ONE function
+# of the shared code counter, so encoder and decoder cannot drift.
+def _lzw_width(next_code: int) -> int:
+    if next_code <= 510:
+        return 9
+    if next_code <= 1022:
+        return 10
+    if next_code <= 2046:
+        return 11
+    return 12
+
+
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST, _LZW_LIMIT = 256, 257, 258, 4094
+
+
+class _BitWriter:
+    """MSB-first bit packer (TIFF LZW fill order)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF6 §13 LZW compressor (MSB-first packing, early-change code
+    widths, table flush at 4094 entries). Fresh implementation from
+    the public spec; the reference binds libtiff via skimage."""
+    bw = _BitWriter()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = _LZW_FIRST
+    bw.put(_LZW_CLEAR, _lzw_width(next_code))
+    w = b""
+    for i in range(len(data)):
+        k = data[i : i + 1]
+        wk = w + k
+        if wk in table:
+            w = wk
+            continue
+        bw.put(table[w], _lzw_width(next_code))
+        table[wk] = next_code
+        next_code += 1
+        w = k
+        if next_code >= _LZW_LIMIT:
+            bw.put(table[w], _lzw_width(next_code))
+            bw.put(_LZW_CLEAR, _lzw_width(next_code))
+            table = {bytes([j]): j for j in range(256)}
+            next_code = _LZW_FIRST
+            w = b""
+    if w:
+        bw.put(table[w], _lzw_width(next_code))
+        next_code += 1
+    bw.put(_LZW_EOI, _lzw_width(next_code))
+    return bw.done()
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF6 §13 LZW decompressor — the exact mirror of
+    :func:`lzw_encode`: the width of the k-th code since the last
+    ClearCode is ``_lzw_width(257 + k)`` (the encoder's next free slot
+    at write time), read MSB-first; the ``code == next`` case is the
+    classic KwKwK string."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    nread = 0  # codes read since the last ClearCode
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    total = len(data)
+    while True:
+        width = _lzw_width(_LZW_FIRST + nread)
+        while nbits < width:
+            if pos >= total:
+                return bytes(out)  # stream ended without explicit EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        nread += 1
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            del table[_LZW_FIRST:]
+            nread = 0
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+        out.extend(entry)
+        prev = entry
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits (TIFF6 §9): runs of >=3 become repeat packets,
+    everything else literal packets, both capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3 or (j - i == 128):
+            out.append((257 - (j - i)) & 0xFF)  # -(run-1) as signed
+            out.append(data[i])
+            i = j
+            continue
+        # literal: extend until a >=3 run starts or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # h+1 literals
+            out.extend(data[i : i + h + 1])
+            i += h + 1
+        elif h > 128:  # next byte repeated 257-h times
+            out.extend(data[i : i + 1] * (257 - h))
+            i += 1
+        # h == 128: noop
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+
+
+def _tiff_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
+    """Parse the first IFD into {tag: values} (integer types; RATIONAL
+    read as numerator/denominator pairs)."""
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", data, off)
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        base = off + 2 + 12 * e
+        tag, typ, count = struct.unpack_from(bo + "HHI", data, base)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        nbytes = size * count * (2 if typ in (5, 10) else 1)
+        if nbytes <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", data, base + 8)
+        fmt = _TIFF_TYPE_FMT.get(typ)
+        if fmt is None:
+            if typ in (5, 10):  # RATIONAL: pairs of (u)int32
+                f = "I" if typ == 5 else "i"
+                vals = list(
+                    struct.unpack_from(bo + f * (2 * count), data, voff)
+                )
+            else:
+                vals = list(data[voff : voff + count])
+            tags[tag] = vals
+            continue
+        tags[tag] = list(struct.unpack_from(bo + fmt * count, data, voff))
+    return tags
+
+
+def _undo_predictor2(flat: np.ndarray, width: int, samples: int) -> np.ndarray:
+    """Horizontal-differencing predictor (TIFF6 §14, tag 317 == 2):
+    each row is a per-channel mod-2^depth prefix sum."""
+    rows = flat.reshape(-1, width, samples).astype(np.uint64)
+    mod = np.uint64(1 << (flat.dtype.itemsize * 8))
+    rec = np.cumsum(rows, axis=1) % mod
+    return rec.astype(flat.dtype).reshape(-1)
+
+
+def read_tiff(data: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (first IFD) with no imaging library:
+    both byte orders, 8/16-bit grayscale and 8-bit RGB/RGBA, chunky
+    planar config, multi-strip, Compression 1 (none) / 5 (LZW, with
+    the early-change code widths) / 32773 (PackBits), and horizontal
+    predictor 2. Returns (H, W) or (H, W, S). Entropy-coded JPEG-in-
+    TIFF stays env-gated. Reference entry point: ``readimg``,
+    /root/reference/mpes/fprocessing.py:290-296 (skimage/libtiff
+    there; a fresh TIFF6-spec implementation here)."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    tags = _tiff_ifd(data, bo)
+    width = tags[256][0]
+    height = tags[257][0]
+    bits = tags.get(258, [8])
+    samples = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    offsets = tags[273]
+    counts = tags.get(279)
+    if planar != 1:
+        raise ValueError("planar (separate-plane) TIFF unsupported")
+    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+        raise ValueError(f"unsupported BitsPerSample {bits}")
+    depth = bits[0]
+    if counts is None:
+        if comp != 1 or len(offsets) != 1:
+            raise ValueError("missing StripByteCounts")
+        counts = [height * width * samples * depth // 8]
+    if comp == 1:
+        raw = b"".join(
+            data[o : o + c] for o, c in zip(offsets, counts)
+        )
+    elif comp == 5:
+        raw = b"".join(
+            lzw_decode(data[o : o + c]) for o, c in zip(offsets, counts)
+        )
+    elif comp == 32773:
+        raw = b"".join(
+            packbits_decode(data[o : o + c]) for o, c in zip(offsets, counts)
+        )
+    elif comp == 6 or comp == 7:
+        raise NotImplementedError(
+            "JPEG-compressed TIFF requires a codec library not present in "
+            "this runtime; uncompressed/LZW/PackBits TIFF decodes natively"
+        )
+    else:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    dt = np.dtype(bo + "u2") if depth == 16 else np.dtype("u1")
+    flat = np.frombuffer(raw, dtype=dt)[: height * width * samples]
+    if flat.size != height * width * samples:
+        raise ValueError("truncated TIFF pixel data")
+    flat = flat.astype("u2" if depth == 16 else "u1")
+    if predictor == 2:
+        flat = _undo_predictor2(flat, width, samples)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+    img = flat.reshape(height, width, samples)
+    return img[:, :, 0] if samples == 1 else img
+
+
+def write_tiff(
+    arr: np.ndarray,
+    path: str | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    byte_order: str = "<",
+) -> bytes:
+    """Encode (H, W) gray (uint8/uint16) or (H, W, 3|4) uint8 as a
+    baseline TIFF — single IFD, chunky, optional multi-strip, with
+    Compression none/'packbits'/'lzw' and horizontal predictor 2 (the
+    real-world LZW pairing). A writer the reference lacks entirely
+    (its ``mat2im`` shells out to PIL); here it exists so the LZW
+    round-trip can be hash-gated without any imaging library."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
+        raise ValueError(f"need (H, W[, 1|3|4]), got {np.asarray(arr).shape}")
+    h, w, s = a.shape
+    depth = 16 if a.dtype.itemsize > 1 else 8
+    if depth == 16 and s != 1:
+        raise ValueError("16-bit write supported for grayscale only")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    pix = a.astype(bo + "u2") if depth == 16 else a.astype("u1")
+    if predictor == 2:
+        native = a.astype("u2" if depth == 16 else "u1").astype(np.int64)
+        diff = native.copy()
+        diff[:, 1:, :] = native[:, 1:, :] - native[:, :-1, :]
+        diff %= 1 << depth
+        pix = diff.astype(bo + "u2") if depth == 16 else diff.astype("u1")
+    elif predictor != 1:
+        raise ValueError("predictor must be 1 or 2")
+    rps = rows_per_strip or h
+    row_bytes = w * s * depth // 8
+    strips = []
+    raw = pix.tobytes()
+    for r0 in range(0, h, rps):
+        chunk = raw[r0 * row_bytes : min(r0 + rps, h) * row_bytes]
+        if comp_id == 5:
+            chunk = lzw_encode(chunk)
+        elif comp_id == 32773:
+            chunk = packbits_encode(chunk)
+        strips.append(chunk)
+
+    def pk(fmt: str, *v: int) -> bytes:
+        return struct.pack(bo + fmt, *v)
+
+    # layout: header(8) | strip data | [bits array if s > 2] | IFD
+    pos = 8
+    strip_offsets = []
+    for st in strips:
+        strip_offsets.append(pos)
+        pos += len(st)
+    bits_off = pos
+    if s > 2:
+        pos += 2 * s
+    ifd_off = pos
+    entries = []
+
+    def entry(tag: int, typ: int, count: int, value_bytes: bytes) -> None:
+        entries.append(pk("HHI", tag, typ, count) + value_bytes.ljust(4, b"\0"))
+
+    def offs_entry(tag: int, values: list[int], typ: int = 4) -> bytes | None:
+        """LONG/SHORT array entry; returns trailing bytes if external."""
+        fmt = "I" if typ == 4 else "H"
+        blob = pk(fmt * len(values), *values)
+        if len(blob) <= 4:
+            entry(tag, typ, len(values), blob)
+            return None
+        return blob  # caller appends after IFD and patches the offset
+
+    entry(256, 4, 1, pk("I", w))
+    entry(257, 4, 1, pk("I", h))
+    if s > 2:
+        entry(258, 3, s, pk("I", bits_off))
+    else:
+        entry(258, 3, s, pk("H" * s, *([depth] * s)))
+    entry(259, 3, 1, pk("H", comp_id))
+    entry(262, 3, 1, pk("H", 2 if s >= 3 else 1))  # RGB / BlackIsZero
+    tail = bytearray()
+    tail_base = ifd_off  # patched below once entry count is final
+    deferred: list[tuple[int, bytes]] = []  # (entries index, blob)
+    so_blob = offs_entry(273, strip_offsets)
+    if so_blob is not None:
+        deferred.append((len(entries) - 0, so_blob))
+        entry(273, 4, len(strip_offsets), pk("I", 0))
+    entry(277, 3, 1, pk("H", s))
+    entry(278, 4, 1, pk("I", rps))
+    sc_blob = offs_entry(279, [len(st) for st in strips])
+    if sc_blob is not None:
+        deferred.append((len(entries) - 0, sc_blob))
+        entry(279, 4, len(strips), pk("I", 0))
+    entry(284, 3, 1, pk("H", 1))
+    if predictor == 2:
+        entry(317, 3, 1, pk("H", predictor))
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_pos = ifd_off + ifd_size
+    # patch deferred array offsets now that the IFD size is known
+    fixed = []
+    di = {idx: blob for idx, blob in deferred}
+    for i, e in enumerate(entries):
+        if i in di:
+            fixed.append(e[:8] + pk("I", ext_pos))
+            tail.extend(di[i])
+            ext_pos += len(di[i])
+        else:
+            fixed.append(e)
+    out = bytearray()
+    out += (b"II*\x00" if bo == "<" else b"MM\x00*") + pk("I", ifd_off)
+    for st in strips:
+        out += st
+    if s > 2:
+        out += pk("H" * s, *([depth] * s))
+    out += pk("H", len(fixed))
+    for e in fixed:
+        out += e
+    out += pk("I", 0)
+    out += tail
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(bytes(out))
+    return bytes(out)
+
+
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Magic-dispatched decode of in-memory image bytes. PNM, BMP and
-    PNG decode natively (numpy + stdlib zlib); JPEG/TIFF raise the
-    documented env-gate (entropy coding genuinely needs a codec
-    library this runtime lacks)."""
+    """Magic-dispatched decode of in-memory image bytes. PNM, BMP,
+    PNG and TIFF (none/LZW/PackBits) decode natively (numpy + stdlib
+    zlib); JPEG raises the documented env-gate (entropy coding
+    genuinely needs a codec library this runtime lacks)."""
     if payload[:2] in _PNM_MAGICS:
         return read_pnm(payload)
     if payload[:2] == b"BM":
         return read_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return read_png(payload)
-    named = {
-        b"\xff\xd8\xff": "JPEG",
-        b"II*\x00": "TIFF",
-        b"MM\x00*": "TIFF",
-    }
-    for magic, name in named.items():
-        if payload[: len(magic)] == magic:
-            raise NotImplementedError(
-                f"{name} decoding requires an imaging library not present "
-                "in this runtime; plug PIL/opencv into decode_image_bytes — "
-                "PNM/BMP/PNG decode natively and the Spark plumbing is complete"
-            )
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return read_tiff(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError(
+            "JPEG decoding requires an imaging library not present "
+            "in this runtime; plug PIL/opencv into decode_image_bytes — "
+            "PNM/BMP/PNG/TIFF decode natively and the Spark plumbing is "
+            "complete"
+        )
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 

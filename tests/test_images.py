@@ -345,3 +345,128 @@ def test_png_dispatch_and_rejects():
         read_png(b"nope")
     with pytest.raises(NotImplementedError):  # JPEG still env-gated
         decode_image_bytes(b"\xff\xd8\xff\xe0rest")
+
+
+# -- TIFF (r9 late: uncompressed / PackBits / LZW + predictor 2) ------------
+
+from mpes_spark.io.images import (  # noqa: E402
+    lzw_decode,
+    lzw_encode,
+    packbits_decode,
+    packbits_encode,
+    read_tiff,
+    write_tiff,
+)
+
+
+def test_lzw_hand_vector():
+    # ABABABA -> codes [Clear=256, 65, 66, 258, 260, EOI=257], all
+    # 9-bit MSB-first: bitstream hand-packed to these exact bytes.
+    enc = lzw_encode(b"ABABABA")
+    assert enc == bytes([0x80, 0x10, 0x48, 0x50, 0x28, 0x24, 0x04])
+    assert lzw_decode(enc) == b"ABABABA"
+
+
+def test_lzw_width_bumps_and_table_flush():
+    rng = np.random.default_rng(13)
+    # incompressible stream long enough to cross 511/1023/2047 and the
+    # 4094-entry table flush several times
+    data = rng.integers(0, 256, 200_000).astype("u1").tobytes()
+    assert lzw_decode(lzw_encode(data)) == data
+    # highly-compressible long runs exercise the KwKwK path
+    runs = b"".join(bytes([b]) * 997 for b in range(40))
+    assert lzw_decode(lzw_encode(runs)) == runs
+    assert lzw_decode(lzw_encode(b"")) == b""
+
+
+def test_packbits_roundtrip_and_packets():
+    rng = np.random.default_rng(17)
+    for n in (0, 1, 2, 3, 128, 129, 385, 5000):
+        d = rng.integers(0, 4, n).astype("u1").tobytes()
+        assert packbits_decode(packbits_encode(d)) == d
+    # >=3 runs become 2-byte repeat packets
+    assert packbits_encode(b"\x07" * 5) == bytes([257 - 5, 7])
+    assert len(packbits_encode(b"\x07" * 400)) <= 8
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [
+        ((13, 9), np.uint8),
+        ((7, 5), np.uint16),
+        ((6, 11, 3), np.uint8),
+        ((4, 4, 4), np.uint8),
+        ((1, 1), np.uint8),
+    ],
+)
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw"])
+def test_tiff_roundtrip(shape, dtype, comp):
+    rng = np.random.default_rng(7)
+    hi = 65535 if dtype == np.uint16 else 255
+    arr = rng.integers(0, hi, size=shape).astype(dtype)
+    for pred in (1, 2):
+        for bo in ("<", ">"):
+            got = read_tiff(
+                write_tiff(arr, compression=comp, predictor=pred, byte_order=bo)
+            )
+            assert got.shape == arr.shape and got.dtype == arr.dtype
+            np.testing.assert_array_equal(got, arr)
+
+
+def test_tiff_multistrip_external_arrays():
+    # 13 rows at rows_per_strip=3 -> 5 strips -> StripOffsets and
+    # StripByteCounts no longer fit inline in the IFD entry (the
+    # external-array writer path) and decode reassembles the strips
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 255, size=(13, 6)).astype(np.uint8)
+    buf = write_tiff(arr, compression="lzw", predictor=2, rows_per_strip=3)
+    np.testing.assert_array_equal(read_tiff(buf), arr)
+
+
+def test_tiff_dispatch_and_rejects(tmp_path):
+    rng = np.random.default_rng(29)
+    g = rng.integers(0, 255, size=(5, 7)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        decode_image_bytes(write_tiff(g, compression="lzw")), g
+    )
+    p = tmp_path / "img.tiff"
+    write_tiff(g, path=str(p))
+    np.testing.assert_array_equal(readimg(str(p)), g)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        read_tiff(b"nope")
+    # JPEG-in-TIFF stays the documented env seam
+    buf = bytearray(write_tiff(g))
+    # patch Compression tag (259) value to 7 (JPEG)
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    for e in range(n):
+        base = ifd_off + 2 + 12 * e
+        (tag,) = struct.unpack_from("<H", buf, base)
+        if tag == 259:
+            struct.pack_into("<H", buf, base + 8, 7)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        read_tiff(bytes(buf))
+
+
+@given(
+    arrays(
+        dtype=np.uint8,
+        shape=st.tuples(
+            st.integers(1, 9), st.integers(1, 9)
+        ),
+        elements=st.integers(0, 255),
+    ),
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.sampled_from([1, 2]),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_gray_roundtrip_fuzz(arr, comp, pred):
+    got = read_tiff(write_tiff(arr, compression=comp, predictor=pred))
+    np.testing.assert_array_equal(got, arr)
+
+
+@given(st.binary(max_size=3000))
+@settings(max_examples=120, deadline=None)
+def test_lzw_packbits_roundtrip_fuzz(data):
+    assert lzw_decode(lzw_encode(data)) == data
+    assert packbits_decode(packbits_encode(data)) == data
