@@ -1636,6 +1636,23 @@ def png_decode_stats(spark, sf_dir):
     return MM.png_decode_stats(_docs(spark, sf_dir), width=8, max_bytes=120)
 
 
+@_q(
+    "tiff_decode_stats",
+    MM.tiff_decode_stats_sql("documents", width=10, max_bytes=120),
+)
+def tiff_decode_stats(spark, sf_dir):
+    """The REAL TIFF/LZW codec under the driver's hash gate (r9 late —
+    closes the lossless half of the last image seam; only entropy-
+    coded JPEG remains env-gated): leading doc bytes -> grayscale
+    image -> LZW-compressed TIFF with horizontal predictor 2 -> IFD
+    parse + strip reassembly + early-change LZW inflate + predictor
+    undo -> integer pixel stats + round-tripped row count, all inside
+    one Arrow batch. The oracle re-derives the stats from the
+    characters, so a hash match proves the full compressed round-trip
+    lossless (io/images.py:read_tiff, write_tiff, lzw_decode)."""
+    return MM.tiff_decode_stats(_docs(spark, sf_dir), width=10, max_bytes=120)
+
+
 from mpes_spark.extras import privacy as PV  # noqa: E402
 
 
@@ -2348,6 +2365,40 @@ def source_diversity(spark, sf_dir):
             / F.max("n_sources"),
             6,
         ).alias("gini"),
+    )
+
+
+# -- HTML -> text extraction (r9 late: the crawl pipeline's stage 0) -------
+
+from mpes_spark.extras import html as HT  # noqa: E402
+
+
+@_q(
+    "html_extract_text",
+    "SELECT doc_id, "
+    f"{HT.html_to_text_sql(HT.wrap_as_html_sql('text'))} AS clean_text, "
+    f"CAST(length({HT.html_to_text_sql(HT.wrap_as_html_sql('text'))}) "
+    "AS BIGINT) AS n_chars FROM documents",
+)
+def html_extract_text(spark, sf_dir):
+    """HTML -> text extraction under a STRING-EXACT hash gate (r9
+    late): each document is wrapped into a deterministic synthetic
+    page containing the hazards a rule extractor must survive —
+    comments, a <script> holding fake tags inside string literals,
+    <style> rules, nested inline tags, block structure, double-encoded
+    entities — then extracted back by the shared transform chain
+    (extras/html.py:_STEPS, rendered from ONE table into both the
+    Catalyst expression and the DuckDB twin). The gate hashes the
+    extracted STRING itself, so any dialect divergence in any of the
+    14 steps flips the hash. Stateless JVM-side projection: no UDF,
+    no shuffle, scan-pruning transparent — the 100 TB crawl-ingest
+    stage 0."""
+    docs = _docs(spark, sf_dir)
+    clean = HT.html_to_text_expr(HT.wrap_as_html_expr(F.col("text")))
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("n_chars"),
     )
 
 
