@@ -4,8 +4,10 @@ every format that needs no codec library decodes for real; compressed
 formats stay env-gated).
 
 Supported: RIFF/WAVE PCM (8-bit unsigned, 16-bit signed, mono or
-multi-channel) read/write, linear resample, windowed RMS /
-zero-crossing features. MP3/OGG/FLAC raise the documented
+multi-channel) read/write, FLAC read/write (r9 late, via
+:mod:`mpes_spark.io.flac` — full subframe/Rice/stereo-decorrelation
+decoder, FIXED+Rice encoder), linear resample, windowed RMS /
+zero-crossing features. Lossy MP3/OGG raise the documented
 ``NotImplementedError``.
 """
 
@@ -69,18 +71,24 @@ def write_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_audio_bytes(payload: bytes) -> tuple[np.ndarray, int]:
-    """Magic-dispatched audio decode: WAV PCM natively; MP3/OGG/FLAC
-    env-gated (they need a codec library this runtime lacks)."""
+    """Magic-dispatched audio decode: WAV PCM and FLAC natively (r9
+    late: :mod:`mpes_spark.io.flac` — lossless, so no codec library is
+    genuinely needed); lossy MP3/OGG stay env-gated."""
     if payload[:4] == b"RIFF":
         return read_wav(payload)
-    named = {b"ID3": "MP3", b"\xff\xfb": "MP3", b"OggS": "OGG", b"fLaC": "FLAC"}
+    if payload[:4] == b"fLaC":
+        from mpes_spark.io.flac import read_flac
+
+        samples, rate = read_flac(payload)
+        return (samples[:, 0] if samples.shape[1] == 1 else samples), rate
+    named = {b"ID3": "MP3", b"\xff\xfb": "MP3", b"OggS": "OGG"}
     for magic, name in named.items():
         if payload[: len(magic)] == magic:
             raise NotImplementedError(
                 f"{name} decoding requires an audio codec library not "
                 "present in this runtime; plug ffmpeg/soundfile into "
-                "decode_audio_bytes — WAV PCM decodes natively and the "
-                "Spark plumbing is complete"
+                "decode_audio_bytes — WAV PCM and FLAC decode natively "
+                "and the Spark plumbing is complete"
             )
     raise ValueError(f"unrecognized audio magic {payload[:4]!r}")
 
