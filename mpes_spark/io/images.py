@@ -8,10 +8,10 @@ bit gray, gray+alpha, RGB, RGBA and 8-bit palette, non-interlaced),
 baseline TIFF (r9 late: both byte orders, multi-strip, Compression
 none/LZW/PackBits with the TIFF6 early-change code widths, horizontal
 predictor 2 — reader AND writer, so the LZW round-trip is provable
-without libtiff), and the Igor-generated ARPES ``.txt`` matrix. Only
-entropy-coded JPEG — whose decode genuinely requires a codec
-library — remains env-gated behind the documented
-``NotImplementedError``.
+without libtiff), baseline JPEG (r9 late: full entropy/DCT codec,
+:mod:`mpes_spark.io.jpeg` — the image env seam is CLOSED; progressive
+JPEG is the one explicit ValueError left), and the Igor-generated
+ARPES ``.txt`` matrix.
 
 Reference behaviors reproduced (API parity, fresh implementation):
 ``readimg`` /root/reference/mpes/fprocessing.py:290-296 (skimage there;
@@ -727,10 +727,11 @@ def write_tiff(
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:
-    """Magic-dispatched decode of in-memory image bytes. PNM, BMP,
-    PNG and TIFF (none/LZW/PackBits) decode natively (numpy + stdlib
-    zlib); JPEG raises the documented env-gate (entropy coding
-    genuinely needs a codec library this runtime lacks)."""
+    """Magic-dispatched decode of in-memory image bytes — every format
+    the reference's ``readimg`` met through skimage now decodes
+    natively: PNM, BMP, PNG, TIFF (none/LZW/PackBits) and baseline
+    JPEG (r9 late, :mod:`mpes_spark.io.jpeg`). Progressive JPEG is the
+    one remaining explicit ValueError."""
     if payload[:2] in _PNM_MAGICS:
         return read_pnm(payload)
     if payload[:2] == b"BM":
@@ -740,12 +741,9 @@ def decode_image_bytes(payload: bytes) -> np.ndarray:
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return read_tiff(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decoding requires an imaging library not present "
-            "in this runtime; plug PIL/opencv into decode_image_bytes — "
-            "PNM/BMP/PNG/TIFF decode natively and the Spark plumbing is "
-            "complete"
-        )
+        from mpes_spark.io.jpeg import read_jpeg
+
+        return read_jpeg(payload)
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 

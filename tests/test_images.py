@@ -343,7 +343,9 @@ def test_png_dispatch_and_rejects():
         read_png(png)
     with pytest.raises(ValueError, match="not a PNG"):
         read_png(b"nope")
-    with pytest.raises(NotImplementedError):  # JPEG still env-gated
+    # JPEG now dispatches to the native baseline decoder (r9 late);
+    # malformed JPEG bytes fail with a decoder error, not an env gate
+    with pytest.raises(ValueError):
         decode_image_bytes(b"\xff\xd8\xff\xe0rest")
 
 
