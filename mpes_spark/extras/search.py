@@ -982,6 +982,166 @@ FROM j GROUP BY {id_col}
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the Chen &
+# Goodman 1999 interpolated formulation) — the standard n-gram
+# smoother, completing the LM family next to add-alpha and Stupid
+# Backoff: the lower-order distribution is the CONTINUATION
+# distribution (how many distinct contexts a word follows), not raw
+# frequency, which is what makes "San Francisco"-style words stop
+# leaking probability mass to "Francisco" after unseen contexts.
+# ---------------------------------------------------------------------------
+
+_KN_SEED = 5741
+_KN_DISCOUNT = 0.75
+_KN_ALPHA = 0.5
+
+
+def kneser_ney_scores(
+    docs: DataFrame,
+    discount: float = _KN_DISCOUNT,
+    alpha: float = _KN_ALPHA,
+    seed: int = _KN_SEED,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out interpolated-KN bigram scoring. With c12 = train count
+    of (w1 w2), c1 = total bigram count of context w1, R(w1) = distinct
+    right types after w1, L(w2) = distinct left types before w2, B =
+    total distinct bigram types, V = train vocab size:
+
+        P_cont(w2)  = (L(w2) + alpha) / (B + alpha * (V + 1))
+        P(w2 | w1)  = max(c12 - D, 0)/c1 + (D * R(w1)/c1) * P_cont(w2)
+                      (unseen context w1 -> P_cont(w2) alone)
+
+    The continuation distribution carries add-``alpha`` mass with
+    V + 1 types so held-out OOV words score finite — the one extra
+    type IS the unk bucket; inside the seen region this is exact
+    interpolated KN with absolute discount ``D``. Docs split 90/10 by
+    the same seeded md5 draw as Stupid Backoff (different seed), so
+    every tier — seen bigram, unseen bigram in seen context, unseen
+    context, OOV word — genuinely fires on the held-out side.
+
+    Scale shape: identical to :func:`stupid_backoff_scores` — count
+    and type tables are vocab-bounded groupBys with map-side combine
+    (R and L are per-key COUNTS of the bigram relation, never
+    collected lists); scoring is three LEFT equi-joins against the
+    held-out bigram stream (count side far smaller -> AQE broadcasts)
+    plus two 1-row broadcasts. No UDFs, whole-stage codegen."""
+    is_test = _sb_split_test_expr(seed, id_col)
+    base = docs.select(
+        F.col(id_col), F.split(F.col(text), " ").alias("ws"), is_test.alias("is_test")
+    )
+    pairs = F.explode(
+        F.expr(
+            "transform(sequence(0, size(ws) - 2), "
+            "i -> struct(element_at(ws, i + 1) AS w1, "
+            "element_at(ws, i + 2) AS w2))"
+        )
+    )
+    train2 = (
+        base.filter(~F.col("is_test"))
+        .filter(F.size("ws") >= 2)
+        .select(pairs.alias("g"))
+        .select("g.w1", "g.w2")
+    )
+    bi = train2.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("rtypes")
+    )
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("ltypes"))
+    btot = bi.agg(F.count(F.lit(1)).cast("double").alias("B"))
+    vocab = (
+        base.filter(~F.col("is_test"))
+        .select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("V"))
+    )
+    pos = (
+        base.filter(F.col("is_test") & (F.size("ws") >= 2))
+        .select(F.col(id_col), pairs.alias("g"))
+        .select(id_col, "g.w1", "g.w2")
+    )
+    j = (
+        pos.join(bi, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(vocab))
+    )
+    pcont = (F.coalesce(F.col("ltypes"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("B") + F.lit(alpha) * (F.col("V") + F.lit(1.0))
+    )
+    seen = (
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - F.lit(discount), F.lit(0.0))
+        / F.col("c1")
+        + (F.lit(discount) * F.col("rtypes") / F.col("c1")) * pcont
+    )
+    score = F.when(F.col("c1").isNotNull(), seen).otherwise(pcont)
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg(F.log(score)), 6).alias("avg_logprob"),
+    )
+
+
+def kneser_ney_scores_sql(
+    table: str = "documents",
+    discount: float = _KN_DISCOUNT,
+    alpha: float = _KN_ALPHA,
+    seed: int = _KN_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`kneser_ney_scores` — per-row score
+    expressions written with the identical association order, so the
+    only cross-engine float residue is the per-doc avg (rounded 6dp,
+    the convention the green Stupid Backoff gate already carries)."""
+    from mpes_spark.extras.dedup import _md5_hash_sql
+
+    h = _md5_hash_sql(seed, f"CAST({id_col} AS VARCHAR)", "duckdb")
+    d, a = repr(discount), repr(alpha)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, string_split(text, ' ') AS ws,
+         ({h}) % 10 = 0 AS is_test
+  FROM {table}
+),
+train2 AS (
+  SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM (SELECT ws FROM base WHERE NOT is_test AND len(ws) >= 2) s,
+       unnest(range(len(ws) - 1)) AS r(i)
+),
+bi AS (SELECT w1, w2, count(*) AS c12 FROM train2 GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS rtypes FROM bi GROUP BY w1),
+cont AS (SELECT w2, count(*) AS ltypes FROM bi GROUP BY w2),
+btot AS (SELECT CAST(count(*) AS DOUBLE) AS B FROM bi),
+vocab AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS V
+  FROM (SELECT unnest(ws) AS w FROM base WHERE NOT is_test) t
+),
+pos AS (
+  SELECT {id_col}, ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM (SELECT {id_col}, ws FROM base WHERE is_test AND len(ws) >= 2) s,
+       unnest(range(len(ws) - 1)) AS r(i)
+),
+j AS (
+  SELECT p.{id_col},
+         CASE WHEN ctx.c1 IS NOT NULL THEN
+           greatest(coalesce(bi.c12, 0) - {d}, 0.0) / ctx.c1
+           + (({d} * ctx.rtypes / ctx.c1)
+              * ((coalesce(cont.ltypes, 0) + {a}) / (btot.B + {a} * (vocab.V + 1.0))))
+         ELSE (coalesce(cont.ltypes, 0) + {a}) / (btot.B + {a} * (vocab.V + 1.0))
+         END AS s
+  FROM pos p
+  LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+  LEFT JOIN ctx ON ctx.w1 = p.w1
+  LEFT JOIN cont ON cont.w2 = p.w2
+  CROSS JOIN btot CROSS JOIN vocab
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(s)), 6) AS avg_logprob
+FROM j GROUP BY {id_col}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # generation eval: n-gram overlap (ROUGE-N family)
 # ---------------------------------------------------------------------------
 
