@@ -607,6 +607,193 @@ FROM {table} d LEFT JOIN agg USING ({id_col})
 """.strip()
 
 
+def jpeg_decode_stats(
+    docs: DataFrame, width: int = 6, max_bytes: int = 48, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL baseline-JPEG codec under the hash gate (r9 late —
+    the format is lossy, but the constant-block content class is
+    provably lossless at quality 100: each 8x8 block is DC-only with
+    exactly representable coefficients, so rounding margins are
+    ~1e-13, far from the 0.5 flip distance). Each doc's leading bytes
+    become an image of 8x8 CONSTANT tiles (``width`` tiles per row,
+    zero-padded), ENCODED to baseline JPEG (Huffman entropy coding,
+    byte stuffing, DC prediction, zigzag, quant, DCT) and DECODED
+    back inside one Arrow batch, then reduced to integer pixel stats.
+    The oracle re-derives them from characters (x64 per byte), so a
+    hash match proves the entire entropy/DCT pipeline exact on this
+    class."""
+    import numpy as np
+
+    from mpes_spark.io.jpeg import read_jpeg, write_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nrows, npix, sums, mx = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                ids.append(did)
+                if not raw:  # empty doc: no image, stats are zeros
+                    nrows.append(0), npix.append(0)
+                    sums.append(0), mx.append(0)
+                    continue
+                pad = (-len(raw)) % width
+                tiles = np.frombuffer(raw + b"\x00" * pad, dtype="u1")
+                img = np.repeat(
+                    np.repeat(tiles.reshape(-1, width), 8, axis=0), 8, axis=1
+                )
+                decoded = read_jpeg(write_jpeg(img, quality=100))
+                nrows.append(int(decoded.shape[0]))
+                npix.append(int(decoded.size))
+                sums.append(int(decoded.astype("int64").sum()))
+                mx.append(int(decoded.max()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_rows": pd.Series(nrows, dtype="int64"),
+                    "n_pixels": pd.Series(npix, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(mx, dtype="int64"),
+                }
+            )
+
+    # the local corpus is a single row group -> a 1-task scan; this
+    # decode is CPU-bound pure Python per block, so spread the rows
+    # first. The partition count is EXPLICIT: rows are tiny by bytes,
+    # so AQE would coalesce an advisory shuffle right back to one
+    # partition (no joins downstream — the AQE broadcast-demotion
+    # concern documented at _docs does not apply here).
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(id_col, "text")
+        .repartition(n_part, F.col(id_col))
+        .mapInPandas(
+            batches,
+            schema=f"{id_col} bigint, n_rows bigint, n_pixels bigint, "
+            "sum_pixels bigint, max_pixel bigint",
+        )
+    )
+
+
+def jpeg_decode_stats_sql(
+    table: str, width: int = 6, max_bytes: int = 48, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`jpeg_decode_stats`: every byte becomes a
+    64-pixel constant tile, so pixel stats are character stats x 64
+    plus the padding arithmetic."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
+  FROM {table} WHERE length(text) > 0
+),
+agg AS (
+  SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
+  FROM chars GROUP BY {id_col}
+),
+pads AS (
+  SELECT {id_col}, n_raw, s, m,
+         n_raw + ((-n_raw) % {width} + {width}) % {width} AS n_padded
+  FROM agg
+)
+SELECT d.{id_col},
+       CAST(COALESCE((n_padded // {width}) * 8, 0) AS BIGINT) AS n_rows,
+       CAST(COALESCE(n_padded * 64, 0) AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s * 64, 0) AS BIGINT) AS sum_pixels,
+       CAST(COALESCE(CASE WHEN n_padded > n_raw THEN greatest(m, 0) ELSE m END, 0)
+            AS BIGINT) AS max_pixel
+FROM {table} d LEFT JOIN pads USING ({id_col})
+""".strip()
+
+
+def flac_decode_stats(
+    docs: DataFrame,
+    rate: int = 16_000,
+    max_bytes: int = 120,
+    blocksize: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REAL FLAC codec under the hash gate (r9 late — the lossless
+    third of the audio seam, closed the way TIFF/LZW closed the image
+    one): each doc's leading bytes become an int16 PCM signal via a
+    running PREFIX SUM (smooth -> the FIXED-predictor + Rice encoder
+    path genuinely engages), ENCODED to multi-frame FLAC (``blocksize``
+    32 forces several frames, coded frame numbers, per-frame CRCs) and
+    DECODED back inside one Arrow batch, then reduced to integer
+    statistics. ``sum_samples`` = sum of the prefix sums is POSITION-
+    WEIGHTED in the raw bytes, so the gate proves decode preserves
+    sample ORDER, not just the multiset — stronger than the WAV twin.
+    The oracle re-derives everything from characters."""
+    import numpy as np
+
+    from mpes_spark.io.audio import decode_audio_bytes
+    from mpes_spark.io.flac import write_flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ns, sums, last, rates = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = text.encode("utf-8")[:max_bytes]
+                ids.append(did)
+                if not raw:  # empty doc: zero-length PCM, stats zeros
+                    ns.append(0), sums.append(0), last.append(0)
+                    rates.append(rate)
+                    continue
+                sig = np.cumsum(
+                    np.frombuffer(raw, dtype="u1").astype(np.int64)
+                ).astype(np.int16)
+                decoded, got_rate = decode_audio_bytes(
+                    write_flac(sig, rate, blocksize=blocksize)
+                )
+                ns.append(int(decoded.size))
+                sums.append(int(decoded.astype("int64").sum()))
+                last.append(int(decoded[-1]))
+                rates.append(int(got_rate))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_samples": pd.Series(sums, dtype="int64"),
+                    "last_sample": pd.Series(last, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, "text").mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_samples bigint, sum_samples bigint, "
+        "last_sample bigint, sample_rate bigint",
+    )
+
+
+def flac_decode_stats_sql(
+    table: str, rate: int = 16_000, max_bytes: int = 120, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`flac_decode_stats`: sample i is the
+    prefix sum of the leading bytes, so sum(samples) is the position-
+    weighted sum ``sum_i (n - i + 1) * byte_i`` and the last sample is
+    the plain byte total (ASCII fixtures: every byte >= 1)."""
+    return f"""
+WITH pos AS (
+  SELECT {id_col}, least(length(text), {max_bytes}) AS n, i,
+         ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
+  FROM {table}, unnest(range(1, least(length(text), {max_bytes}) + 1)) r(i)
+  WHERE length(text) > 0
+),
+agg AS (
+  SELECT {id_col},
+         CAST(max(n) AS BIGINT) AS n_samples,
+         CAST(sum((n - i + 1) * byte) AS BIGINT) AS sum_samples,
+         CAST(sum(byte) AS BIGINT) AS last_sample
+  FROM pos GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       COALESCE(n_samples, 0) AS n_samples,
+       COALESCE(sum_samples, 0) AS sum_samples,
+       COALESCE(last_sample, 0) AS last_sample,
+       CAST({rate} AS BIGINT) AS sample_rate
+FROM {table} d LEFT JOIN agg USING ({id_col})
+""".strip()
+
+
 def video_decode_stats(
     docs: DataFrame, max_bytes: int = 96, id_col: str = "doc_id"
 ) -> DataFrame:

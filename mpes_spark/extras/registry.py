@@ -1653,6 +1653,40 @@ def tiff_decode_stats(spark, sf_dir):
     return MM.tiff_decode_stats(_docs(spark, sf_dir), width=10, max_bytes=120)
 
 
+@_q(
+    "jpeg_decode_stats",
+    MM.jpeg_decode_stats_sql("documents", width=6, max_bytes=48),
+)
+def jpeg_decode_stats(spark, sf_dir):
+    """The REAL baseline-JPEG codec under the driver's hash gate (r9
+    late — closes the LAST image env seam; io/jpeg.py is a full
+    T.81 baseline decoder+encoder): leading doc bytes -> 8x8
+    constant-tile image -> quality-100 JPEG encode (Huffman entropy
+    coding, stuffing, DC prediction, zigzag, DCT) -> full decode ->
+    integer pixel stats. Constant blocks are DC-only with exactly
+    representable coefficients, so THIS content class round-trips
+    pixel-exact through the lossy format and the character-derived
+    oracle hash-gates the whole pipeline."""
+    return MM.jpeg_decode_stats(_docs(spark, sf_dir), width=6, max_bytes=48)
+
+
+@_q(
+    "flac_decode_stats",
+    MM.flac_decode_stats_sql("documents", rate=16_000, max_bytes=120),
+)
+def flac_decode_stats(spark, sf_dir):
+    """The REAL FLAC codec under the driver's hash gate (r9 late —
+    the lossless third of the audio seam; lossy MP3/OGG stay env-
+    gated): leading doc bytes -> prefix-sum int16 signal (smooth, so
+    the FIXED-predictor + Rice encoder path genuinely engages) ->
+    multi-frame FLAC encode (blocksize 32: several frames, coded
+    frame numbers, CRC-8/16) -> full decode -> integer stats. The
+    position-weighted sum makes the gate ORDER-sensitive — a frame
+    decoded out of sequence or a Rice off-by-one flips the hash
+    (io/flac.py:read_flac, write_flac)."""
+    return MM.flac_decode_stats(_docs(spark, sf_dir), rate=16_000, max_bytes=120)
+
+
 from mpes_spark.extras import privacy as PV  # noqa: E402
 
 
@@ -2281,6 +2315,38 @@ def length_bucket_packing(spark, sf_dir):
     return length_bucket_batches(_docs(spark, sf_dir))
 
 
+
+
+@_q("lr_train_quality", CU.lr_train_quality_sql("documents"))
+def lr_train_quality(spark, sf_dir):
+    """TRAINED quality classifier under the hash gate (r9 late): 12
+    full-batch logistic-regression GD steps over hashed presence
+    features with a planted linearly-realizable label, fitted — and
+    provably LEARNING: the gated n_correct row beats the majority
+    baseline — ENTIRELY in the
+    engine; the training loop the pretrained `quality_classifier`
+    head assumes exists offline. Every recurrence stage (margin join-
+    sum, sigmoid, gradient sum, weight update) is quantized to the
+    1e-6 grid, so the unrolled-CTE oracle replays the whole fit
+    bit-for-bit; driver traffic is 33 doubles per iteration (the
+    k-means pattern), never data-sized."""
+    return CU.lr_train_quality(_docs(spark, sf_dir))
+
+
+@_q("kneser_ney_lm", SR.kneser_ney_scores_sql("documents"))
+def kneser_ney_lm(spark, sf_dir):
+    """Held-out interpolated Kneser-Ney bigram scoring (Kneser & Ney
+    1995, Chen & Goodman 1999 — r9 late, completing the LM family
+    next to add-alpha and Stupid Backoff): absolute discount D=0.75
+    with the discount mass redistributed over the CONTINUATION
+    distribution (distinct-left-context types, not raw frequency),
+    add-alpha'd with one extra unk type so held-out OOV stays finite.
+    Same scale shape as stupid_backoff_lm: vocab-bounded count/type
+    aggs, three LEFT equi-joins on the held-out bigram stream, two
+    1-row broadcasts, no UDFs."""
+    from mpes_spark.extras.search import kneser_ney_scores
+
+    return kneser_ney_scores(_docs(spark, sf_dir))
 
 
 @_q("stupid_backoff_lm", SR.stupid_backoff_scores_sql("documents"))

@@ -2341,3 +2341,86 @@ def test_dup_spans_matches_bruteforce_on_random_corpora(spark):
             if cov:
                 want[i] = cov
         assert got == want, f"seed {seed}"
+
+
+def test_kneser_ney_tiers_and_hand_computation(spark):
+    """All four KN tiers fire on a crafted corpus and the per-doc
+    average matches the hand-derived interpolated-KN probabilities."""
+    import math
+
+    from pyspark.sql import functions as F
+    from mpes_spark.extras.dedup import _md5_hash_sql
+    from mpes_spark.extras.search import _KN_SEED, kneser_ney_scores
+
+    ids = spark.range(200).select(
+        F.col("id"),
+        (
+            F.pmod(
+                F.expr(_md5_hash_sql(_KN_SEED, "CAST(id AS STRING)", "spark")),
+                F.lit(10),
+            )
+            == 0
+        ).alias("is_test"),
+    ).collect()
+    train_ids = [r.id for r in ids if not r.is_test]
+    test_ids = [r.id for r in ids if r.is_test]
+    assert train_ids and test_ids
+
+    # train bigrams: (a,b) (b,c) (c,a) (a,b) -> c12: ab=2 bc=1 ca=1
+    # ctx: a:{c1=2,R=1} b:{1,1} c:{1,1}; cont: L(b)=1 L(c)=1 L(a)=1
+    # B=3 types, V=3
+    train_text = "a b c a b"
+    # test: "a b"(seen) "b x"(seen ctx, OOV w2) "x c"(unseen ctx)
+    test_text = "a b x c"
+    rows = [(int(train_ids[0]), train_text), (int(test_ids[0]), test_text)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = kneser_ney_scores(docs).collect()
+    assert len(out) == 1 and out[0].n_bigrams == 3
+    D, al, B, V = 0.75, 0.5, 3.0, 3.0
+    den = B + al * (V + 1.0)
+
+    def pcont(l):
+        return (l + al) / den
+
+    p_ab = (2 - D) / 2 + (D * 1 / 2) * pcont(1)   # seen bigram
+    p_bx = 0.0 / 1 + (D * 1 / 1) * pcont(0)       # seen ctx, OOV word
+    p_xc = pcont(1)                               # unseen ctx
+    want = (math.log(p_ab) + math.log(p_bx) + math.log(p_xc)) / 3
+    assert abs(out[0].avg_logprob - round(want, 6)) < 1e-9
+
+
+def test_lr_train_quality_learns_and_matches_oracle(spark):
+    """The GD fit must actually LEARN on a planted linearly-realizable
+    corpus (accuracy strictly above the majority baseline), and the
+    integer-scaled Spark loop must match the unrolled-CTE DuckDB twin
+    bit-for-bit."""
+    import duckdb
+
+    from mpes_spark.extras.curation import (
+        lr_train_quality,
+        lr_train_quality_sql,
+    )
+
+    # synthetic corpus: 40 docs over a tiny vocab; 8 docs carry the
+    # planted marker 'dup'
+    rows = []
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for i in range(40):
+        toks = [vocab[(i + j) % 5] for j in range(10)]
+        if i % 5 == 0:
+            toks[3] = "dup"
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = lr_train_quality(docs).toPandas()
+    n_correct = int(got[got.feature_id == -1].value.iloc[0])
+    majority = 32  # 8 positives of 40
+    assert n_correct > majority, f"no learning: {n_correct} <= {majority}"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(lr_train_quality_sql("documents")).df()
+    g = got.sort_values("feature_id", ignore_index=True)
+    w = want.sort_values("feature_id", ignore_index=True)
+    assert g.feature_id.tolist() == w.feature_id.tolist()
+    assert g.value.tolist() == w.value.tolist()

@@ -91,6 +91,18 @@ QUERIES_R9 = [
     "hdf5_ingest_oracle",   # fixed-volume control (sf-invariant by design)
 ]
 
+# r9 session-3 families: the codec trio, the crawl-extraction stage,
+# and the two model-ish queries (KN held-out scoring, LR training)
+QUERIES_S3 = [
+    "hist_2d",              # linear reference
+    "tiff_decode_stats",
+    "flac_decode_stats",
+    "jpeg_decode_stats",
+    "html_extract_text",
+    "kneser_ney_lm",
+    "lr_train_quality",
+]
+
 
 def _session(tag: str):
     from mpes_spark.session import get_spark
@@ -200,5 +212,7 @@ if __name__ == "__main__":
         run(out)
     elif mode == "run_r9":
         run(out, names=QUERIES_R9)
+    elif mode == "run_s3":
+        run(out, names=QUERIES_S3)
     else:
         raise SystemExit(f"unknown mode {mode}")
