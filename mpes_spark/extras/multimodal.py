@@ -7,11 +7,13 @@ image decode itself is REAL for every library-free format (netpbm
 P2/P3/P5/P6, uncompressed BMP — numpy-only codecs in
 :mod:`mpes_spark.io.images`), and :func:`resize_images_decoded` runs
 a true decode -> nearest-neighbor resample -> re-encode per Arrow
-batch. Since r9 PNG decodes natively too (stdlib zlib + numpy
-unfiltering); only entropy-coded formats (JPEG/TIFF, MP3/OGG/FLAC,
-MJPG/H264) remain env-gated behind ``NotImplementedError``; swapping
-in PIL/ffmpeg is a one-function change and the distributed plan is
-unchanged.
+batch. Since r9 PNG, TIFF (none/LZW/PackBits), baseline JPEG and FLAC
+decode natively too (io/images.py, io/jpeg.py, io/flac.py) — every
+image format the reference met through skimage, plus WAV/FLAC audio
+and DIB-AVI video. Only lossy MP3/OGG/H264-class formats and
+progressive JPEG remain env-gated behind ``NotImplementedError``;
+swapping in PIL/ffmpeg for those is a one-function change and the
+distributed plan is unchanged.
 
 Data model: one row per asset,
     (asset_id bigint, modality string, payload binary,
@@ -67,12 +69,11 @@ def assets_from_documents(df: DataFrame, modality: str = "image") -> DataFrame:
 def decode_image(payload: bytes) -> "object":
     """Decode image bytes to a numpy array. REAL for every
     library-free format — netpbm P2/P3/P5/P6 (incl. 16-bit),
-    uncompressed BMP (8-bit palette / 24-bit) and, since r9, PNG
-    (stdlib-zlib inflate + numpy unfiltering) via the numpy-only
-    codecs in :mod:`mpes_spark.io.images`. Only JPEG/TIFF remain
-    env-gated (entropy decode genuinely needs a codec library this
-    runtime lacks; plug PIL/opencv into ``decode_image_bytes`` — the
-    Spark plumbing around it is complete and unchanged)."""
+    uncompressed BMP (8-bit palette / 24-bit), PNG, TIFF
+    (none/LZW/PackBits + predictor 2) and baseline JPEG via the
+    numpy-only codecs in :mod:`mpes_spark.io.images` and
+    :mod:`mpes_spark.io.jpeg` — the image seam is closed; only
+    progressive JPEG still raises."""
     from mpes_spark.io.images import decode_image_bytes
 
     return decode_image_bytes(payload)
@@ -257,9 +258,9 @@ def resize_images_decoded(
     (PNM/BMP via the numpy-only codecs), nearest-neighbor resample,
     re-encode as binary PNM — per Arrow batch over ``mapInPandas``,
     partition-preserving, no shuffle. This is the production shape
-    :func:`resize_images` documents; payloads in env-gated formats
-    (JPEG/TIFF) raise the codec gate rather than passing through
-    silently wrong."""
+    :func:`resize_images` documents. Every supported format decodes
+    natively (PNM/BMP/PNG/TIFF/baseline JPEG); malformed payloads
+    raise rather than passing through silently wrong."""
     from mpes_spark.io.images import (
         decode_image_bytes,
         resample_nearest,

@@ -47,6 +47,19 @@ class CorpusPipeline:
 
     # -- per-doc annotation (single fused scan) ---------------------------
 
+    def html_to_text(self) -> "CorpusPipeline":
+        """Crawl stage 0 (r9 late): replace the text column with its
+        extracted readable text — comments/script/style subtrees
+        dropped, block-closers to newlines, tags stripped, one level
+        of entity decode, whitespace canonicalized. A stateless
+        JVM-side projection (extras/html.py); run it FIRST so every
+        downstream stat/filter/dedup stage sees content, not markup."""
+        from mpes_spark.extras.html import html_to_text_expr
+
+        return self._wrap(
+            self.df.withColumn(self.text, html_to_text_expr(self.text))
+        )
+
     def with_stats(self) -> "CorpusPipeline":
         """Append token/quality/language/fingerprint stat columns."""
         return self._wrap(TX.with_text_stats(self.df, self.text))

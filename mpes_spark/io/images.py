@@ -547,9 +547,12 @@ def read_tiff(data: bytes) -> np.ndarray:
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    tags = _tiff_ifd(data, bo)
-    width = tags[256][0]
-    height = tags[257][0]
+    try:
+        tags = _tiff_ifd(data, bo)
+        width = tags[256][0]
+        height = tags[257][0]
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"truncated or malformed TIFF: {exc}") from exc
     bits = tags.get(258, [8])
     samples = tags.get(277, [1])[0]
     comp = tags.get(259, [1])[0]

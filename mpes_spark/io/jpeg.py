@@ -146,6 +146,13 @@ def read_jpeg(data: bytes) -> np.ndarray:
     (H, W, 3) uint8 RGB."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _read_jpeg_markers(data)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"truncated or malformed JPEG: {exc}") from exc
+
+
+def _read_jpeg_markers(data: bytes) -> np.ndarray:
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}

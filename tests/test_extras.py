@@ -287,25 +287,28 @@ def test_multimodal_frame_sampling(spark):
         assert list(grp.frame_idx) == list(range(0, n, 10))
 
 
-def test_decode_image_env_gate_and_native_formats():
-    """JPEG/TIFF stay env-gated (entropy decode needs a codec library
-    the runtime lacks); PNM, BMP (r8) and PNG (r9) decode NATIVELY
-    through decode_image."""
+def test_decode_image_native_formats():
+    """Every image format decodes NATIVELY through decode_image —
+    PNM, BMP (r8), PNG (r9), TIFF/LZW and baseline JPEG (r9 late);
+    malformed payloads fail with decoder errors, not silent garbage."""
     import numpy as np
 
-    from mpes_spark.io.images import write_png
+    from mpes_spark.io.images import write_png, write_pnm, write_tiff
+    from mpes_spark.io.jpeg import write_jpeg
 
     png_img = np.arange(24, dtype="uint8").reshape(2, 4, 3)
     np.testing.assert_array_equal(MM.decode_image(write_png(png_img)), png_img)
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0")
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"II*\x00rest")
-    from mpes_spark.io.images import write_pnm
-
     img = np.arange(12, dtype="uint8").reshape(3, 4)
-    got = MM.decode_image(write_pnm(img))
-    np.testing.assert_array_equal(got, img)
+    np.testing.assert_array_equal(MM.decode_image(write_pnm(img)), img)
+    np.testing.assert_array_equal(
+        MM.decode_image(write_tiff(img, compression="lzw", predictor=2)), img
+    )
+    const = np.full((8, 8), 55, dtype=np.uint8)
+    np.testing.assert_array_equal(MM.decode_image(write_jpeg(const, 100)), const)
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\xff\xd8\xff\xe0")  # truncated JPEG
+    with pytest.raises(ValueError):
+        MM.decode_image(b"II*\x00rest")  # truncated TIFF
 
 
 def test_codec_stats_empty_text_guard(spark, duck):
@@ -2424,3 +2427,24 @@ def test_lr_train_quality_learns_and_matches_oracle(spark):
     w = want.sort_values("feature_id", ignore_index=True)
     assert g.feature_id.tolist() == w.feature_id.tolist()
     assert g.value.tolist() == w.value.tolist()
+
+
+def test_pipeline_html_to_text_stage(spark):
+    """CorpusPipeline.html_to_text runs as crawl stage 0 and composes
+    with downstream stages on the cleaned text."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    rows = [
+        (1, "<html><script>var x=1;</script><p>real words here</p></html>"),
+        (2, "<style>p{}</style><h1>title</h1><p>body &amp; more</p>"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.text
+        for r in CorpusPipeline(d).html_to_text().df.collect()
+    }
+    assert out[1] == "real words here"
+    assert out[2] == "title\nbody & more"
+    # composes: stats computed on CLEANED text, not markup
+    st = CorpusPipeline(d).html_to_text().with_stats().df.collect()
+    assert all("<" not in r.text for r in st)
