@@ -288,6 +288,18 @@ def resize_images_decoded(
     return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Spread a tiny-by-bytes but CPU-heavy-per-row relation across an
+    EXPLICIT defaultParallelism partition count before a Python codec
+    stage. Advisory repartition does not work here: AQE sizes shuffles
+    by bytes and coalesces a few-MB doc relation straight back to one
+    task (measured: jpeg_decode_stats 9.4 s on 1 task -> 1.9 s on 8;
+    flac_decode_stats 12.6 s -> see SCALING.md). Join-free path, so
+    the `_docs` AQE broadcast-demotion concern does not apply."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(id_col, "text").repartition(n_part, F.col(id_col))
+
+
 def image_decode_stats(
     docs: DataFrame, width: int = 16, max_bytes: int = 128, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -331,7 +343,7 @@ def image_decode_stats(
                 }
             )
 
-    return docs.select(id_col, "text").mapInPandas(
+    return _spread(docs, id_col).mapInPandas(
         batches,
         schema=f"{id_col} bigint, n_pixels bigint, sum_pixels bigint, "
         "max_pixel bigint",
@@ -410,7 +422,7 @@ def png_decode_stats(
                 }
             )
 
-    return docs.select(id_col, "text").mapInPandas(
+    return _spread(docs, id_col).mapInPandas(
         batches,
         schema=f"{id_col} bigint, n_rows bigint, n_pixels bigint, "
         "sum_pixels bigint, max_pixel bigint",
@@ -497,7 +509,7 @@ def tiff_decode_stats(
                 }
             )
 
-    return docs.select(id_col, "text").mapInPandas(
+    return _spread(docs, id_col).mapInPandas(
         batches,
         schema=f"{id_col} bigint, n_rows bigint, n_pixels bigint, "
         "sum_pixels bigint, max_pixel bigint",
@@ -575,7 +587,7 @@ def audio_decode_stats(
                 }
             )
 
-    return docs.select(id_col, "text").mapInPandas(
+    return _spread(docs, id_col).mapInPandas(
         batches,
         schema=f"{id_col} bigint, n_samples bigint, sum_samples bigint, "
         "max_sample bigint, sample_rate bigint",
@@ -657,16 +669,8 @@ def jpeg_decode_stats(
                 }
             )
 
-    # the local corpus is a single row group -> a 1-task scan; this
-    # decode is CPU-bound pure Python per block, so spread the rows
-    # first. The partition count is EXPLICIT: rows are tiny by bytes,
-    # so AQE would coalesce an advisory shuffle right back to one
-    # partition (no joins downstream — the AQE broadcast-demotion
-    # concern documented at _docs does not apply here).
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.select(id_col, "text")
-        .repartition(n_part, F.col(id_col))
+        _spread(docs, id_col)
         .mapInPandas(
             batches,
             schema=f"{id_col} bigint, n_rows bigint, n_pixels bigint, "
@@ -758,7 +762,7 @@ def flac_decode_stats(
                 }
             )
 
-    return docs.select(id_col, "text").mapInPandas(
+    return _spread(docs, id_col).mapInPandas(
         batches,
         schema=f"{id_col} bigint, n_samples bigint, sum_samples bigint, "
         "last_sample bigint, sample_rate bigint",
@@ -850,7 +854,7 @@ def video_decode_stats(
                 }
             )
 
-    return docs.select(id_col, "text").mapInPandas(
+    return _spread(docs, id_col).mapInPandas(
         batches,
         schema=f"{id_col} bigint, n_frames bigint, n_pixels bigint, "
         "sum_pixels bigint, max_pixel bigint",

@@ -87,11 +87,11 @@ def test_dispatch_and_rejects():
     )
     with pytest.raises(ValueError, match="SOI"):
         read_jpeg(b"nope")
-    # progressive SOF2 named explicitly, not silently garbled
+    # lossless SOF3 named explicitly, not silently garbled
     buf = bytearray(write_jpeg(g, 100))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    buf[i + 1] = 0xC3
+    with pytest.raises(ValueError, match="SOF"):
         read_jpeg(bytes(buf))
 
 
@@ -112,3 +112,66 @@ def test_decoder_reads_16bit_dqt():
     )
     out = buf[:i] + newseg + buf[i + 2 + seglen:]
     np.testing.assert_array_equal(read_jpeg(out), g)
+
+
+# -- progressive (SOF2) ----------------------------------------------------
+
+from mpes_spark.io.jpeg import write_jpeg_progressive  # noqa: E402
+
+
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_gray_exact_at_q100(successive):
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    got = read_jpeg(write_jpeg_progressive(img, 100, successive=successive))
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize("subsample", [False, True])
+def test_progressive_rgb_matches_baseline(successive, subsample):
+    """Progressive and baseline encodings of the same image decode to
+    the same pixels (identical quantized coefficients, different scan
+    scripts)."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(60, 196, (4, 5, 3)).astype(np.float64)
+    img = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    prog = read_jpeg(
+        write_jpeg_progressive(img, 95, subsample=subsample,
+                               successive=successive)
+    )
+    seq = read_jpeg(write_jpeg(img, 95, subsample=subsample))
+    np.testing.assert_array_equal(prog, seq)
+
+
+def test_progressive_marker_is_sof2_and_multiscan():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = write_jpeg_progressive(g, 90, successive=True)
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    # gray successive script = DC first + DC refine + AC first + AC refine
+    assert buf.count(b"\xff\xda") == 4
+
+
+def test_progressive_negative_coefficients_match_baseline():
+    """Two's-complement DC refinement and signed AC refinement both
+    handle negative coefficients (dark-to-bright alternation drives
+    DC negative and ACs both signs): the progressive scan script must
+    reconstruct the IDENTICAL coefficients the baseline scan carries,
+    so both decodes agree pixel-for-pixel (the busy sine content
+    itself is not exactly representable at q100 — DCT roundoff — so
+    the original is not the reference; the coefficients are)."""
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = (128 + 120 * np.sin(yy / 2.0) * np.cos(xx / 3.0)).astype(np.uint8)
+    prog = read_jpeg(write_jpeg_progressive(img, 100, successive=True))
+    seq = read_jpeg(write_jpeg(img, 100))
+    np.testing.assert_array_equal(prog, seq)
+    assert np.abs(prog.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_progressive_odd_sizes_and_dispatch():
+    from mpes_spark.io.images import decode_image_bytes
+
+    yy, xx = np.mgrid[0:17, 0:13]
+    img = ((yy * 5 + xx * 7) % 256).astype(np.uint8)
+    buf = write_jpeg_progressive(img, 100)
+    np.testing.assert_array_equal(decode_image_bytes(buf), img)
