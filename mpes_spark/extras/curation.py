@@ -1981,6 +1981,8 @@ def lr_train_quality(
         .persist()
     )
     n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("lr_train_quality: empty training corpus")
 
     W = [0] * nbuckets  # micro-unit integer weights
     BIAS = 0

@@ -417,6 +417,8 @@ def write_flac(
         a = a[:, None]
     if a.ndim != 2:
         raise ValueError("need (n,) or (n, channels) samples")
+    if not (1 <= blocksize <= 65536):
+        raise ValueError("blocksize must be in [1, 65536]")
     n, nchan = a.shape
     if not (1 <= nchan <= 8):
         raise ValueError("1-8 channels supported")
