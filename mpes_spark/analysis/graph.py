@@ -435,6 +435,91 @@ GROUP BY node
 """.strip()
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient cc(v) = T(v) / (deg(v)
+    choose 2) over an undirected edge list — the standard local
+    density signal (Watts & Strogatz 1998) layered on the degree-
+    ordered triangle counter. Returns every node of degree >= 2 as
+    (node, deg, n_triangles, n_wedges, cc_micro) where ``cc_micro``
+    is the coefficient in integer micro-units via exact integer
+    division (2e6*T DIV deg*(deg-1)) — ALL columns integers, so the
+    oracle gate is exact with zero float anywhere. Cost on top of
+    :func:`triangle_count`: one degree agg (already computed there)
+    and one node-keyed left join."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges, src, dst)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            t.cast("bigint").alias("n_triangles"),
+            (F.col("deg") * (F.col("deg") - 1) / 2)
+            .cast("bigint")
+            .alias("n_wedges"),
+            F.expr(
+                "CAST((2000000 * coalesce(n_triangles, 0)) "
+                "DIV (deg * (deg - 1)) AS BIGINT)"
+            ).alias("cc_micro"),
+        )
+    )
+
+
+def clustering_coefficient_sql(edges_sql: str) -> str:
+    """Oracle twin of :func:`clustering_coefficient` (canonical triple
+    join for the triangle set, same integer micro-unit division)."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+tcnt AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) corners GROUP BY node
+)
+SELECT d.node,
+       CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges,
+       CAST((2000000 * coalesce(t.n_triangles, 0))
+            // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_micro
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.deg >= 2
+""".strip()
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,

@@ -2207,3 +2207,137 @@ def dup_span_mask(
 
         masked = _mask()
     return out.withColumn("masked_text", masked).drop("_spans", "_toks")
+
+
+# ---------------------------------------------------------------------------
+# C4 sentence-span dedup (Raffel et al. 2020 §2.2: "we discarded all
+# but one of any three-sentence span occurring more than once in the
+# data set") — the sentence-granularity member of the dedup family,
+# between chunk-level (paragraphs) and dup-span (token substrings).
+# ---------------------------------------------------------------------------
+
+def sentence_spans(
+    docs: DataFrame,
+    n_sent: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_idx, span) — every window of ``n_sent``
+    consecutive sentences per doc. Sentences split on the literal
+    '. ' delimiter (deterministic and dialect-identical; C4's English
+    splitter is a swap-in at this seam), empties dropped. One doc-
+    keyed window over the sentence relation; spans are linear in
+    sentences."""
+    from pyspark.sql.window import Window as W
+
+    sent = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text), r"\. ")).alias("idx", "s"),
+        )
+        .filter(F.col("s") != "")
+    )
+    w = W.partitionBy(id_col).orderBy("idx")
+    leads = [F.col("s")] + [F.lead("s", i).over(w) for i in range(1, n_sent)]
+    return (
+        sent.select(
+            id_col,
+            F.col("idx").alias("span_idx"),
+            *[c.alias(f"_s{i}") for i, c in enumerate(leads)],
+        )
+        .filter(F.col(f"_s{n_sent - 1}").isNotNull())
+        .select(
+            id_col,
+            "span_idx",
+            F.concat_ws(" | ", *[f"_s{i}" for i in range(n_sent)]).alias(
+                "span"
+            ),
+        )
+    )
+
+
+def sentence_span_dedup(
+    docs: DataFrame,
+    n_sent: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc C4 span-dedup accounting: ``n_spans``, ``n_dup_spans``
+    (spans whose text occurs elsewhere in the corpus) and
+    ``n_remove`` (duplicated spans NOT owned by this doc — C4 keeps
+    the first occurrence, rendered here as min(doc_id, span_idx)
+    ownership). All-integer output: exact gate.
+
+    Scale shape: spans are linear in sentences; the span frequency
+    agg carries min-owner in the SAME pass (struct-min), so df and
+    ownership cost ONE shuffle on the span key and the flag join is
+    an equi-join the count exchange already co-partitioned. No
+    count-distinct, no self-join of positions — the dup_span_stats
+    discipline at sentence granularity."""
+    spans = sentence_spans(docs, n_sent, text, id_col)
+    freq = spans.groupBy("span").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("owner"),
+    )
+    j = spans.join(freq, "span")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.sum(
+                F.when(
+                    (F.col("df") > 1)
+                    & ~(
+                        (F.col("owner")[id_col] == F.col(id_col))
+                        & (F.col("owner")["span_idx"] == F.col("span_idx"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_remove"),
+        )
+    )
+
+
+def sentence_span_dedup_sql(
+    table: str = "documents",
+    n_sent: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`sentence_span_dedup`."""
+    lead_cols = ", ".join(
+        f"lead(s, {i}) OVER (PARTITION BY {id_col} ORDER BY idx) AS s{i}"
+        for i in range(1, n_sent)
+    )
+    concat = " || ' | ' || ".join(["s"] + [f"s{i}" for i in range(1, n_sent)])
+    return f"""
+WITH sent AS (
+  SELECT {id_col}, generate_subscripts(parts, 1) - 1 AS idx,
+         unnest(parts) AS s
+  FROM (SELECT {id_col}, string_split(text, '. ') AS parts FROM {table}) t
+),
+sent2 AS (SELECT * FROM sent WHERE s <> ''),
+spans AS (
+  SELECT {id_col}, idx AS span_idx, {concat} AS span
+  FROM (SELECT {id_col}, idx, s, {lead_cols} FROM sent2) l
+  WHERE s{n_sent - 1} IS NOT NULL
+),
+freq AS (
+  SELECT span, count(*) AS df,
+         min(ROW({id_col}, span_idx)) AS owner
+  FROM spans GROUP BY span
+)
+SELECT s.{id_col},
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(sum(CASE WHEN f.df > 1 AND NOT (
+             f.owner = ROW(s.{id_col}, s.span_idx)
+           ) THEN 1 ELSE 0 END) AS BIGINT) AS n_remove
+FROM spans s JOIN freq f USING (span)
+GROUP BY s.{id_col}
+""".strip()

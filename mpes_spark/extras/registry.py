@@ -577,6 +577,36 @@ def neardup_dual_measure(spark, sf_dir):
     )
 
 
+_SSD_RE = r"((?:\S+ ){7}\S+) "  # Java/RE2-common: every 8 words
+
+
+@_q(
+    "sentence_span_dedup",
+    DD.sentence_span_dedup_sql(
+        "(SELECT doc_id, "
+        f"regexp_replace(text, '{_SSD_RE}', '\\1. ', 'g') AS text "
+        "FROM documents) src"
+    ),
+)
+def sentence_span_dedup(spark, sf_dir):
+    """C4 sentence-span dedup accounting (Raffel et al. 2020 §2.2 —
+    r9 late, the sentence-granularity member of the dedup family
+    between chunk-level paragraphs and token-substring dup spans):
+    per doc the 3-sentence-window counts, corpus-duplicated windows,
+    and windows C4 would REMOVE (keep-first = min (doc, idx)
+    ownership, carried in the SAME struct-min pass as the frequency
+    agg — one shuffle on the span key, no count-distinct). All-integer
+    output: exact gate. The fixture corpus has no punctuation, so the
+    gate synthesizes deterministic sentence boundaries first (a period
+    after every 8th word, one group-ref regexp_replace rendered in
+    both dialects); the '. ' splitter seam itself is what a real
+    English segmenter swaps into."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace("text", _SSD_RE, "$1. ")
+    )
+    return DD.sentence_span_dedup(docs)
+
+
 @_q("dup_span_stats", DD.dup_span_stats_sql("documents", n=5, min_docs=2))
 def dup_span_stats(spark, sf_dir):
     """Exact substring-level dedup report (Lee et al. 2022): per doc,
@@ -1509,6 +1539,27 @@ def bpe_tokenizer_oracle(spark, sf_dir):
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string",
+    )
+
+
+@_q("unigram_tokenizer", TK.train_unigram_sql("documents"))
+def unigram_tokenizer(spark, sf_dir):
+    """The UNIGRAM-LM tokenizer TRAINING loop under the hash gate (r9
+    late, Kudo 2018 — the other standard subword trainer next to BPE,
+    in its hard-EM Viterbi rendering): seed vocabulary from frequent
+    substrings, then two iterations of {micro-int log-frequency
+    scores -> best segmentation of every distinct word -> piece
+    re-count}. Integer scores make the DP compare exact BIGINT sums
+    (the lr_train_quality lesson applied to a dynamic program), and
+    ties take the longest piece at every backtrack step, so the
+    DuckDB twin — the full EM loop with the Viterbi DP AND backtrack
+    unrolled over word positions — replays training bit-for-bit.
+    Spark side is the production shape: one corpus word-frequency
+    agg, then a driver loop over the vocab-bounded distinct-word
+    table (SentencePiece's own architecture)."""
+    vocab = TK.train_unigram(_docs(spark, sf_dir))
+    return spark.createDataFrame(
+        [(p, int(c)) for p, c in vocab], "piece string, cnt bigint"
     )
 
 

@@ -320,3 +320,228 @@ SELECT {by},
         / count(DISTINCT tok), 6) AS oov_type_rate
 FROM flagged GROUP BY {by}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+# model) — the OTHER standard subword trainer next to BPE, in its
+# hard-EM (Viterbi) rendering: seed vocabulary = frequent substrings,
+# then iterate {score pieces by log-frequency -> best-segmentation of
+# every word -> re-count pieces from the segmentations}. Integer
+# micro-unit scores make the DP exact and engine-replayable (the
+# lr_train_quality lesson applied to a dynamic program).
+# ---------------------------------------------------------------------------
+
+_UNI_ITERS = 2
+_UNI_MAX_PIECE = 4
+_UNI_MIN_COUNT = 2
+_UNI_MAX_WORD = 12
+
+
+def _ilog_score(cnt: int, total: int) -> int:
+    """floor(ln(cnt/total) * 1e6) — the micro-int log-probability.
+    A single libm ln on identical integers; the floor boundary is
+    ~1e9 ulps away for these magnitudes."""
+    import math
+
+    return math.floor(math.log(cnt / total) * 1e6)
+
+
+def _viterbi_unigram(
+    word: str, score: dict[str, int], max_piece: int
+) -> list[str]:
+    """Best segmentation under additive integer piece scores; ties
+    broken by the LONGEST last piece at every backtrack step (a total
+    deterministic rule both engines implement identically)."""
+    n = len(word)
+    dp: list[int | None] = [None] * (n + 1)
+    dp[0] = 0
+    for j in range(1, n + 1):
+        best = None
+        for length in range(1, min(max_piece, j) + 1):
+            s = score.get(word[j - length : j])
+            if s is None or dp[j - length] is None:
+                continue
+            cand = dp[j - length] + s
+            if best is None or cand > best:
+                best = cand
+        dp[j] = best
+    out: list[str] = []
+    j = n
+    while j > 0:
+        for length in range(min(max_piece, j), 0, -1):
+            piece = word[j - length : j]
+            s = score.get(piece)
+            if (
+                s is not None
+                and dp[j - length] is not None
+                and dp[j] is not None
+                and dp[j - length] + s == dp[j]
+            ):
+                out.append(piece)
+                j -= length
+                break
+        else:  # pragma: no cover - unreachable: singletons persist
+            raise RuntimeError(f"unsegmentable word {word!r}")
+    return out[::-1]
+
+
+def train_unigram(
+    docs: DataFrame,
+    iters: int = _UNI_ITERS,
+    max_piece: int = _UNI_MAX_PIECE,
+    min_count: int = _UNI_MIN_COUNT,
+    max_word_len: int = _UNI_MAX_WORD,
+    text: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, int]]:
+    """Train a unigram-LM subword vocabulary; returns the final
+    (piece, weighted_count) table, sorted.
+
+    The distributed step is the corpus word-frequency aggregation
+    (:func:`word_freqs`, same as BPE); the EM loop runs on the driver
+    over the BOUNDED distinct-word table — the SentencePiece shape
+    (model state is vocab-sized, never corpus-sized; at 100 TB the
+    same ``max_words`` cap bounds the collect). Words longer than
+    ``max_word_len`` are excluded up front in BOTH engines — the
+    documented bound that keeps the oracle's unrolled DP finite.
+
+    Hard-EM, not forward-backward: each iteration re-scores pieces by
+    floor(1e6 * ln(freq share)) (integer micro-units -> the Viterbi
+    DP compares exact BIGINT sums, no float order anywhere), segments
+    every distinct word, and re-counts pieces from the chosen
+    segmentations; pieces that go unused drop out. Every piece of a
+    previous best segmentation survives, so words stay segmentable.
+    Ties take the longest piece at each backtrack step."""
+    rows = word_freqs(docs, text, max_words).collect()
+    wf = {r["word"]: r["freq"] for r in rows if len(r["word"]) <= max_word_len}
+    cnt: dict[str, int] = {}
+    for w, f in wf.items():
+        n = len(w)
+        for i in range(n):
+            for length in range(1, min(max_piece, n - i) + 1):
+                p = w[i : i + length]
+                cnt[p] = cnt.get(p, 0) + f
+    vocab = {
+        p: c for p, c in cnt.items() if c >= min_count or len(p) == 1
+    }
+    for _ in range(iters):
+        total = sum(vocab.values())
+        score = {p: _ilog_score(c, total) for p, c in vocab.items()}
+        new: dict[str, int] = {}
+        for w, f in wf.items():
+            for p in _viterbi_unigram(w, score, max_piece):
+                new[p] = new.get(p, 0) + f
+        vocab = new
+    return sorted(vocab.items())
+
+
+def train_unigram_sql(
+    table: str = "documents",
+    iters: int = _UNI_ITERS,
+    max_piece: int = _UNI_MAX_PIECE,
+    min_count: int = _UNI_MIN_COUNT,
+    max_word_len: int = _UNI_MAX_WORD,
+    text: str = "text",
+) -> str:
+    """DuckDB oracle twin of :func:`train_unigram`: the full hard-EM
+    loop as generated SQL — seed substring counts, per-iteration
+    micro-int scores, the Viterbi DP UNROLLED over word positions
+    (``max_word_len`` CTEs of 4-way max per step), and the backtrack
+    unrolled the same way with the longest-piece tie rule as a CASE
+    ladder over correlated dp/score lookups. Word relations are the
+    DISTINCT words (vocab-bounded), so the unrolled chain is cheap at
+    any SF. The kmeans/BPE unrolled-oracle playbook applied to a
+    dynamic program."""
+    mp = max_piece
+    parts = [
+        f"""wfl AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split({text}, ' ')) AS word FROM {table}) w
+  WHERE word <> '' AND length(word) <= {max_word_len}
+  GROUP BY word)""",
+        f"""seed AS MATERIALIZED (
+  SELECT piece, sum(freq) AS cnt FROM (
+    SELECT substr(word, i + 1, l) AS piece, freq
+    FROM wfl,
+         unnest(range(length(word))) r(i),
+         unnest(range(1, {mp} + 1)) q(l)
+    WHERE i + l <= length(word)) s
+  GROUP BY piece)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM seed
+  WHERE cnt >= {min_count} OR length(piece) = 1)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"tot{t} AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v{t})"
+        )
+        parts.append(
+            f"sc{t} AS MATERIALIZED (SELECT piece, CAST(floor(ln(cnt / "
+            f"(SELECT total FROM tot{t})) * 1e6) AS BIGINT) AS s FROM v{t})"
+        )
+        parts.append(
+            f"d{t}_0 AS (SELECT word, freq, CAST(0 AS BIGINT) AS best "
+            "FROM wfl)"
+        )
+        for j in range(1, max_word_len + 1):
+            branches = []
+            for l in range(1, min(mp, j) + 1):
+                branches.append(
+                    f"SELECT d.word, d.freq, d.best + v.s AS cand "
+                    f"FROM d{t}_{j - l} d "
+                    f"JOIN sc{t} v ON v.piece = substr(d.word, {j - l + 1}, {l}) "
+                    f"WHERE length(d.word) >= {j}"
+                )
+            u = "\n    UNION ALL ".join(branches)
+            parts.append(
+                f"d{t}_{j} AS MATERIALIZED (\n"
+                f"  SELECT word, freq, max(cand) AS best FROM (\n    {u}) u\n"
+                f"  GROUP BY word, freq)"
+            )
+        dp_union = "\n  UNION ALL ".join(
+            f"SELECT word, {j} AS pos, best FROM d{t}_{j}"
+            for j in range(0, max_word_len + 1)
+        )
+        parts.append(f"dpall{t} AS MATERIALIZED (\n  {dp_union})")
+
+        def _valid(l: int) -> str:
+            return (
+                f"q.pos >= {l} AND "
+                f"(SELECT d.best FROM dpall{t} d WHERE d.word = q.word "
+                f"AND d.pos = q.pos - {l}) + "
+                f"(SELECT v.s FROM sc{t} v WHERE v.piece = "
+                f"substr(q.word, q.pos - {l} + 1, {l})) = "
+                f"(SELECT d2.best FROM dpall{t} d2 WHERE d2.word = q.word "
+                "AND d2.pos = q.pos)"
+            )
+
+        l_case = " ".join(
+            f"WHEN {_valid(l)} THEN {l}" for l in range(mp, 0, -1)
+        )
+        parts.append(
+            f"bt{t}_0 AS (SELECT word, freq, length(word) AS pos, "
+            "CAST(NULL AS VARCHAR) AS piece FROM wfl)"
+        )
+        for st in range(1, max_word_len + 1):
+            parts.append(
+                f"bt{t}_{st} AS MATERIALIZED (\n"
+                f"  SELECT word, freq, pos - l AS pos, "
+                "substr(word, pos - l + 1, l) AS piece FROM (\n"
+                f"    SELECT q.word, q.freq, q.pos, CASE {l_case} END AS l\n"
+                f"    FROM bt{t}_{st - 1} q WHERE q.pos > 0) z)"
+            )
+        piece_union = "\n  UNION ALL ".join(
+            f"SELECT piece, freq FROM bt{t}_{st}"
+            for st in range(1, max_word_len + 1)
+        )
+        parts.append(
+            f"v{t + 1} AS MATERIALIZED (\n"
+            f"  SELECT piece, sum(freq) AS cnt FROM (\n  {piece_union}) p\n"
+            "  WHERE piece IS NOT NULL GROUP BY piece)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v{iters}"
+    )

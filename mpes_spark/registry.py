@@ -1735,6 +1735,52 @@ def kcore3_copurchase(spark, sf_dir):
     return kcore(edges, k=3, rounds=12)
 
 
+from mpes_spark.analysis.graph import (
+    clustering_coefficient_sql as _cc_sql,
+)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """(src, dst) part co-purchase edges: parts co-occurring in >= 2
+    distinct orders (per-order bucket join, support-filtered)."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("src", "dst")
+    )
+
+
+@_q("clustering_coeff", _cc_sql(_COPURCHASE_EDGES_SQL))
+def clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient over the part
+    co-purchase graph (Watts & Strogatz 1998 — r9 late, layered on
+    the degree-ordered triangle counter): every node of degree >= 2
+    with (deg, triangles, wedges, cc in integer micro-units via
+    exact integer division). ALL columns integers -> exact gate with
+    zero float; cost over copurchase_triangles is one degree agg +
+    one node-keyed left join. The corpus-curation use: cc separates
+    organic co-occurrence neighborhoods (high cc) from hub/spam
+    structure (high degree, low cc)."""
+    from mpes_spark.analysis.graph import clustering_coefficient
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return clustering_coefficient(edges)
+
+
 @_q("copurchase_triangles", _tri_sql(_COPURCHASE_EDGES_SQL))
 def copurchase_triangles(spark, sf_dir):
     """Per-node triangle counts over the part co-purchase graph

@@ -2448,3 +2448,50 @@ def test_pipeline_html_to_text_stage(spark):
     # composes: stats computed on CLEANED text, not markup
     st = CorpusPipeline(d).html_to_text().with_stats().df.collect()
     assert all("<" not in r.text for r in st)
+
+
+def test_sentence_span_dedup_keep_first_semantics(spark):
+    """C4 keep-first: the earliest (doc, idx) occurrence of a
+    duplicated 3-sentence span is kept; every other occurrence counts
+    toward n_remove."""
+    from mpes_spark.extras.dedup import sentence_span_dedup
+
+    a = "s1 one. s2 two. s3 three. s4 four"       # spans: (1,2,3) (2,3,4)
+    b = "s1 one. s2 two. s3 three. s9 nine"       # shares span (1,2,3)
+    c = "zz only. one sentence"                   # too short for a span
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in sentence_span_dedup(docs).collect()}
+    assert out[1].n_spans == 2 and out[2].n_spans == 2
+    # the shared span is duplicated in both docs...
+    assert out[1].n_dup_spans == 1 and out[2].n_dup_spans == 1
+    # ...but only doc 2's copy is removable (doc 1 owns the first)
+    assert out[1].n_remove == 0 and out[2].n_remove == 1
+    assert 3 not in out  # no 3-sentence span -> no row
+
+
+def test_unigram_tokenizer_trains_and_matches_oracle(spark):
+    """Hard-EM unigram training on a planted corpus: the driver loop
+    and the fully-unrolled DuckDB DP replay the same vocabulary, and
+    the learned pieces are the expected subwords."""
+    import duckdb
+
+    from mpes_spark.extras.tokenizer import train_unigram, train_unigram_sql
+
+    texts = [
+        "banana band bandana",
+        "banana anna nab",
+        "band bandana banana nab anna",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = train_unigram(docs)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    want = sorted(map(tuple, con.execute(train_unigram_sql("documents")).fetchall()))
+    assert got == want
+    pieces = dict(got)
+    # multi-char subwords shared across words dominate the vocabulary
+    assert "ban" in pieces and "ana" in pieces and "nab" in pieces
+    assert all(c > 0 for c in pieces.values())

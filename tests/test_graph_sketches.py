@@ -684,3 +684,22 @@ def test_kcore_k3_matches_reference_peel(spark):
     # too few rounds has NOT converged yet
     early = {r["node"]: r["deg_core"] for r in kcore(e, k=3, rounds=1).collect()}
     assert set(early) > set(want)
+
+
+def test_clustering_coefficient_planted(spark):
+    """K4 minus one edge: the two degree-3 nodes see 2 of 3 wedges
+    closed (cc = 2/3), the two degree-2 nodes see their single wedge
+    closed (cc = 1); an appended pendant path contributes a cc = 0
+    node of degree 2."""
+    from mpes_spark.analysis.graph import clustering_coefficient
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r for r in clustering_coefficient(df).collect()}
+    # K4 minus (3,4): nodes 1,2 deg 3 with 2 triangles; 3 deg 2 cc 1
+    assert out[1].deg == 3 and out[1].n_triangles == 2
+    assert out[1].n_wedges == 3 and out[1].cc_micro == 666666
+    assert out[3].deg == 2 and out[3].cc_micro == 1_000_000
+    assert out[5].deg == 2 and out[5].n_triangles == 0
+    assert out[5].cc_micro == 0
+    assert 6 not in out  # degree 1 -> no coefficient
