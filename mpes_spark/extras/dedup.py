@@ -2216,6 +2216,81 @@ def dup_span_mask(
 # between chunk-level (paragraphs) and dup-span (token substrings).
 # ---------------------------------------------------------------------------
 
+# Rule-based sentence segmentation (r10, VERDICT r9 #4 — replaces the
+# bare '. ' seam): ONE ordered step table rendered into BOTH dialects,
+# the html_to_text pattern. chr(1) protects dots that do NOT end a
+# sentence (common abbreviations + single-letter initials; decimals
+# like 3.14 are safe already — only dot-space splits); chr(2) marks
+# sentence boundaries after [.!?]; a final literal restores protected
+# dots. Sentences RETAIN their terminal punctuation.
+_SENT_ABBREVS = [
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "St", "Mt", "Jr", "Sr", "vs",
+    "etc", "e.g", "i.e", "cf", "Fig", "Eq", "Inc", "Ltd", "Co", "No",
+    "Vol", "pp", "approx", "al",
+]
+_SENT_PROTECT = "\x01"
+_SENT_BREAK = "\x02"
+
+
+def _sent_steps() -> list[tuple[str, str, str]]:
+    """(kind, pattern-or-needle, replacement), applied strictly in
+    order. 're' patterns stay in the Java/RE2-common subset (\\b on
+    ASCII text behaves identically in both engines); replacements are
+    plain literals — no group refs, so the two dialects cannot drift
+    on backreference syntax."""
+    steps: list[tuple[str, str, str]] = []
+    for a in _SENT_ABBREVS:
+        esc = a.replace(".", r"\.")
+        steps.append(("re", rf"\b{esc}\.", a + _SENT_PROTECT))
+    for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":  # initials: "J. Smith"
+        steps.append(("re", rf"\b{c}\.", c + _SENT_PROTECT))
+    for p in ".!?":
+        steps.append(("lit", p + " ", p + _SENT_BREAK))
+    steps.append(("lit", _SENT_PROTECT, "."))
+    return steps
+
+
+def sentence_split_expr(col: "Column | str"):
+    """Spark Column: array of sentences under the rule segmenter."""
+    out = F.col(col) if isinstance(col, str) else col
+    for kind, pat, rep in _sent_steps():
+        if kind == "re":
+            out = F.regexp_replace(out, pat, rep)
+        else:
+            out = F.replace(out, F.lit(pat), F.lit(rep))
+    return F.split(out, _SENT_BREAK)
+
+
+def _sent_sql_quote(s: str) -> str:
+    """SQL literal with control chars rendered as chr(n) concats."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def sentence_split_sql(expr: str) -> str:
+    """DuckDB rendering of the identical segmentation chain; returns
+    a split-to-array SQL expression."""
+    out = expr
+    for kind, pat, rep in _sent_steps():
+        q_pat, q_rep = _sent_sql_quote(pat), _sent_sql_quote(rep)
+        if kind == "re":
+            out = f"regexp_replace({out}, {q_pat}, {q_rep}, 'g')"
+        else:
+            out = f"replace({out}, {q_pat}, {q_rep})"
+    return f"string_split({out}, chr(2))"
+
+
 def sentence_spans(
     docs: DataFrame,
     n_sent: int = 3,
@@ -2223,17 +2298,17 @@ def sentence_spans(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, span_idx, span) — every window of ``n_sent``
-    consecutive sentences per doc. Sentences split on the literal
-    '. ' delimiter (deterministic and dialect-identical; C4's English
-    splitter is a swap-in at this seam), empties dropped. One doc-
-    keyed window over the sentence relation; spans are linear in
-    sentences."""
+    consecutive sentences per doc. Sentences come from the rule
+    segmenter (:func:`sentence_split_expr` — abbreviation list +
+    single-initial guards + [.!?]-space boundaries, dialect-identical
+    by construction), empties dropped. One doc-keyed window over the
+    sentence relation; spans are linear in sentences."""
     from pyspark.sql.window import Window as W
 
     sent = (
         docs.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text), r"\. ")).alias("idx", "s"),
+            F.posexplode(sentence_split_expr(F.col(text))).alias("idx", "s"),
         )
         .filter(F.col("s") != "")
     )
@@ -2318,7 +2393,8 @@ def sentence_span_dedup_sql(
 WITH sent AS (
   SELECT {id_col}, generate_subscripts(parts, 1) - 1 AS idx,
          unnest(parts) AS s
-  FROM (SELECT {id_col}, string_split(text, '. ') AS parts FROM {table}) t
+  FROM (SELECT {id_col}, {sentence_split_sql("text")} AS parts
+        FROM {table}) t
 ),
 sent2 AS (SELECT * FROM sent WHERE s <> ''),
 spans AS (

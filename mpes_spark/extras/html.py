@@ -50,9 +50,11 @@ _STEPS: list[tuple[str, str, str]] = [
     ("lit", "&amp;", "&"),
     # 5. whitespace canonicalization: horizontal runs -> one space,
     #    newline clusters (with surrounding space) -> one newline, trim
+    # explicit classes only: Java's \s includes U+000B, RE2's does not,
+    # so \s here would make the two dialects diverge on vertical tabs
     ("re", r"[ \t\f\r]+", " "),
-    ("re", r" *\n\s*", "\n"),
-    ("re", r"^\s+|\s+$", ""),
+    ("re", r" *\n[ \t\f\r\n]*", "\n"),
+    ("re", r"^[ \t\f\r\n]+|[ \t\f\r\n]+$", ""),
 ]
 
 

@@ -300,6 +300,20 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.select(id_col, "text").repartition(n_part, F.col(id_col))
 
 
+def _ascii_payload(text: str, max_bytes: int) -> bytes:
+    """Dialect-identical synthetic codec payload: drop non-ASCII
+    characters BEFORE the byte slice, so the utf-8 bytes equal the
+    codepoints the DuckDB twin reads with ascii() for ANY input —
+    multibyte truncation cannot split the two engines (ADVICE r9).
+    The committed fixtures are pure ASCII, so this is a no-op there."""
+    return text.encode("ascii", "ignore")[:max_bytes]
+
+
+# The matching DuckDB-side projection (RE2 class; standard SQL literals
+# pass the backslashes through to the regex engine untouched).
+_ASCII_TEXT_SQL = r"regexp_replace(text, '[^\x00-\x7F]', '', 'g')"
+
+
 def image_decode_stats(
     docs: DataFrame, width: int = 16, max_bytes: int = 128, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -322,7 +336,7 @@ def image_decode_stats(
         for pdf in it:
             ids, npix, sums, mx = [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 ids.append(did)
                 if not raw:  # empty doc: no image, stats are zeros
                     npix.append(0), sums.append(0), mx.append(0)
@@ -360,8 +374,9 @@ def image_decode_stats_sql(
     docs keep a row of zeros (LEFT JOIN), matching the Spark guard."""
     return f"""
 WITH chars AS (
-  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table} WHERE length(text) > 0
+  SELECT {id_col}, ascii(unnest(string_split(atext[1:{max_bytes}], ''))) AS byte
+  FROM (SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}) p
+  WHERE length(atext) > 0
 ),
 agg AS (
   SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
@@ -398,7 +413,7 @@ def png_decode_stats(
         for pdf in it:
             ids, nrows, npix, sums, mx = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 ids.append(did)
                 if not raw:  # empty doc: no image, stats are zeros
                     nrows.append(0), npix.append(0)
@@ -439,8 +454,9 @@ def png_decode_stats_sql(
     chunk = width * 3
     return f"""
 WITH chars AS (
-  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table} WHERE length(text) > 0
+  SELECT {id_col}, ascii(unnest(string_split(atext[1:{max_bytes}], ''))) AS byte
+  FROM (SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}) p
+  WHERE length(atext) > 0
 ),
 agg AS (
   SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
@@ -483,7 +499,7 @@ def tiff_decode_stats(
         for pdf in it:
             ids, nrows, npix, sums, mx = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 ids.append(did)
                 if not raw:  # empty doc: no image, stats are zeros
                     nrows.append(0), npix.append(0)
@@ -525,8 +541,9 @@ def tiff_decode_stats_sql(
     padding arithmetic; empty-text docs keep zero rows."""
     return f"""
 WITH chars AS (
-  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table} WHERE length(text) > 0
+  SELECT {id_col}, ascii(unnest(string_split(atext[1:{max_bytes}], ''))) AS byte
+  FROM (SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}) p
+  WHERE length(atext) > 0
 ),
 agg AS (
   SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
@@ -565,7 +582,7 @@ def audio_decode_stats(
         for pdf in it:
             ids, ns, sums, mx, rates = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 ids.append(did)
                 if not raw:  # empty doc: zero-length PCM, stats zeros
                     ns.append(0), sums.append(0), mx.append(0)
@@ -607,8 +624,9 @@ WITH agg AS (
          CAST(sum(byte) AS BIGINT) AS sum_samples,
          CAST(max(byte) AS BIGINT) AS max_sample
   FROM (
-    SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-    FROM {table} WHERE length(text) > 0
+    SELECT {id_col}, ascii(unnest(string_split(atext[1:{max_bytes}], ''))) AS byte
+    FROM (SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}) p
+    WHERE length(atext) > 0
   ) GROUP BY {id_col}
 )
 SELECT d.{id_col},
@@ -643,7 +661,7 @@ def jpeg_decode_stats(
         for pdf in it:
             ids, nrows, npix, sums, mx = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 ids.append(did)
                 if not raw:  # empty doc: no image, stats are zeros
                     nrows.append(0), npix.append(0)
@@ -687,8 +705,9 @@ def jpeg_decode_stats_sql(
     plus the padding arithmetic."""
     return f"""
 WITH chars AS (
-  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table} WHERE length(text) > 0
+  SELECT {id_col}, ascii(unnest(string_split(atext[1:{max_bytes}], ''))) AS byte
+  FROM (SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}) p
+  WHERE length(atext) > 0
 ),
 agg AS (
   SELECT {id_col}, count(*) AS n_raw, sum(byte) AS s, max(byte) AS m
@@ -736,7 +755,7 @@ def flac_decode_stats(
         for pdf in it:
             ids, ns, sums, last, rates = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 ids.append(did)
                 if not raw:  # empty doc: zero-length PCM, stats zeros
                     ns.append(0), sums.append(0), last.append(0)
@@ -777,11 +796,14 @@ def flac_decode_stats_sql(
     weighted sum ``sum_i (n - i + 1) * byte_i`` and the last sample is
     the plain byte total (ASCII fixtures: every byte >= 1)."""
     return f"""
-WITH pos AS (
-  SELECT {id_col}, least(length(text), {max_bytes}) AS n, i,
-         ascii(substr(text, CAST(i AS INTEGER), 1)) AS byte
-  FROM {table}, unnest(range(1, least(length(text), {max_bytes}) + 1)) r(i)
-  WHERE length(text) > 0
+WITH atab AS (
+  SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}
+),
+pos AS (
+  SELECT {id_col}, least(length(atext), {max_bytes}) AS n, i,
+         ascii(substr(atext, CAST(i AS INTEGER), 1)) AS byte
+  FROM atab, unnest(range(1, least(length(atext), {max_bytes}) + 1)) r(i)
+  WHERE length(atext) > 0
 ),
 agg AS (
   SELECT {id_col},
@@ -826,7 +848,7 @@ def video_decode_stats(
         for pdf in it:
             ids, nf, npx, sums, mx = [], [], [], [], []
             for did, text in zip(pdf[id_col], pdf["text"]):
-                raw = text.encode("utf-8")[:max_bytes]
+                raw = _ascii_payload(text, max_bytes)
                 raw = raw + b"\x00" * (max_bytes - len(raw))
                 frames = list(
                     np.frombuffer(raw, dtype="u1").reshape(2, 4, 4, 3)
@@ -877,8 +899,8 @@ SELECT {id_col},
        CAST(sum(byte) AS BIGINT) AS sum_pixels,
        CAST(max(byte) AS BIGINT) AS max_pixel
 FROM (
-  SELECT {id_col}, ascii(unnest(string_split(text[1:{max_bytes}], ''))) AS byte
-  FROM {table}
+  SELECT {id_col}, ascii(unnest(string_split(atext[1:{max_bytes}], ''))) AS byte
+  FROM (SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}) p
 ) GROUP BY {id_col}
 """.strip()
 

@@ -578,16 +578,25 @@ def neardup_dual_measure(spark, sf_dir):
 
 
 _SSD_RE = r"((?:\S+ ){7}\S+) "  # Java/RE2-common: every 8 words
+# Punctuation-rich fixture (r10): after the every-8-words period, four
+# word swaps plant abbreviation dots, initials, and !/? boundaries —
+# literal replacements, so both dialects render them byte-identically.
+_SSD_SWAPS = [
+    (r"\bthe\b", "Dr."),   # abbreviation the segmenter must NOT split
+    (r"\band\b", "J. K."), # single-letter initials
+    (r"\bof\b", "why?"),   # '? ' sentence boundary
+    (r"\bto\b", "now!"),   # '! ' sentence boundary
+]
 
 
-@_q(
-    "sentence_span_dedup",
-    DD.sentence_span_dedup_sql(
-        "(SELECT doc_id, "
-        f"regexp_replace(text, '{_SSD_RE}', '\\1. ', 'g') AS text "
-        "FROM documents) src"
-    ),
-)
+def _ssd_fixture_sql() -> str:
+    e = f"regexp_replace(text, '{_SSD_RE}', '\\1. ', 'g')"
+    for pat, rep in _SSD_SWAPS:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return f"(SELECT doc_id, {e} AS text FROM documents) src"
+
+
+@_q("sentence_span_dedup", DD.sentence_span_dedup_sql(_ssd_fixture_sql()))
 def sentence_span_dedup(spark, sf_dir):
     """C4 sentence-span dedup accounting (Raffel et al. 2020 §2.2 —
     r9 late, the sentence-granularity member of the dedup family
@@ -597,13 +606,16 @@ def sentence_span_dedup(spark, sf_dir):
     ownership, carried in the SAME struct-min pass as the frequency
     agg — one shuffle on the span key, no count-distinct). All-integer
     output: exact gate. The fixture corpus has no punctuation, so the
-    gate synthesizes deterministic sentence boundaries first (a period
-    after every 8th word, one group-ref regexp_replace rendered in
-    both dialects); the '. ' splitter seam itself is what a real
-    English segmenter swaps into."""
+    gate synthesizes it (a period after every 8th word, then planted
+    abbreviations / initials / !? boundaries — _SSD_SWAPS), and the
+    segmenter under test is the r10 RULE segmenter
+    (:func:`mpes_spark.extras.dedup.sentence_split_expr`) rather than
+    the old bare '. ' seam."""
     docs = _docs(spark, sf_dir).withColumn(
         "text", F.regexp_replace("text", _SSD_RE, "$1. ")
     )
+    for pat, rep in _SSD_SWAPS:
+        docs = docs.withColumn("text", F.regexp_replace("text", pat, rep))
     return DD.sentence_span_dedup(docs)
 
 
@@ -1561,6 +1573,22 @@ def unigram_tokenizer(spark, sf_dir):
     return spark.createDataFrame(
         [(p, int(c)) for p, c in vocab], "piece string, cnt bigint"
     )
+
+
+@_q("unigram_token_stats", TK.unigram_token_stats_sql("documents"))
+def unigram_token_stats(spark, sf_dir):
+    """The unigram ENCODE path under the hash gate (r10, VERDICT r9
+    #5 — the inference half of unigram_tokenizer): train the vocab,
+    then Viterbi-segment EVERY corpus word with it in an Arrow
+    pandas_udf (broadcast scores, per-batch word memo — the
+    bpe_encode_udf shape) and roll up per-doc (n_words, n_chars,
+    n_tokens, n_unk). Integer piece scores make inference the exact
+    DP training ran, so the DuckDB twin replays it: the trainer's CTE
+    chain plus one more unrolled DP + longest-piece backtrack over
+    all distinct words under the FINAL vocabulary. Overlong (>12
+    chars) or pathless words count as one <unk> in both engines.
+    All-integer output: exact gate."""
+    return TK.unigram_token_stats(_docs(spark, sf_dir))
 
 
 @_q(

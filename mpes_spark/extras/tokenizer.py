@@ -443,6 +443,7 @@ def train_unigram_sql(
     min_count: int = _UNI_MIN_COUNT,
     max_word_len: int = _UNI_MAX_WORD,
     text: str = "text",
+    max_words: int = 100_000,
 ) -> str:
     """DuckDB oracle twin of :func:`train_unigram`: the full hard-EM
     loop as generated SQL — seed substring counts, per-iteration
@@ -453,13 +454,43 @@ def train_unigram_sql(
     DISTINCT words (vocab-bounded), so the unrolled chain is cheap at
     any SF. The kmeans/BPE unrolled-oracle playbook applied to a
     dynamic program."""
+    parts = _train_unigram_parts(
+        table, iters, max_piece, min_count, max_word_len, text, max_words
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v{iters}"
+    )
+
+
+def _train_unigram_parts(
+    table: str,
+    iters: int,
+    max_piece: int,
+    min_count: int,
+    max_word_len: int,
+    text: str,
+    max_words: int,
+) -> list[str]:
+    """The WITH-clause parts of :func:`train_unigram_sql`, reusable by
+    the encode-path twin (:func:`unigram_token_stats_sql`) which
+    appends its own DP over the final vocabulary ``v{iters}``."""
     mp = max_piece
     parts = [
+        # Cap mirrors train_unigram exactly: the rank-based top-max_words
+        # cut (freq DESC, word — word_freqs' TakeOrderedAndProject) is
+        # applied BEFORE the max_word_len filter, so both engines train
+        # on the same word set even past the cap (ADVICE r9).
         f"""wfl AS MATERIALIZED (
-  SELECT word, count(*) AS freq FROM (
-    SELECT unnest(string_split({text}, ' ')) AS word FROM {table}) w
-  WHERE word <> '' AND length(word) <= {max_word_len}
-  GROUP BY word)""",
+  SELECT word, freq FROM (
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split({text}, ' ')) AS word FROM {table}) w
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY freq DESC, word
+    LIMIT {max_words})
+  WHERE length(word) <= {max_word_len})""",
         f"""seed AS MATERIALIZED (
   SELECT piece, sum(freq) AS cnt FROM (
     SELECT substr(word, i + 1, l) AS piece, freq
@@ -540,8 +571,217 @@ def train_unigram_sql(
             f"  SELECT piece, sum(freq) AS cnt FROM (\n  {piece_union}) p\n"
             "  WHERE piece IS NOT NULL GROUP BY piece)"
         )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v{iters}"
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# unigram ENCODE path (r10, VERDICT r9 #5): distributed Viterbi
+# segmentation with the learned vocabulary — the production inference
+# half of the trainer above, mirroring bpe_encode_udf's shape.
+# ---------------------------------------------------------------------------
+
+UNK_PIECE = "<unk>"  # >max_piece chars and non-word glyphs: collision-free
+
+
+def unigram_encode_udf(
+    spark_context,
+    vocab: list[tuple[str, int]],
+    max_piece: int = _UNI_MAX_PIECE,
+    max_word_len: int = _UNI_MAX_WORD,
+):
+    """Arrow-batched Viterbi encoder: text -> array<string> of unigram
+    pieces under the trained (piece, count) table. Piece scores are
+    the SAME integer micro-log-frequencies training used
+    (:func:`_ilog_score`), so inference runs the exact DP the trainer
+    ran — which is what makes the segmentation oracle-expressible.
+    The vocab rides a broadcast (vocab-sized); per-batch encoding
+    memoizes by word. Words longer than ``max_word_len`` (never
+    trained) or with no path under the vocab become one
+    :data:`UNK_PIECE`."""
+    total = sum(c for _, c in vocab)
+    score = {p: _ilog_score(c, total) for p, c in vocab}
+    bc = spark_context.broadcast(score)
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        sc = bc.value
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in (t or "").split(" "):
+                if not w:
+                    continue
+                got = memo.get(w)
+                if got is None:
+                    if len(w) > max_word_len:
+                        got = [UNK_PIECE]
+                    else:
+                        try:
+                            got = _viterbi_unigram(w, sc, max_piece)
+                        except RuntimeError:  # no path under this vocab
+                            got = [UNK_PIECE]
+                    memo[w] = got
+                toks.extend(got)
+            out.append(toks)
+        return pd.Series(out)
+
+    return enc
+
+
+def unigram_token_stats(
+    docs: DataFrame,
+    iters: int = _UNI_ITERS,
+    max_piece: int = _UNI_MAX_PIECE,
+    min_count: int = _UNI_MIN_COUNT,
+    max_word_len: int = _UNI_MAX_WORD,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Train the unigram vocab, then ENCODE the whole corpus with it:
+    per doc (n_words, n_chars, n_tokens, n_unk) — the fertility
+    diagnostic, all-integer so the hash gate is exact. The encode pass
+    covers EVERY distinct word (including words the trainer's
+    ``max_words`` cap or ``max_word_len`` bound excluded — the latter
+    count as UNK), which is exactly what production inference does."""
+    vocab = train_unigram(
+        docs, iters, max_piece, min_count, max_word_len, text, max_words
     )
+    enc = unigram_encode_udf(
+        docs.sparkSession.sparkContext, vocab, max_piece, max_word_len
+    )
+    words = f"filter(split({text}, ' '), w -> w <> '')"
+    return (
+        docs.select(
+            F.col(id_col),
+            F.expr(f"size({words})").cast("bigint").alias("n_words"),
+            F.expr(f"aggregate({words}, 0L, (a, w) -> a + length(w))")
+            .cast("bigint")
+            .alias("n_chars"),
+            enc(F.col(text)).alias("_toks"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            F.size("_toks").cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter("_toks", lambda tk: tk == F.lit(UNK_PIECE))
+            )
+            .cast("bigint")
+            .alias("n_unk"),
+        )
+    )
+
+
+def unigram_token_stats_sql(
+    table: str = "documents",
+    iters: int = _UNI_ITERS,
+    max_piece: int = _UNI_MAX_PIECE,
+    min_count: int = _UNI_MIN_COUNT,
+    max_word_len: int = _UNI_MAX_WORD,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 100_000,
+) -> str:
+    """DuckDB twin of :func:`unigram_token_stats`: the trainer's full
+    CTE chain (:func:`_train_unigram_parts`), then ONE more unrolled
+    Viterbi DP + longest-piece backtrack over ALL distinct corpus
+    words scored by the FINAL vocabulary ``v{iters}``, a per-word
+    piece count, and the per-doc rollup. Unsegmentable or overlong
+    words fall out of the DP relations and count as one UNK via the
+    LEFT JOIN's COALESCE."""
+    mp = max_piece
+    L = max_word_len
+    T = iters
+    parts = _train_unigram_parts(
+        table, iters, max_piece, min_count, max_word_len, text, max_words
+    )
+    parts.append(
+        f"totF AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v{T})"
+    )
+    parts.append(
+        f"scF AS MATERIALIZED (SELECT piece, CAST(floor(ln(cnt / "
+        f"(SELECT total FROM totF)) * 1e6) AS BIGINT) AS s FROM v{T})"
+    )
+    parts.append(
+        f"""allw AS MATERIALIZED (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split({text}, ' ')) AS word FROM {table}) w
+  WHERE word <> '')"""
+    )
+    parts.append(f"ew AS (SELECT word FROM allw WHERE length(word) <= {L})")
+    parts.append("e_0 AS (SELECT word, CAST(0 AS BIGINT) AS best FROM ew)")
+    for j in range(1, L + 1):
+        branches = [
+            f"SELECT d.word, d.best + v.s AS cand "
+            f"FROM e_{j - l} d "
+            f"JOIN scF v ON v.piece = substr(d.word, {j - l + 1}, {l}) "
+            f"WHERE length(d.word) >= {j}"
+            for l in range(1, min(mp, j) + 1)
+        ]
+        u = "\n    UNION ALL ".join(branches)
+        parts.append(
+            f"e_{j} AS MATERIALIZED (\n"
+            f"  SELECT word, max(cand) AS best FROM (\n    {u}) u\n"
+            "  GROUP BY word)"
+        )
+    dp_union = "\n  UNION ALL ".join(
+        f"SELECT word, {j} AS pos, best FROM e_{j}" for j in range(0, L + 1)
+    )
+    parts.append(f"edpall AS MATERIALIZED (\n  {dp_union})")
+
+    def _valid(l: int) -> str:
+        return (
+            f"q.pos >= {l} AND "
+            f"(SELECT d.best FROM edpall d WHERE d.word = q.word "
+            f"AND d.pos = q.pos - {l}) + "
+            f"(SELECT v.s FROM scF v WHERE v.piece = "
+            f"substr(q.word, q.pos - {l} + 1, {l})) = "
+            f"(SELECT d2.best FROM edpall d2 WHERE d2.word = q.word "
+            "AND d2.pos = q.pos)"
+        )
+
+    l_case = " ".join(f"WHEN {_valid(l)} THEN {l}" for l in range(mp, 0, -1))
+    parts.append(
+        "ebt_0 AS (SELECT e.word, length(e.word) AS pos, "
+        "CAST(NULL AS VARCHAR) AS piece FROM ew e "
+        "JOIN edpall d ON d.word = e.word AND d.pos = length(e.word))"
+    )
+    for st in range(1, L + 1):
+        parts.append(
+            f"ebt_{st} AS MATERIALIZED (\n"
+            "  SELECT word, pos - l AS pos, "
+            "substr(word, pos - l + 1, l) AS piece FROM (\n"
+            f"    SELECT q.word, q.pos, CASE {l_case} END AS l\n"
+            f"    FROM ebt_{st - 1} q WHERE q.pos > 0) z)"
+        )
+    piece_union = "\n  UNION ALL ".join(
+        f"SELECT word, piece FROM ebt_{st}" for st in range(1, L + 1)
+    )
+    parts.append(
+        f"ntok AS MATERIALIZED (\n"
+        f"  SELECT word, count(*) AS n_pieces FROM (\n  {piece_union}) p\n"
+        "  WHERE piece IS NOT NULL GROUP BY word)"
+    )
+    parts.append(
+        "wstats AS (SELECT a.word, COALESCE(n.n_pieces, 1) AS n_pieces, "
+        "CASE WHEN n.word IS NULL THEN 1 ELSE 0 END AS unk "
+        "FROM allw a LEFT JOIN ntok n USING (word))"
+    )
+    final = f"""
+SELECT d.{id_col},
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk
+FROM {table} d LEFT JOIN (
+  SELECT {id_col}, count(*) AS n_words, sum(length(word)) AS n_chars,
+         sum(n_pieces) AS n_tokens, sum(unk) AS n_unk
+  FROM (SELECT {id_col}, unnest(string_split({text}, ' ')) AS word
+        FROM {table}) dw
+  JOIN wstats USING (word)
+  WHERE word <> ''
+  GROUP BY {id_col}) a USING ({id_col})"""
+    return "WITH " + ",\n".join(parts) + final

@@ -646,3 +646,38 @@ def read_hdf5(path: str) -> Hdf5LiteFile:
     """Open and parse an HDF5 file's structure (data reads stay lazy
     byte-range slices)."""
     return Hdf5LiteFile(path)
+
+
+def append_hdf5(
+    path: str,
+    datasets: dict[str, np.ndarray],
+    dataset_attrs: dict[str, dict] | None = None,
+    root_attrs: dict | None = None,
+) -> None:
+    """Append datasets to an existing lite-written HDF5 file by
+    READ-MODIFY-WRITE (r10, VERDICT r9 #9 stretch): parse the file,
+    materialize every existing dataset + its attributes, merge the new
+    ones in, and rewrite the whole file through :func:`write_hdf5`.
+    A name collision raises, matching ``h5py.create_dataset`` under
+    mode 'a'. O(file size) per call by design — this writer serves
+    driver-small binned artifacts (bounded by grid size), not event
+    data; streaming appends belong to libhdf5. Missing file degrades
+    to a plain write, like h5py mode 'a'."""
+    import os
+
+    dataset_attrs = dict(dataset_attrs or {})
+    root_attrs = dict(root_attrs or {})
+    if not os.path.exists(path):
+        write_hdf5(path, datasets, dataset_attrs, root_attrs)
+        return
+    f = read_hdf5(path)
+    dup = sorted(set(f.datasets) & set(datasets))
+    if dup:
+        raise ValueError(f"datasets already exist: {dup}")
+    merged = {name: f.read(name) for name in f.datasets}
+    merged.update(datasets)
+    attrs = {
+        name: dict(ds.attrs) for name, ds in f.datasets.items() if ds.attrs
+    }
+    attrs.update(dataset_attrs)
+    write_hdf5(path, merged, attrs, {**f.attrs, **root_attrs})

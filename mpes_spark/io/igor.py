@@ -248,6 +248,23 @@ def save_ibw(
     the 90s reads — and the reference leaves unimplemented). Numeric
     dtypes from the TN003 table only; axis scaling defaults to
     identity (sfA=1, sfB=0)."""
+    blob = ibw_bytes(data, name, sfA, sfB, data_units, note, byte_order)
+    with open(path, "wb") as fh:
+        fh.write(blob)
+
+
+def ibw_bytes(
+    data: np.ndarray,
+    name: str = "wave0",
+    sfA=None,
+    sfB=None,
+    data_units: str = "",
+    note: str = "",
+    byte_order: str = "<",
+) -> bytes:
+    """The version-5 IBW byte image of :func:`save_ibw` — reusable as
+    the wave-record payload of a packed experiment
+    (:func:`save_pxp`)."""
     data = np.asarray(data)
     rev = {v: k for k, v in _TYPES.items()}
     key = data.dtype.newbyteorder("=").str.lstrip("<>=|")
@@ -295,11 +312,7 @@ def save_ibw(
         byte_order + _BIN5,
         5, ck, wfm_size, 0, len(note_b), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
     )
-    with open(path, "wb") as fh:
-        fh.write(bin5)
-        fh.write(wave[:-4])
-        fh.write(payload)
-        fh.write(note_b)
+    return bin5 + wave[:-4] + payload + note_b
 
 
 def ibw_to_binned(wave: IgorWave, dims: list[str] | None = None):
@@ -376,6 +389,157 @@ def read_waves_ibw(spark, paths: list[str], strict: bool = True):
                         .tolist(),
                     }
                 )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    plan = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(1, len(paths)))
+    return plan.mapInPandas(parse, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Packed experiments (.pxp) — PTN003's PackedFileRecordHeader walk.
+# The reference reads these through the third-party ``igor`` package
+# (``readIgorBinFile``, /root/reference/mpes/fprocessing.py:326-346);
+# here the container is parsed natively: wave records embed complete
+# IBW images, so :func:`load_ibw` decodes each one in place.
+# ---------------------------------------------------------------------------
+
+#: PackedFileRecordHeader: ushort recordType, short version, int32 size
+_PXP_HDR = "HhI"
+_PXP_WAVE = 3
+_PXP_FOLDER_START = 9
+_PXP_FOLDER_END = 10
+
+
+def load_pxp(src, strict: bool = True) -> dict:
+    """Parse a packed experiment into ``{folder-qualified name:
+    IgorWave}`` (folders joined with '/', root elided). Non-wave
+    records (history, procedures, variables, recreation macros) are
+    skipped — the data model only needs the wave payloads, exactly
+    what the reference keeps from ``igor.load``. ``strict`` gates the
+    per-wave IBW checksum as in :func:`load_ibw`."""
+    buf = src if isinstance(src, (bytes, bytearray)) else open(src, "rb").read()
+    buf = bytes(buf)
+    order = "<"
+    hsize = struct.calcsize(order + _PXP_HDR)
+    pos = 0
+    folders: list[str] = []
+    waves: dict = {}
+    while pos + hsize <= len(buf):
+        rtype, _ver, nbytes = struct.unpack_from(order + _PXP_HDR, buf, pos)
+        rtype &= 0x7FFF
+        pos += hsize
+        if pos + nbytes > len(buf):
+            if strict:
+                raise ValueError("truncated packed-experiment record")
+            break
+        payload = buf[pos : pos + nbytes]
+        pos += nbytes
+        if rtype == _PXP_FOLDER_START:
+            folders.append(_cstr(payload[:32]))
+        elif rtype == _PXP_FOLDER_END:
+            if folders:
+                folders.pop()
+        elif rtype == _PXP_WAVE:
+            w = load_ibw(payload, strict=strict)
+            prefix = [f for f in folders if f and f != "root"]
+            waves["/".join([*prefix, w.name])] = w
+    return waves
+
+
+def save_pxp(path, waves: dict, byte_order: str = "<") -> None:
+    """Write ``{name-or-folder/qualified/name: ndarray-or-IgorWave}``
+    as a packed experiment: folder start/end records bracket each
+    '/'-segment, every wave rides as a complete v5 IBW image
+    (:func:`ibw_bytes`). Fixture-grade writer so the pxp reader and
+    catalog scan are testable without Igor."""
+
+    def _rec(rtype: int, payload: bytes) -> bytes:
+        return struct.pack(byte_order + _PXP_HDR, rtype, 5, len(payload)) + payload
+
+    out = bytearray()
+    open_stack: list[str] = []
+
+    def _goto(target: list[str]) -> None:
+        common = 0
+        while (
+            common < len(open_stack)
+            and common < len(target)
+            and open_stack[common] == target[common]
+        ):
+            common += 1
+        while len(open_stack) > common:
+            open_stack.pop()
+            out.extend(_rec(_PXP_FOLDER_END, b""))
+        for f in target[common:]:
+            open_stack.append(f)
+            out.extend(
+                _rec(
+                    _PXP_FOLDER_START,
+                    f.encode("latin-1")[:31].ljust(32, b"\x00"),
+                )
+            )
+
+    for qname in sorted(waves):
+        *folders, name = qname.split("/")
+        _goto(folders)
+        w = waves[qname]
+        if isinstance(w, IgorWave):
+            blob = ibw_bytes(
+                w.data, name, w.sfA or None, w.sfB or None,
+                w.data_units, w.note, byte_order,
+            )
+        else:
+            blob = ibw_bytes(np.asarray(w), name, byte_order=byte_order)
+        out.extend(_rec(_PXP_WAVE, blob))
+    _goto([])
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def read_waves_pxp(spark, paths: list[str], strict: bool = True):
+    """Distributed .pxp catalog scan — the packed-experiment sibling
+    of :func:`read_waves_ibw`: one row per wave per file, ``name``
+    folder-qualified. Same plan shape (path-list parallelism,
+    mapInPandas) and the same schema, so the two scans union."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("wave_type", T.IntegerType()),
+            T.StructField("shape", T.ArrayType(T.IntegerType())),
+            T.StructField("sfA", T.ArrayType(T.DoubleType())),
+            T.StructField("sfB", T.ArrayType(T.DoubleType())),
+            T.StructField("data_units", T.StringType()),
+            T.StructField("note", T.StringType()),
+            T.StructField("values", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                for qname, w in load_pxp(p, strict=strict).items():
+                    rows.append(
+                        {
+                            "file": p,
+                            "name": qname,
+                            "wave_type": int(w.wave_type),
+                            "shape": list(w.data.shape),
+                            "sfA": [float(v) for v in w.sfA],
+                            "sfB": [float(v) for v in w.sfB],
+                            "data_units": w.data_units,
+                            "note": w.note,
+                            "values": np.ravel(w.data, order="F")
+                            .astype("float64")
+                            .tolist(),
+                        }
+                    )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     plan = spark.createDataFrame(

@@ -495,6 +495,14 @@ def _tiff_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
     """Parse the first IFD into {tag: values} (integer types; RATIONAL
     read as numerator/denominator pairs)."""
     (off,) = struct.unpack_from(bo + "I", data, 4)
+    return _tiff_ifd_at(data, bo, off)[0]
+
+
+def _tiff_ifd_at(
+    data: bytes, bo: str, off: int
+) -> tuple[dict[int, list[int]], int]:
+    """Parse the IFD at ``off``; returns (tags, next-IFD offset) so
+    multi-page stacks can walk the chain."""
     (n_entries,) = struct.unpack_from(bo + "H", data, off)
     tags: dict[int, list[int]] = {}
     for e in range(n_entries):
@@ -520,7 +528,8 @@ def _tiff_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
             tags[tag] = vals
             continue
         tags[tag] = list(struct.unpack_from(bo + fmt * count, data, voff))
-    return tags
+    (nxt,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n_entries)
+    return tags, nxt
 
 
 def _undo_predictor2(flat: np.ndarray, width: int, samples: int) -> np.ndarray:
@@ -541,17 +550,50 @@ def read_tiff(data: bytes) -> np.ndarray:
     TIFF stays env-gated. Reference entry point: ``readimg``,
     /root/reference/mpes/fprocessing.py:290-296 (skimage/libtiff
     there; a fresh TIFF6-spec implementation here)."""
-    if data[:4] == b"II*\x00":
-        bo = "<"
-    elif data[:4] == b"MM\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF")
+    bo = _tiff_byte_order(data)
     try:
         tags = _tiff_ifd(data, bo)
+    except (struct.error, KeyError, IndexError) as exc:
+        raise ValueError(f"truncated or malformed TIFF: {exc}") from exc
+    return _decode_tiff_page(data, bo, tags)
+
+
+def read_tiff_stack(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY page of a (multi-page) TIFF by walking the chained
+    IFDs — the tifffile-stack shape the reference's ``saveDict``
+    'tiff' branch emits (``/root/reference/mpes/fprocessing.py:
+    946-952``). Returns one array per page."""
+    bo = _tiff_byte_order(data)
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    pages: list[np.ndarray] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise ValueError("cyclic IFD chain")
+        seen.add(off)
+        try:
+            tags, off = _tiff_ifd_at(data, bo, off)
+        except (struct.error, KeyError, IndexError) as exc:
+            raise ValueError(f"truncated or malformed TIFF: {exc}") from exc
+        pages.append(_decode_tiff_page(data, bo, tags))
+    return pages
+
+
+def _tiff_byte_order(data: bytes) -> str:
+    if data[:4] == b"II*\x00":
+        return "<"
+    if data[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("not a TIFF")
+
+
+def _decode_tiff_page(
+    data: bytes, bo: str, tags: dict[int, list[int]]
+) -> np.ndarray:
+    try:
         width = tags[256][0]
         height = tags[257][0]
-    except (struct.error, KeyError, IndexError) as exc:
+    except (KeyError, IndexError) as exc:
         raise ValueError(f"truncated or malformed TIFF: {exc}") from exc
     bits = tags.get(258, [8])
     samples = tags.get(277, [1])[0]
@@ -562,9 +604,14 @@ def read_tiff(data: bytes) -> np.ndarray:
     counts = tags.get(279)
     if planar != 1:
         raise ValueError("planar (separate-plane) TIFF unsupported")
-    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+    if len(set(bits)) != 1 or bits[0] not in (8, 16, 32):
         raise ValueError(f"unsupported BitsPerSample {bits}")
     depth = bits[0]
+    sample_format = tags.get(339, [1])[0]
+    if depth == 32 and sample_format != 3:
+        raise ValueError("32-bit TIFF supported for SampleFormat 3 only")
+    if depth == 32 and predictor != 1:
+        raise ValueError("predictor unsupported for float TIFF")
     if counts is None:
         if comp != 1 or len(offsets) != 1:
             raise ValueError("missing StripByteCounts")
@@ -588,11 +635,13 @@ def read_tiff(data: bytes) -> np.ndarray:
         )
     else:
         raise ValueError(f"unsupported TIFF compression {comp}")
-    dt = np.dtype(bo + "u2") if depth == 16 else np.dtype("u1")
+    dt = {8: np.dtype("u1"), 16: np.dtype(bo + "u2"), 32: np.dtype(bo + "f4")}[
+        depth
+    ]
     flat = np.frombuffer(raw, dtype=dt)[: height * width * samples]
     if flat.size != height * width * samples:
         raise ValueError("truncated TIFF pixel data")
-    flat = flat.astype("u2" if depth == 16 else "u1")
+    flat = flat.astype({8: "u1", 16: "u2", 32: "f4"}[depth])
     if predictor == 2:
         flat = _undo_predictor2(flat, width, samples)
     elif predictor != 1:
@@ -615,20 +664,105 @@ def write_tiff(
     real-world LZW pairing). A writer the reference lacks entirely
     (its ``mat2im`` shells out to PIL); here it exists so the LZW
     round-trip can be hash-gated without any imaging library."""
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    blob, ifd_off, _ = _encode_tiff_page(
+        arr, 8, compression, predictor, rows_per_strip, bo
+    )
+    out = (
+        (b"II*\x00" if bo == "<" else b"MM\x00*")
+        + struct.pack(bo + "I", ifd_off)
+        + blob
+    )
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(out)
+    return out
+
+
+def write_tiff_stack(
+    frames: "list[np.ndarray] | np.ndarray",
+    path: str | None = None,
+    compression: str = "none",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    byte_order: str = "<",
+) -> bytes:
+    """Encode a sequence of 2-D/3-channel frames as ONE multi-page
+    TIFF with chained IFDs — the tifffile-stack layout the reference's
+    ``saveDict`` 'tiff' branch produces
+    (``/root/reference/mpes/fprocessing.py:946-952``). A 3-D array is
+    treated as pages along axis 0. Round-trips via
+    :func:`read_tiff_stack`."""
+    pages = (
+        [np.asarray(f) for f in frames]
+        if isinstance(frames, (list, tuple))
+        else [np.asarray(frames)[i] for i in range(np.asarray(frames).shape[0])]
+    )
+    if not pages:
+        raise ValueError("empty TIFF stack")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    blobs: list[bytearray] = []
+    ifd_offs: list[int] = []
+    next_ptrs: list[int] = []
+    bases: list[int] = []
+    base = 8
+    for a in pages:
+        blob, ifd_off, next_ptr = _encode_tiff_page(
+            a, base, compression, predictor, rows_per_strip, bo
+        )
+        blobs.append(bytearray(blob))
+        ifd_offs.append(ifd_off)
+        next_ptrs.append(next_ptr)
+        bases.append(base)
+        base += len(blob)  # page blobs are even-length by construction
+    for i in range(len(pages) - 1):  # chain the IFDs
+        rel = next_ptrs[i] - bases[i]
+        blobs[i][rel : rel + 4] = struct.pack(bo + "I", ifd_offs[i + 1])
+    out = (
+        (b"II*\x00" if bo == "<" else b"MM\x00*")
+        + struct.pack(bo + "I", ifd_offs[0])
+        + b"".join(bytes(b) for b in blobs)
+    )
+    if path:
+        with open(path, "wb") as fh:
+            fh.write(out)
+    return out
+
+
+def _encode_tiff_page(
+    arr: np.ndarray,
+    base: int,
+    compression: str,
+    predictor: int,
+    rows_per_strip: int | None,
+    bo: str,
+) -> tuple[bytes, int, int]:
+    """Encode one TIFF page positioned at absolute file offset
+    ``base`` (must be even). Returns (blob, absolute IFD offset,
+    absolute position of the next-IFD pointer field — zero-filled, for
+    the stack writer to patch). The blob is always even-length so
+    consecutive pages stay word-aligned."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 3, 4):
         raise ValueError(f"need (H, W[, 1|3|4]), got {np.asarray(arr).shape}")
     h, w, s = a.shape
-    depth = 16 if a.dtype.itemsize > 1 else 8
-    if depth == 16 and s != 1:
-        raise ValueError("16-bit write supported for grayscale only")
-    bo = byte_order
-    if bo not in ("<", ">"):
-        raise ValueError("byte_order must be '<' or '>'")
+    is_float = a.dtype.kind == "f"
+    depth = 32 if is_float else (16 if a.dtype.itemsize > 1 else 8)
+    if depth > 8 and s != 1:
+        raise ValueError("16/32-bit write supported for grayscale only")
+    if is_float and predictor != 1:
+        raise ValueError("predictor unsupported for float TIFF")
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
-    pix = a.astype(bo + "u2") if depth == 16 else a.astype("u1")
+    if is_float:  # SampleFormat 3 (IEEE float) — saveDict's dtyp default
+        pix = a.astype(bo + "f4")
+    else:
+        pix = a.astype(bo + "u2") if depth == 16 else a.astype("u1")
     if predictor == 2:
         native = a.astype("u2" if depth == 16 else "u1").astype(np.int64)
         diff = native.copy()
@@ -652,12 +786,24 @@ def write_tiff(
     def pk(fmt: str, *v: int) -> bytes:
         return struct.pack(bo + fmt, *v)
 
-    # layout: header(8) | strip data | [bits array if s > 2] | IFD
-    pos = 8
+    # layout: strip data | [bits array if s > 2] | IFD | external arrays.
+    # TIFF6 requires even value/IFD offsets, so each strip starts on a
+    # word boundary (pad byte between odd-length compressed strips —
+    # byte counts stay the true data lengths) and the whole strip
+    # region is padded to even before bits_off/ifd_off (ADVICE r9).
+    data = bytearray()
+    pos = base
     strip_offsets = []
     for st in strips:
+        if pos % 2:
+            data += b"\0"
+            pos += 1
         strip_offsets.append(pos)
+        data += st
         pos += len(st)
+    if pos % 2:
+        data += b"\0"
+        pos += 1
     bits_off = pos
     if s > 2:
         pos += 2 * s
@@ -700,6 +846,10 @@ def write_tiff(
     entry(284, 3, 1, pk("H", 1))
     if predictor == 2:
         entry(317, 3, 1, pk("H", predictor))
+    if s == 4:  # RGBA: declare the 4th sample (unassociated alpha)
+        entry(338, 3, 1, pk("H", 2))
+    if is_float:  # SampleFormat = IEEE floating point
+        entry(339, 3, 1, pk("H", 3))
     ifd_size = 2 + 12 * len(entries) + 4
     ext_pos = ifd_off + ifd_size
     # patch deferred array offsets now that the IFD size is known
@@ -713,20 +863,16 @@ def write_tiff(
         else:
             fixed.append(e)
     out = bytearray()
-    out += (b"II*\x00" if bo == "<" else b"MM\x00*") + pk("I", ifd_off)
-    for st in strips:
-        out += st
+    out += data
     if s > 2:
         out += pk("H" * s, *([depth] * s))
     out += pk("H", len(fixed))
     for e in fixed:
         out += e
-    out += pk("I", 0)
+    next_ptr = ifd_off + 2 + 12 * len(fixed)
+    out += pk("I", 0)  # next-IFD pointer; the stack writer patches it
     out += tail
-    if path:
-        with open(path, "wb") as fh:
-            fh.write(bytes(out))
-    return bytes(out)
+    return bytes(out), ifd_off, next_ptr
 
 
 def decode_image_bytes(payload: bytes) -> np.ndarray:

@@ -311,14 +311,14 @@ def save_binned_h5(arr: BinnedArray, path: str, mode: str = "w") -> None:
     try:
         import h5py
     except ImportError:
-        from mpes_spark.io.hdf5lite import write_hdf5
+        from mpes_spark.io.hdf5lite import append_hdf5, write_hdf5
 
-        if mode not in ("w", "w-"):  # append needs real libhdf5
-            raise NotImplementedError(
-                "append modes need the h5py binding; the lite writer "
-                "writes whole files"
-            )
-        write_hdf5(
+        if mode not in ("w", "w-", "a", "r+"):
+            raise ValueError(f"unsupported HDF5 mode {mode!r}")
+        # append (r10): read-modify-write whole-file merge — the last
+        # gated mode of the h5py seam; see hdf5lite.append_hdf5.
+        writer = append_hdf5 if mode in ("a", "r+") else write_hdf5
+        writer(
             path,
             {
                 "binned/V3": np.asarray(arr.data),
@@ -390,6 +390,141 @@ def load_binned(path: str) -> BinnedArray:
             coords={d: z[f"coord_{d}"] for d in meta["dims"]},
             attrs=dict(meta["attrs"]),
         )
+
+
+def save_binned_dict(
+    arr: BinnedArray,
+    save_addr: str,
+    form: str = "h5",
+    dtyp: str = "float32",
+    cutaxis: int | None = None,
+    slicename: str = "V",
+) -> list[str]:
+    """``saveDict`` analog with EVERY output branch of the reference
+    (``/root/reference/mpes/fprocessing.py:859-977``):
+
+    - ``'h5'``/``'hdf5'``: ``binned/{slicename}`` for 1-3-D data, the
+      4-D -> 3-D slab decomposition ``binned/{slicename}{i}`` along
+      ``cutaxis`` (default 3, as there), one ``axes/{dim}`` dataset
+      per axis; h5py when present, the pure-python hdf5lite writer
+      otherwise.
+    - ``'tiff'``: one multi-page stack (float32 SampleFormat-3 pages
+      for the reference's default ``dtyp``), pages over the leading
+      dims — the tifffile-stack shape, via the in-repo codec.
+    - ``'png'``: 2-D single file / 3-D one file per slice along
+      ``cutaxis`` (default 2, as there), ``_{i}`` suffixes; requires
+      an integer ``dtyp`` (PNG has no float samples — the reference
+      delegated that cast to imageio).
+    - ``'ibw'``: one Igor v5 wave named ``binned`` with real axis
+      scaling (sfA/sfB from the coord grids) — the reference's
+      igorwriter branch drops the axes entirely.
+    - ``'npz'``: the engine's own :func:`save_binned` archive.
+    - ``'mat'``: env-gated on scipy (not in this runtime).
+
+    Returns the list of file paths written."""
+    if "." not in os.path.basename(save_addr):
+        save_addr += "." + ("h5" if form == "hdf5" else form)
+    data = arr.data
+    if dtyp not in ("float64", "float"):
+        data = data.astype(dtyp)
+    nbin = data.ndim
+
+    if form in ("h5", "hdf5"):
+        ax = 3 if cutaxis is None else cutaxis
+        if nbin < 4:
+            dsets = {f"binned/{slicename}": data}
+        elif nbin == 4:
+            rolled = np.rollaxis(data, ax)
+            dsets = {
+                f"binned/{slicename}{i}": np.ascontiguousarray(rolled[i])
+                for i in range(rolled.shape[0])
+            }
+        else:
+            raise NotImplementedError(
+                "output format undefined above four dimensions"
+            )
+        for d in arr.dims:
+            dsets[f"axes/{d}"] = np.asarray(arr.coords[d])
+        try:
+            import h5py
+
+            with h5py.File(save_addr, "w") as f:
+                for k, v in dsets.items():
+                    f.create_dataset(k, data=v)
+        except ImportError:
+            from mpes_spark.io.hdf5lite import write_hdf5
+
+            write_hdf5(save_addr, dsets)
+        return [save_addr]
+
+    if form == "tiff":
+        from mpes_spark.io.images import write_tiff, write_tiff_stack
+
+        if nbin <= 2:
+            write_tiff(data, save_addr)
+        else:  # pages over the leading dims, tifffile-style
+            h, w = data.shape[-2:]
+            write_tiff_stack(data.reshape(-1, h, w), save_addr)
+        return [save_addr]
+
+    if form == "png":
+        from mpes_spark.io.images import write_png
+
+        if np.dtype(dtyp).kind not in "iu":
+            raise ValueError(
+                "png needs an integer dtyp (uint8/uint16); PNG has no "
+                "float sample format"
+            )
+        if nbin == 2:
+            write_png(data, save_addr)
+            return [save_addr]
+        if nbin == 3:
+            ax = 2 if cutaxis is None else cutaxis
+            rolled = np.rollaxis(data, ax)
+            stem = save_addr[:-4]
+            paths = []
+            for i in range(rolled.shape[0]):
+                p = f"{stem}_{i}.png"
+                write_png(np.ascontiguousarray(rolled[i]), p)
+                paths.append(p)
+            return paths
+        raise NotImplementedError(
+            "png output undefined above three dimensions"
+        )
+
+    if form == "ibw":
+        from mpes_spark.io.igor import save_ibw
+
+        sfA, sfB = [], []
+        for d in arr.dims:  # real axis scaling when the grid is uniform
+            c = np.asarray(arr.coords[d], dtype="f8")
+            step = float(c[1] - c[0]) if len(c) > 1 else 1.0
+            uniform = len(c) < 3 or bool(
+                np.allclose(np.diff(c), step, rtol=1e-9, atol=0)
+            )
+            sfA.append(step if uniform else 1.0)
+            sfB.append(float(c[0]) if uniform else 0.0)
+        save_ibw(save_addr, data, name="binned", sfA=sfA, sfB=sfB)
+        return [save_addr]
+
+    if form == "npz":
+        save_binned(arr, save_addr)
+        return [save_addr]
+
+    if form == "mat":
+        try:
+            import scipy.io as sio
+        except ImportError as exc:  # env-gated, as documented
+            raise NotImplementedError(
+                "mat output needs scipy, not present in this runtime"
+            ) from exc
+        dct = {"binned": data}
+        for d in arr.dims:
+            dct[d] = np.asarray(arr.coords[d])
+        sio.savemat(save_addr, dct)
+        return [save_addr]
+
+    raise NotImplementedError(f"unimplemented output format {form!r}")
 
 
 # ---------------------------------------------------------------------------

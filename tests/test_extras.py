@@ -2495,3 +2495,109 @@ def test_unigram_tokenizer_trains_and_matches_oracle(spark):
     # multi-char subwords shared across words dominate the vocabulary
     assert "ban" in pieces and "ana" in pieces and "nab" in pieces
     assert all(c > 0 for c in pieces.values())
+
+
+def test_sentence_rule_segmenter_abbreviations(spark):
+    """r10 rule segmenter (VERDICT r9 #4): abbreviation dots, initials
+    and decimals do NOT split; [.!?]-space boundaries DO; the DuckDB
+    rendering of the same step table segments identically."""
+    import duckdb
+    import pandas as pd
+
+    from mpes_spark.extras.dedup import (
+        sentence_split_expr,
+        sentence_split_sql,
+    )
+
+    rows = [
+        (1, "Dr. Smith arrived."),
+        (2, "He saw Dr. Smith. Then he left! Did he? Yes."),
+        (3, "J. K. Rowling wrote it. Pi is 3.14 here. See Fig. 2, e.g. now."),
+        (4, "Approx. end. vs. start. The U.S. example. Mt. Everest is tall."),
+        (5, "no punctuation at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", sentence_split_expr("text").alias("s")
+        ).collect()
+    }
+    assert seg[1] == ["Dr. Smith arrived."]
+    assert seg[2] == ["He saw Dr. Smith.", "Then he left!", "Did he?", "Yes."]
+    assert seg[3] == [
+        "J. K. Rowling wrote it.",
+        "Pi is 3.14 here.",
+        "See Fig. 2, e.g. now.",
+    ]
+    assert seg[5] == ["no punctuation at all"]
+
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {sentence_split_sql('text')} FROM docs"
+        ).fetchall()
+    }
+    assert seg == want
+
+
+def test_unigram_encode_roundtrip_and_stats_parity(spark):
+    """r10 unigram ENCODE path (VERDICT r9 #5): Viterbi segmentation
+    with the trained vocab reconstructs every in-vocab word exactly
+    (round-trip), overlong/pathless words become one <unk>, and the
+    per-doc stats match the unrolled-DP DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from mpes_spark.extras.tokenizer import (
+        UNK_PIECE,
+        train_unigram,
+        unigram_encode_udf,
+        unigram_token_stats,
+        unigram_token_stats_sql,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log with the cat"),
+        (3, "supercalifragilistic words exceed limits"),
+        (4, ""),
+        (5, "zz xq zz xq zz unknownishword"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = train_unigram(docs)
+    enc = unigram_encode_udf(spark.sparkContext, vocab)
+    from pyspark.sql import functions as F
+
+    segged = {
+        r.doc_id: r.toks
+        for r in docs.select(
+            "doc_id", enc(F.col("text")).alias("toks")
+        ).collect()
+    }
+    # round-trip: pieces of doc 1 re-concatenate to its words
+    words = rows[0][1].split(" ")
+    rebuilt, buf = [], ""
+    for p in segged[1]:
+        assert p != UNK_PIECE
+        buf += p
+        if buf == words[len(rebuilt)]:
+            rebuilt.append(buf)
+            buf = ""
+    assert rebuilt == words and buf == ""
+    # overlong word -> exactly one UNK piece
+    assert segged[3].count(UNK_PIECE) == 1
+    assert segged[4] == []
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    g = unigram_token_stats(docs).toPandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    w = con.execute(unigram_token_stats_sql("documents")).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    cols = sorted(g.columns)
+    assert g[cols].astype("int64").equals(w[cols].astype("int64"))

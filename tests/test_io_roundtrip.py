@@ -290,3 +290,148 @@ def test_compact_table_partitioned_layout(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 5_000
     assert set(r.p for r in back.select("p").distinct().collect()) == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# saveDict output branches (r10: the tiff/png/ibw sinks + the 4-D h5
+# slab decomposition, /root/reference/mpes/fprocessing.py:859-977)
+# ---------------------------------------------------------------------------
+
+def _fixture_binned(shape, seed=11):
+    from mpes_spark.grid.binned import BinnedArray
+
+    rng = np.random.default_rng(seed)
+    dims = ["kx", "ky", "E", "tpp", "adc"][: len(shape)]
+    return BinnedArray(
+        data=(rng.random(shape) * 1e4),
+        dims=dims,
+        coords={d: np.linspace(0.0, 1.0, n) for d, n in zip(dims, shape)},
+        attrs={"src": "test"},
+    )
+
+
+def test_save_binned_dict_h5_slab_decomposition(tmp_path):
+    """4-D data decomposes into 3-D slabs along cutaxis, exactly the
+    reference's saveDict h5 branch (fprocessing.py:926-936)."""
+    from mpes_spark.io.hdf5lite import read_hdf5
+    from mpes_spark.io.writers import save_binned_dict
+
+    arr = _fixture_binned((4, 5, 6, 3))
+    p = str(tmp_path / "hist4d")
+    (out,) = save_binned_dict(arr, p, form="h5", dtyp="float32", cutaxis=3)
+    f = read_hdf5(out)
+    rolled = np.rollaxis(arr.data.astype("float32"), 3)
+    for i in range(3):
+        assert np.array_equal(f.read(f"binned/V{i}"), rolled[i])
+    assert f"binned/V3" not in f.datasets
+    for d in arr.dims:
+        assert np.allclose(f.read(f"axes/{d}"), arr.coords[d])
+
+    # 3-D stays a single dataset
+    arr3 = _fixture_binned((4, 5, 6))
+    (out3,) = save_binned_dict(arr3, str(tmp_path / "h3"), form="h5")
+    f3 = read_hdf5(out3)
+    assert np.array_equal(f3.read("binned/V"), arr3.data.astype("float32"))
+
+    arr5 = _fixture_binned((2, 2, 2, 2, 2))
+    with pytest.raises(NotImplementedError):
+        save_binned_dict(arr5, str(tmp_path / "h5d"), form="h5")
+
+
+def test_save_binned_dict_tiff_stack(tmp_path):
+    """tiff branch: float32 multi-page stack, pages over leading dims
+    (the tifffile shape of fprocessing.py:946-952); 4-D flattens."""
+    from mpes_spark.io.images import read_tiff_stack
+    from mpes_spark.io.writers import save_binned_dict
+
+    arr = _fixture_binned((3, 4, 5))
+    (out,) = save_binned_dict(arr, str(tmp_path / "st"), form="tiff")
+    pages = read_tiff_stack(open(out, "rb").read())
+    assert np.array_equal(np.stack(pages), arr.data.astype("float32"))
+
+    arr4 = _fixture_binned((2, 3, 4, 5))
+    (out4,) = save_binned_dict(arr4, str(tmp_path / "st4"), form="tiff")
+    pages4 = read_tiff_stack(open(out4, "rb").read())
+    assert np.array_equal(
+        np.stack(pages4).reshape(arr4.data.shape), arr4.data.astype("float32")
+    )
+
+    arr2 = _fixture_binned((6, 7))
+    (out2,) = save_binned_dict(arr2, str(tmp_path / "st2"), form="tiff")
+    (page,) = read_tiff_stack(open(out2, "rb").read())
+    assert np.array_equal(page, arr2.data.astype("float32"))
+
+
+def test_save_binned_dict_png_slices(tmp_path):
+    """png branch: 3-D writes one _i file per slice along cutaxis
+    (default 2, fprocessing.py:955-969); float dtyp is rejected."""
+    from mpes_spark.io.images import read_png
+    from mpes_spark.io.writers import save_binned_dict
+
+    from mpes_spark.grid.binned import BinnedArray
+
+    rng = np.random.default_rng(5)
+    arr = BinnedArray(
+        data=rng.integers(0, 255, size=(4, 5, 3)).astype("int64"),
+        dims=["kx", "ky", "E"],
+        coords={
+            "kx": np.arange(4.0),
+            "ky": np.arange(5.0),
+            "E": np.arange(3.0),
+        },
+    )
+    paths = save_binned_dict(arr, str(tmp_path / "sl"), form="png", dtyp="uint8")
+    assert [p.rsplit("_", 1)[-1] for p in paths] == ["0.png", "1.png", "2.png"]
+    rolled = np.rollaxis(arr.data.astype("uint8"), 2)
+    for i, p in enumerate(paths):
+        assert np.array_equal(read_png(open(p, "rb").read()), rolled[i])
+
+    with pytest.raises(ValueError):
+        save_binned_dict(arr, str(tmp_path / "bad"), form="png", dtyp="float32")
+
+    # 2-D single file
+    arr2 = BinnedArray(
+        data=arr.data[:, :, 0],
+        dims=["kx", "ky"],
+        coords={"kx": np.arange(4.0), "ky": np.arange(5.0)},
+    )
+    (p2,) = save_binned_dict(arr2, str(tmp_path / "one"), form="png", dtyp="uint8")
+    assert np.array_equal(
+        read_png(open(p2, "rb").read()), arr2.data.astype("uint8")
+    )
+
+
+def test_save_binned_dict_ibw_with_axis_scaling(tmp_path):
+    """ibw branch: v5 wave round-trips through the in-repo TN003
+    parser WITH real sfA/sfB axis scaling (the reference's igorwriter
+    branch, fprocessing.py:971-975, drops the axes)."""
+    from mpes_spark.io.igor import load_ibw
+    from mpes_spark.io.writers import save_binned_dict
+
+    arr = _fixture_binned((4, 6))
+    (out,) = save_binned_dict(arr, str(tmp_path / "w"), form="ibw")
+    wave = load_ibw(out)
+    assert wave.name == "binned"
+    assert np.array_equal(wave.data, arr.data.astype("float32"))
+    for d in range(2):
+        coords = wave.dim_coords(d)
+        assert np.allclose(coords, arr.coords[arr.dims[d]], atol=1e-6)
+
+
+def test_save_binned_dict_npz_and_mat_gate(tmp_path):
+    from mpes_spark.io.writers import load_binned, save_binned_dict
+
+    arr = _fixture_binned((3, 4))
+    (out,) = save_binned_dict(arr, str(tmp_path / "a"), form="npz", dtyp="float64")
+    back = load_binned(out)
+    assert np.array_equal(back.data, arr.data)
+
+    try:
+        import scipy  # noqa: F401
+
+        have_scipy = True
+    except ImportError:
+        have_scipy = False
+    if not have_scipy:
+        with pytest.raises(NotImplementedError):
+            save_binned_dict(arr, str(tmp_path / "m"), form="mat")

@@ -1291,3 +1291,82 @@ def test_dup_span_ingest_sink_flags_later_copies(spark, tmp_path):
     assert 1 in want_full  # batch recompute WOULD flag the first copy
     # compaction changes nothing
     assert run(1) == got
+
+
+def test_sentence_span_ingest_sink_cross_batch_parity(spark, tmp_path):
+    """Streaming C4 sentence-span dedup (r10): a 3-sentence passage
+    planted in batch 1 and re-ingested later must flag the LATER
+    copies at exactly the spans the batch operator would remove
+    (cross-batch parity with sentence_span_dedup's keep-first
+    accounting); the first copy is not retro-flagged. State stays
+    keyed by distinct span hash and compaction does not change the
+    audit."""
+    import time as _time
+
+    from mpes_spark.extras.dedup import sentence_span_dedup
+    from mpes_spark.streaming.stateful import sentence_span_ingest_sink
+
+    passage = "Dr. Smith arrived early. The data looked clean. We shipped it."
+    batches = [
+        [(1, "Setup ran fine. " + passage + " Closing note one.")],
+        [(2, passage + " A fresh tail sentence. Another one here."),
+         (3, "Unrelated alpha text. Unrelated bravo text. Unrelated charlie text. Unrelated delta text.")],
+        [(4, "Lead-in sentence here. " + passage)],
+    ]
+    src = str(tmp_path / "ssd_stream")
+    for i, rows in enumerate(batches):
+        if i:
+            _time.sleep(1.1)
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(compact_every):
+        handle, flagged = sentence_span_ingest_sink(
+            compact_every=compact_every
+        )
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        stats = handle.state_stats()
+        assert stats["batches"] == len(batches)
+        assert stats["distinct_spans"] > 0
+        if compact_every == 1:
+            assert stats["span_parts"] == 1
+            assert stats["state_rows"] == stats["distinct_spans"]
+        else:
+            assert stats["span_parts"] == len(batches)
+            assert (
+                stats["state_rows"]
+                <= len(batches) * stats["distinct_spans"]
+            )
+        return {(r.doc_id, r.span_idx) for r in flagged().collect()}
+
+    got = run(None)
+    assert run(1) == got  # compaction changes nothing
+
+    # batch-operator parity: per-doc flagged counts == n_remove of
+    # sentence_span_dedup over the landed corpus (doc ids ascend with
+    # batch order, so keep-first ownership agrees across renderings)
+    corpus = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = {
+        r.doc_id: r.n_remove
+        for r in sentence_span_dedup(corpus).collect()
+        if r.n_remove > 0
+    }
+    from collections import Counter
+
+    got_per_doc = Counter(d for d, _ in got)
+    assert dict(got_per_doc) == want
+    assert 1 not in got_per_doc  # first copy never retro-flagged
