@@ -214,5 +214,166 @@ if __name__ == "__main__":
         run(out, names=QUERIES_R9)
     elif mode == "run_s3":
         run(out, names=QUERIES_S3)
+    elif mode == "gen_banded":
+        gen_banded(out, int(sys.argv[3]) if len(sys.argv) > 3 else 100)
+    elif mode == "run_decade":
+        run_decade(out, sys.argv[3])
     else:
         raise SystemExit(f"unknown mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# r10: the SECOND scale decade (VERDICT r9 #7) — sf1 -> sf10 under a
+# decade-BANDED clique discipline: every copy i gets a decade token
+# d{i//10} inserted after each 8th word, so near-dup cliques stay
+# 10-WAY at both scales (cross-decade copies share < ~40% of their
+# shingles) and the sf10/sf1 ratio measures a pure 10x VOLUME decade
+# at fixed clique size — volume scaling isolated from clique-size
+# scaling, unlike the r7 generator where every copy joins one clique.
+# ---------------------------------------------------------------------------
+
+QUERIES_DECADE = [
+    "exact_dedup_count",   # linear anchor (hash groupBy)
+    "hist_2d",             # linear anchor (scan + bounded agg)
+    "pagerank_weighted",
+    "label_communities",
+    "neardup_prefix_filter",
+    "neardup_dual_measure",
+    "dedup_clusters",
+    "kcore3_copurchase",
+]
+
+
+def gen_banded(out_dir: str, copies: int) -> None:
+    """Key-shifted replica with decade-banded text cliques (see module
+    note above). ``copies=10`` -> sf1-banded, ``copies=100`` ->
+    sf10-banded; both must come from THIS generator so the decade
+    ratio compares identical clique structure."""
+    from pyspark.sql import functions as F
+
+    spark = _session(f"gen_banded{copies}")
+    os.makedirs(out_dir, exist_ok=True)
+    for tb in STATIC:
+        spark.read.parquet(f"{SRC}/{tb}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{tb}.parquet"
+        )
+    for tb, keys in SHIFT.items():
+        df = spark.read.parquet(f"{SRC}/{tb}.parquet")
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(copies):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * offs[k]))
+            if tb == "documents" and "text" in df.columns:
+                dec = i // 10
+                # decade token after every 8th word breaks ~5/8 of the
+                # 5-gram shingles across decades; within a decade the
+                # only difference stays the 1-token suffix
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace(
+                        "text", r"((?:\S+ ){7}\S+) ", f"$1 d{dec}z "
+                    ),
+                ).withColumn(
+                    "text",
+                    F.concat(F.col("text"), F.lit(f" replicavariant{i}")),
+                )
+            if tb == "embeddings" and i > 0 and "embedding" in df.columns:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda v, j: v
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("vec_id") * (j + 1) + F.lit(i)),
+                                F.lit(2001),
+                            ).cast("float")
+                            - F.lit(1000.0)
+                        )
+                        * F.lit(1e-6),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{tb}.parquet"
+        )
+        print(f"wrote {tb} x{copies}", flush=True)
+    spark.stop()
+
+
+def _gc_stats(spark) -> tuple[int, int]:
+    """(total GC count, total GC millis) across the JVM's collectors."""
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    n = t = 0
+    for i in range(beans.size()):
+        b = beans.get(i)
+        n += b.getCollectionCount()
+        t += b.getCollectionTime()
+    return n, t
+
+
+def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 3) -> None:
+    """Time QUERIES_DECADE at banded sf1 and sf10; record per-query
+    time ratio, OUTPUT-row ratio (output-sensitive joins are judged on
+    time-per-output-unit), and GC count/millis deltas."""
+    from __spark_entry__ import queries
+
+    q = queries()
+    results: dict[str, dict] = {}
+    for tag, sf_dir in (("sf1", sf1_dir), ("sf10", sf10_dir)):
+        spark = _session(tag)
+        spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy(
+        ).count().collect()
+        for name in QUERIES_DECADE:
+            samples = []
+            n_out = None
+            gc0 = _gc_stats(spark)
+            for _ in range(reps):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                rows = q[name](spark, sf_dir).collect()
+                samples.append(time.perf_counter() - t0)
+                n_out = len(rows)
+            gc1 = _gc_stats(spark)
+            rec = results.setdefault(name, {})
+            rec[tag] = round(statistics.median(samples), 3)
+            rec[f"{tag}_rows"] = n_out
+            rec[f"{tag}_gc_ms"] = gc1[1] - gc0[1]
+            rec[f"{tag}_gc_n"] = gc1[0] - gc0[0]
+            print(
+                f"{tag} {name}: {rec[tag]}s rows={n_out} "
+                f"gc={rec[f'{tag}_gc_n']}/{rec[f'{tag}_gc_ms']}ms {samples}",
+                flush=True,
+            )
+        spark.stop()
+    hdr = (
+        f"\n{'query':24s} {'sf1':>8s} {'sf10':>8s} {'t-ratio':>8s} "
+        f"{'out-ratio':>9s} {'t/out':>8s}  verdict"
+    )
+    print(hdr)
+    doc = {}
+    for name in QUERIES_DECADE:
+        r = results[name]
+        tr = r["sf10"] / r["sf1"]
+        orat = (
+            r["sf10_rows"] / r["sf1_rows"] if r["sf1_rows"] else float("nan")
+        )
+        per_out = tr / orat if orat and orat == orat else float("nan")
+        verdict = "SUPERLINEAR" if tr > 15 else ("ok" if tr >= 1 else "overhead")
+        doc[name] = {**r, "t_ratio": round(tr, 2), "out_ratio": round(orat, 2),
+                     "t_per_out": round(per_out, 2), "verdict": verdict}
+        print(
+            f"{name:24s} {r['sf1']:8.2f} {r['sf10']:8.2f} {tr:8.2f} "
+            f"{orat:9.2f} {per_out:8.2f}  {verdict}"
+        )
+    with open("/tmp/sf_decade_stress.json", "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print("\nwrote /tmp/sf_decade_stress.json")
