@@ -8,10 +8,11 @@ P2/P3/P5/P6, uncompressed BMP — numpy-only codecs in
 :mod:`mpes_spark.io.images`), and :func:`resize_images_decoded` runs
 a true decode -> nearest-neighbor resample -> re-encode per Arrow
 batch. Since r9 PNG, TIFF (none/LZW/PackBits), baseline JPEG and FLAC
-decode natively too (io/images.py, io/jpeg.py, io/flac.py) — every
-image format the reference met through skimage, plus WAV/FLAC audio
-and DIB-AVI video. Only lossy MP3/OGG/H264-class formats and
-progressive JPEG remain env-gated behind ``NotImplementedError``;
+decode natively too (io/images.py, io/jpeg.py, io/flac.py — JPEG
+baseline AND progressive SOF2) — every image format the reference met
+through skimage, plus WAV/FLAC audio and DIB-AVI video. Only lossy
+MP3/OGG/H264-class formats and the lossless-JPEG/arithmetic variants
+remain env-gated behind ``NotImplementedError``;
 swapping in PIL/ffmpeg for those is a one-function change and the
 distributed plan is unchanged.
 
@@ -72,8 +73,8 @@ def decode_image(payload: bytes) -> "object":
     uncompressed BMP (8-bit palette / 24-bit), PNG, TIFF
     (none/LZW/PackBits + predictor 2) and baseline JPEG via the
     numpy-only codecs in :mod:`mpes_spark.io.images` and
-    :mod:`mpes_spark.io.jpeg` — the image seam is closed; only
-    progressive JPEG still raises."""
+    :mod:`mpes_spark.io.jpeg` (baseline and progressive SOF2) — the
+    image seam is closed; only lossless SOF3/arithmetic raise."""
     from mpes_spark.io.images import decode_image_bytes
 
     return decode_image_bytes(payload)
@@ -951,3 +952,106 @@ def sample_frames_decoded(
         schema=f"{id_col} bigint, frame_idx bigint, sum_pixels bigint, "
         "max_pixel bigint",
     )
+
+
+def pxp_decode_stats(
+    docs: DataFrame, max_bytes: int = 96, id_col: str = "doc_id"
+) -> DataFrame:
+    """The REAL Igor packed-experiment container under the hash gate
+    (r10 — the .pxp sibling of hdf5_ingest_oracle): each doc's leading
+    ASCII bytes become int32 wave data split across TWO waves in
+    nested folders ('run/a' = first ceil(n/2) bytes, 'run/sub/b' =
+    the rest, omitted when empty), packed to an IN-MEMORY .pxp —
+    PTN003 records, folder start/end bracketing, complete v5 IBW
+    images including their 16-bit header checksums — and parsed back
+    through the full record walk inside one Arrow batch, then reduced
+    to integer statistics. ``pos_dot`` weights each sample by its
+    1-based position WITHIN its wave, so the gate proves the container
+    preserves both the split boundary and sample order. The oracle
+    re-derives everything from characters."""
+    import numpy as np
+
+    from mpes_spark.io.igor import load_pxp, pxp_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nw, npt, sall, dot = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = _ascii_payload(text, max_bytes)
+                ids.append(did)
+                if not raw:
+                    nw.append(0), npt.append(0), sall.append(0), dot.append(0)
+                    continue
+                data = np.frombuffer(raw, dtype="u1").astype("i4")
+                h = (len(data) + 1) // 2
+                waves = {"run/a": data[:h]}
+                if len(data) > h:
+                    waves["run/sub/b"] = data[h:]
+                back = load_pxp(pxp_bytes(waves))
+                nw.append(len(back))
+                npt.append(int(sum(w.data.size for w in back.values())))
+                sall.append(int(sum(int(w.data.sum()) for w in back.values())))
+                dot.append(
+                    int(
+                        sum(
+                            int(
+                                (
+                                    w.data.astype("i8")
+                                    * np.arange(1, w.data.size + 1)
+                                ).sum()
+                            )
+                            for w in back.values()
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_waves": pd.Series(nw, dtype="int64"),
+                    "n_points": pd.Series(npt, dtype="int64"),
+                    "sum_all": pd.Series(sall, dtype="int64"),
+                    "pos_dot": pd.Series(dot, dtype="int64"),
+                }
+            )
+
+    return _spread(docs, id_col).mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_waves bigint, n_points bigint, "
+        "sum_all bigint, pos_dot bigint",
+    )
+
+
+def pxp_decode_stats_sql(
+    table: str, max_bytes: int = 96, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`pxp_decode_stats`: byte i of the ASCII
+    projection carries in-wave position i (i <= ceil(n/2)) or
+    i - ceil(n/2); wave count is 0/1/2 by payload length."""
+    return f"""
+WITH atab AS (
+  SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}
+),
+pos AS (
+  SELECT {id_col}, least(length(atext), {max_bytes}) AS n, i,
+         ascii(substr(atext, CAST(i AS INTEGER), 1)) AS byte
+  FROM atab, unnest(range(1, least(length(atext), {max_bytes}) + 1)) r(i)
+  WHERE length(atext) > 0
+),
+agg AS (
+  SELECT {id_col},
+         CAST(CASE WHEN max(n) > (max(n) + 1) // 2 THEN 2 ELSE 1 END
+              AS BIGINT) AS n_waves,
+         CAST(max(n) AS BIGINT) AS n_points,
+         CAST(sum(byte) AS BIGINT) AS sum_all,
+         CAST(sum(CASE WHEN i <= (n + 1) // 2 THEN i * byte
+                       ELSE (i - (n + 1) // 2) * byte END) AS BIGINT)
+           AS pos_dot
+  FROM pos GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       COALESCE(n_waves, 0) AS n_waves,
+       COALESCE(n_points, 0) AS n_points,
+       COALESCE(sum_all, 0) AS sum_all,
+       COALESCE(pos_dot, 0) AS pos_dot
+FROM {table} d LEFT JOIN agg USING ({id_col})
+""".strip()

@@ -1766,6 +1766,20 @@ def flac_decode_stats(spark, sf_dir):
     return MM.flac_decode_stats(_docs(spark, sf_dir), rate=16_000, max_bytes=120)
 
 
+@_q("pxp_ingest_oracle", MM.pxp_decode_stats_sql("documents", max_bytes=96))
+def pxp_ingest_oracle(spark, sf_dir):
+    """The Igor packed-experiment CONTAINER under the hash gate (r10,
+    VERDICT r9 #6 follow-through — the .pxp sibling of
+    hdf5_ingest_oracle): leading doc bytes -> int32 data split across
+    two waves in nested folders -> in-memory .pxp (PTN003 records,
+    folder bracketing, v5 IBW images with real 16-bit header
+    checksums) -> full record-walk parse -> integer stats. pos_dot is
+    position-weighted WITHIN each wave, so a wrong split boundary,
+    reordered samples, or a bad checksum/record length flips the hash
+    (io/igor.py:load_pxp, pxp_bytes)."""
+    return MM.pxp_decode_stats(_docs(spark, sf_dir), max_bytes=96)
+
+
 from mpes_spark.extras import privacy as PV  # noqa: E402
 
 

@@ -454,6 +454,14 @@ def save_pxp(path, waves: dict, byte_order: str = "<") -> None:
     '/'-segment, every wave rides as a complete v5 IBW image
     (:func:`ibw_bytes`). Fixture-grade writer so the pxp reader and
     catalog scan are testable without Igor."""
+    with open(path, "wb") as fh:
+        fh.write(pxp_bytes(waves, byte_order))
+
+
+def pxp_bytes(waves: dict, byte_order: str = "<") -> bytes:
+    """The in-memory byte image of :func:`save_pxp` — lets the packed
+    container round-trip inside an Arrow batch (the decode-stats hash
+    gate) without touching disk."""
 
     def _rec(rtype: int, payload: bytes) -> bytes:
         return struct.pack(byte_order + _PXP_HDR, rtype, 5, len(payload)) + payload
@@ -494,8 +502,7 @@ def save_pxp(path, waves: dict, byte_order: str = "<") -> None:
             blob = ibw_bytes(np.asarray(w), name, byte_order=byte_order)
         out.extend(_rec(_PXP_WAVE, blob))
     _goto([])
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
+    return bytes(out)
 
 
 def read_waves_pxp(spark, paths: list[str], strict: bool = True):

@@ -9,8 +9,10 @@ baseline TIFF (r9 late: both byte orders, multi-strip, Compression
 none/LZW/PackBits with the TIFF6 early-change code widths, horizontal
 predictor 2 — reader AND writer, so the LZW round-trip is provable
 without libtiff), baseline JPEG (r9 late: full entropy/DCT codec,
-:mod:`mpes_spark.io.jpeg` — the image env seam is CLOSED; progressive
-JPEG is the one explicit ValueError left), and the Igor-generated
+:mod:`mpes_spark.io.jpeg`, baseline AND progressive SOF2 — the image
+env seam is CLOSED; only lossless SOF3/arithmetic variants raise), r10
+multi-page TIFF stacks (chained IFDs) + float32 SampleFormat-3 pages
+for the saveDict sink branches, and the Igor-generated
 ARPES ``.txt`` matrix.
 
 Reference behaviors reproduced (API parity, fresh implementation):

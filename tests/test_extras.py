@@ -2601,3 +2601,37 @@ def test_unigram_encode_roundtrip_and_stats_parity(spark):
     )
     cols = sorted(g.columns)
     assert g[cols].astype("int64").equals(w[cols].astype("int64"))
+
+
+def test_pxp_decode_stats_parity(spark):
+    """r10 pxp container gate: the in-memory PTN003 round-trip stats
+    match the character-arithmetic DuckDB twin, including non-ASCII
+    projection, the 1-byte single-wave case, and empty docs."""
+    import duckdb
+    import pandas as pd
+
+    from mpes_spark.extras.multimodal import (
+        pxp_decode_stats,
+        pxp_decode_stats_sql,
+    )
+
+    rows = [
+        (1, "hello world packed experiment payload content"),
+        (2, ""),
+        (3, "x"),                      # single byte -> one wave
+        (4, "ab"),                     # two bytes -> two waves of one
+        (5, "héllo wörld" + "q" * 200),  # projection + truncation
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    g = pxp_decode_stats(docs).toPandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    w = con.execute(pxp_decode_stats_sql("documents")).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    cols = sorted(g.columns)
+    assert g[cols].astype("int64").equals(w[cols].astype("int64"))
+    assert g.loc[g.doc_id == 3, "n_waves"].item() == 1
+    assert g.loc[g.doc_id == 4, "n_waves"].item() == 2
