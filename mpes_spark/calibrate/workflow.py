@@ -41,6 +41,31 @@ class EnergyCalibrator:
         self.peaks: np.ndarray | None = None
         self.calibration: dict | None = None
 
+    @classmethod
+    def from_mat(
+        cls,
+        files: list[str],
+        biases,
+        tracename: str = "EDCs",
+        tofname: str = "ToF",
+    ) -> "EnergyCalibrator":
+        """Build a session from MATLAB trace files — the reference's
+        ``EnergyCalibrator.read(form='mat')`` branch
+        (``/root/reference/mpes/analysis.py:883-892``): ``tracename``
+        from each file stacked into the trace matrix, ``tofname``
+        ravelled from the last file. Uses the pure-python MAT5 reader
+        (:mod:`mpes_spark.io.matlib`), so no scipy is needed."""
+        from mpes_spark.io.matlib import loadmat
+
+        traces: list[np.ndarray] = []
+        tof = None
+        for f in files:
+            d = loadmat(f)
+            tr = np.asarray(d[tracename], dtype=float)
+            traces.extend(tr if tr.ndim == 2 else [tr])
+            tof = np.asarray(d[tofname], dtype=float).ravel()
+        return cls(biases, np.asarray(traces, dtype=float), tof)
+
     # -- workflow steps ---------------------------------------------------
 
     def normalize(self) -> "EnergyCalibrator":

@@ -1,6 +1,7 @@
 from mpes_spark.io.audio import decode_audio_bytes, read_wav, write_wav
 from mpes_spark.io.flac import read_flac, write_flac
 from mpes_spark.io.igor import load_ibw, read_waves_ibw, save_ibw
+from mpes_spark.io.matlib import loadmat, savemat, whosmat
 from mpes_spark.io.images import (
     decode_image_bytes,
     read_bmp,
@@ -22,6 +23,7 @@ __all__ = [
     "decode_image_bytes",
     "gather_files",
     "load_ibw",
+    "loadmat",
     "read_bmp",
     "read_flac",
     "read_jpeg",
@@ -33,6 +35,8 @@ __all__ = [
     "read_waves_ibw",
     "readimg",
     "save_ibw",
+    "savemat",
+    "whosmat",
     "write_flac",
     "write_jpeg",
     "write_png",

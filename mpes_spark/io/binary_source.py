@@ -224,6 +224,34 @@ def convert_to_parquet(
     read_events_binary(spark, paths, backend, spec).write.mode(mode).parquet(save_addr)
 
 
+def convert_to_mat(
+    paths: list[str],
+    backend: BinaryEventBackend,
+    save_addr: str,
+    do_compression: bool = False,
+) -> None:
+    """``hdf5Reader.convert('mat')`` analog (fprocessing.py:839-841):
+    each file's per-stream event arrays packed into one dict (aliased
+    stream name -> array; multi-file inputs concatenated per alias)
+    and written as a Level-5 MAT-file via the pure-python writer.
+    Driver-side by design, exactly as the reference's ``sio.savemat``
+    export — this is the small-export path, not an ingest path."""
+    import numpy as _np
+
+    from mpes_spark.io.matlib import savemat
+
+    cols: dict[str, list] = {}
+    for p in paths:
+        n = backend.n_events(p)
+        for g, a in backend.list_streams(p):
+            cols.setdefault(a, []).append(backend.read_stream(p, g, 0, n))
+    savemat(
+        save_addr,
+        {a: _np.concatenate(v) for a, v in cols.items()},
+        do_compression=do_compression,
+    )
+
+
 def read_metadata(
     paths: list[str],
     backend: BinaryEventBackend,

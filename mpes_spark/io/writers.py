@@ -399,6 +399,7 @@ def save_binned_dict(
     dtyp: str = "float32",
     cutaxis: int | None = None,
     slicename: str = "V",
+    mat_compression: bool = False,
 ) -> list[str]:
     """``saveDict`` analog with EVERY output branch of the reference
     (``/root/reference/mpes/fprocessing.py:859-977``):
@@ -419,7 +420,11 @@ def save_binned_dict(
       scaling (sfA/sfB from the coord grids) — the reference's
       igorwriter branch drops the axes entirely.
     - ``'npz'``: the engine's own :func:`save_binned` archive.
-    - ``'mat'``: env-gated on scipy (not in this runtime).
+    - ``'mat'``: ``{'binned': data, <dim>: coords...}`` via scipy when
+      present, else the pure-python MAT5 writer
+      (:mod:`mpes_spark.io.matlib`); ``mat_compression`` mirrors the
+      reference's ``mat_compression`` kwarg
+      (``fprocessing.py:907-908``).
 
     Returns the list of file paths written."""
     if "." not in os.path.basename(save_addr):
@@ -512,16 +517,17 @@ def save_binned_dict(
         return [save_addr]
 
     if form == "mat":
-        try:
-            import scipy.io as sio
-        except ImportError as exc:  # env-gated, as documented
-            raise NotImplementedError(
-                "mat output needs scipy, not present in this runtime"
-            ) from exc
         dct = {"binned": data}
         for d in arr.dims:
             dct[d] = np.asarray(arr.coords[d])
-        sio.savemat(save_addr, dct)
+        try:  # scipy when present; the pure-python MAT5 writer otherwise
+            import scipy.io as sio
+
+            sio.savemat(save_addr, dct, do_compression=mat_compression)
+        except ImportError:
+            from mpes_spark.io.matlib import savemat
+
+            savemat(save_addr, dct, do_compression=mat_compression)
         return [save_addr]
 
     raise NotImplementedError(f"unimplemented output format {form!r}")
@@ -531,9 +537,34 @@ def save_binned_dict(
 # calibration-parameter persistence
 # ---------------------------------------------------------------------------
 
-def save_params(params: dict, path: str) -> None:
-    """Persist a calibration dict (ndarrays included) as json —
-    ``saveClassAttributes`` analog."""
+def save_params(params: dict, path: str, form: str | None = None) -> None:
+    """Persist a calibration dict (ndarrays included) —
+    ``saveClassAttributes`` analog (reference ``base.py:338-371``).
+
+    ``form`` ``'json'`` (default), ``'mat'`` (the reference's
+    ``sio.savemat(save_addr, clss.__dict__)`` branch, ``base.py:363``,
+    via the pure-python MAT5 writer), or ``'dmp'``/``'dump'`` (the
+    ``dio.save`` pickle branch, ``base.py:365-371``, stdlib pickle);
+    ``.mat``/``.dmp`` extensions imply their forms."""
+    if form is None:
+        form = (
+            "mat" if path.endswith(".mat")
+            else "dmp" if path.endswith((".dmp", ".dump", ".pkl"))
+            else "json"
+        )
+    if form == "mat":
+        from mpes_spark.io.matlib import savemat
+
+        savemat(path, params)
+        return
+    if form in ("dmp", "dump"):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(params, f, protocol=4)
+        return
+    if form != "json":
+        raise ValueError(f"unknown params form {form!r}")
 
     def enc(v):
         if isinstance(v, np.ndarray):
@@ -551,6 +582,16 @@ def save_params(params: dict, path: str) -> None:
 
 
 def load_params(path: str) -> dict:
+    if path.endswith(".mat"):
+        from mpes_spark.io.matlib import loadmat
+
+        return loadmat(path)
+    if path.endswith((".dmp", ".dump", ".pkl")):
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
     def dec(v):
         if isinstance(v, dict):
             if v.get("__nd__"):

@@ -243,8 +243,11 @@ def test_binned_h5_roundtrips_everywhere(tmp_path):
     try:
         import h5py  # noqa: F401
     except ImportError:
-        with _pytest.raises(NotImplementedError):
-            save_binned_h5(arr, p, mode="a")  # append needs libhdf5
+        # h5py-less append works since r10 (hdf5lite read-modify-write,
+        # test_hdf5lite.py covers it); re-appending the SAME datasets to
+        # the same file is a duplicate and must refuse loudly
+        with _pytest.raises(ValueError, match="already exist"):
+            save_binned_h5(arr, p, mode="a")
 
 
 def test_compact_table_reshards_and_preserves_data(spark, tmp_path):
@@ -426,12 +429,13 @@ def test_save_binned_dict_npz_and_mat_gate(tmp_path):
     back = load_binned(out)
     assert np.array_equal(back.data, arr.data)
 
-    try:
-        import scipy  # noqa: F401
+    # mat branch works in every runtime since r10 (scipy when present,
+    # the pure-python MAT5 writer otherwise) — see test_matlib.py for
+    # the full codec matrix; here just the sink wiring
+    from mpes_spark.io.matlib import loadmat
 
-        have_scipy = True
-    except ImportError:
-        have_scipy = False
-    if not have_scipy:
-        with pytest.raises(NotImplementedError):
-            save_binned_dict(arr, str(tmp_path / "m"), form="mat")
+    (mp,) = save_binned_dict(arr, str(tmp_path / "m"), form="mat", dtyp="float64")
+    r = loadmat(mp)
+    assert np.array_equal(r["binned"], arr.data)
+    for d in arr.dims:
+        assert np.allclose(np.ravel(r[d]), arr.coords[d])

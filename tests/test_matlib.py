@@ -1,0 +1,232 @@
+"""Pure-python Level-5 MAT-file codec — round-trips over every
+supported class (numeric widths, complex, logical, char, struct,
+cell, N-D, empty), compressed mode, hand-packed spec vectors, the
+REAL MATLAB-written reference fixtures, and the wired call sites
+(``save_binned_dict('mat')``, ``save_params``/``load_params`` mat
+form, ``EnergyCalibrator.from_mat``, ``convert_to_mat``)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mpes_spark.io.matlib import loadmat, savemat, whosmat
+
+REF_EDC = "/root/reference/resources/data/ECalib_EDCs.mat"
+REF_K = "/root/reference/resources/data/MomentumCalib.mat"
+
+
+@pytest.mark.parametrize("comp", [False, True])
+@pytest.mark.parametrize(
+    "dt",
+    ["f8", "f4", "i1", "u1", "i2", "u2", "i4", "u4", "i8", "u8"],
+)
+def test_numeric_roundtrip(tmp_path, comp, dt):
+    rng = np.random.default_rng(7)
+    a = (rng.integers(0, 100, size=(5, 3))).astype(dt)
+    p = str(tmp_path / "n.mat")
+    savemat(p, {"a": a}, do_compression=comp)
+    r = loadmat(p)["a"]
+    assert r.dtype == np.dtype(dt)
+    assert np.array_equal(r, a)
+
+
+@pytest.mark.parametrize("comp", [False, True])
+def test_kitchen_sink_roundtrip(tmp_path, comp):
+    d = {
+        "mat2": np.arange(12, dtype="f8").reshape(3, 4),
+        "nd3": np.arange(24, dtype="u2").reshape(2, 3, 4),
+        "cx": np.array([[1 + 2j, 3 - 4j]]),
+        "cx32": np.array([[1 + 2j]], dtype="c8"),
+        "logical": np.array([True, False, True]),
+        "s": "hello world",
+        "scalar": 3.5,
+        "flag": True,
+        "nested": {"x": np.ones((2, 2), dtype="f4"), "y": "deep", "z": {"q": 7}},
+        "cells": [np.array([1.0, 2.0]), "txt", 5],
+        "empty": np.zeros((0, 0)),
+    }
+    p = str(tmp_path / "k.mat")
+    savemat(p, d, do_compression=comp)
+    r = loadmat(p)
+    assert np.array_equal(r["mat2"], d["mat2"]) and r["mat2"].dtype == "f8"
+    assert r["nd3"].shape == (2, 3, 4) and np.array_equal(r["nd3"], d["nd3"])
+    assert np.array_equal(r["cx"], d["cx"]) and r["cx"].dtype.kind == "c"
+    assert r["cx32"][0, 0] == 1 + 2j
+    assert r["logical"].dtype == bool
+    assert np.array_equal(r["logical"], [[True, False, True]])
+    assert r["s"] == "hello world"
+    assert r["scalar"][0, 0] == 3.5
+    assert r["flag"].dtype == bool and bool(r["flag"][0, 0])
+    assert np.array_equal(r["nested"]["x"], np.ones((2, 2)))
+    assert r["nested"]["x"].dtype == "f4"
+    assert r["nested"]["y"] == "deep"
+    assert r["nested"]["z"]["q"][0, 0] == 7
+    assert np.array_equal(r["cells"][0, 0], [[1.0, 2.0]])
+    assert r["cells"][0, 1] == "txt"
+    assert r["cells"][0, 2][0, 0] == 5
+    assert r["empty"].size == 0
+
+
+def test_fortran_order_on_the_wire(tmp_path):
+    """The spec requires column-major serialization: a (2,3) int32
+    written uncompressed must carry 1,4,2,5,3,6 on the wire."""
+    a = np.array([[1, 2, 3], [4, 5, 6]], dtype="<i4")
+    p = str(tmp_path / "f.mat")
+    savemat(p, {"a": a})
+    raw = open(p, "rb").read()
+    payload = np.frombuffer(raw, dtype="<i4")
+    flat = a.flatten(order="F")
+    # locate the six consecutive int32s
+    s = "".join(map(chr, flat))
+    hay = "".join(chr(x) if 0 <= x < 0x110000 else "?" for x in payload)
+    assert s in hay
+
+
+def test_handpacked_spec_vector(tmp_path):
+    """Hand-pack a minimal file per the public spec (header, full
+    element tag, array flags / dims / name / pr subelements) and read
+    it back — writer-independent reader coverage, including a
+    big-endian variant."""
+    for bo, ei in (("<", b"IM"), (">", b"MI")):
+        hdr = b"x" * 116 + b"\0" * 8 + struct.pack(f"{bo}H", 0x0100) + ei
+        flags = struct.pack(f"{bo}II", 6, 8) + struct.pack(f"{bo}II", 6, 0)
+        dims = struct.pack(f"{bo}II", 5, 8) + struct.pack(f"{bo}ii", 1, 2)
+        name = struct.pack(f"{bo}HH", 1, 2) + b"ab\0\0"  # small element
+        if bo == ">":  # big-endian small element: nbytes then type
+            name = struct.pack(">HH", 2, 1) + b"ab\0\0"
+        pr = struct.pack(f"{bo}II", 9, 16) + struct.pack(f"{bo}dd", 1.5, -2.5)
+        body = flags + dims + name + pr
+        el = struct.pack(f"{bo}II", 14, len(body)) + body
+        p = str(tmp_path / f"hand{ei.decode()}.mat")
+        with open(p, "wb") as fh:
+            fh.write(hdr + el)
+        r = loadmat(p)
+        assert np.array_equal(r["ab"], [[1.5, -2.5]])
+
+
+def test_compressed_element_parses(tmp_path):
+    a = np.tile(np.arange(10.0), 100).reshape(10, 100)
+    p = str(tmp_path / "c.mat")
+    savemat(p, {"a": a}, do_compression=True)
+    raw = open(p, "rb").read()
+    mdtype = struct.unpack_from("<I", raw, 128)[0]
+    assert mdtype == 15  # miCOMPRESSED on the wire
+    assert len(raw) < a.nbytes / 2  # actually compressed
+    assert np.array_equal(loadmat(p)["a"], a)
+
+
+def test_oned_as_and_errors(tmp_path):
+    p = str(tmp_path / "o.mat")
+    savemat(p, {"v": np.arange(3.0)}, oned_as="col")
+    assert loadmat(p)["v"].shape == (3, 1)
+    with pytest.raises(ValueError):
+        savemat(p, {}, oned_as="diag")
+    with pytest.raises(TypeError):
+        savemat(p, {"bad": object()})
+    with pytest.raises(TypeError):
+        savemat(p, {"": 1})
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EDC), reason="no reference fixtures")
+def test_reads_real_matlab_files():
+    """Ground truth: MATLAB-written files shipped with the reference —
+    the exact inputs of its ``loadmat`` call site
+    (analysis.py:889-892)."""
+    r = loadmat(REF_EDC)
+    assert r["EDCs"].shape == (4, 800) and r["EDCs"].dtype == "f8"
+    assert r["ToF"].shape == (1, 800) and r["ToF"].dtype == "f4"
+    assert np.all(np.isfinite(r["EDCs"]))
+    k = loadmat(REF_K)
+    assert k["Kpts"].shape == (100, 100)
+    assert whosmat(REF_EDC) == [
+        ("EDCs", (4, 800), "double"),
+        ("ToF", (1, 800), "single"),
+    ]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EDC), reason="no reference fixtures")
+def test_energy_calibrator_from_mat():
+    from mpes_spark.calibrate.workflow import EnergyCalibrator
+
+    cal = EnergyCalibrator.from_mat([REF_EDC], biases=[10.0, 20.0, 30.0, 40.0])
+    assert cal.traces.shape == (4, 800)
+    assert cal.tof.shape == (800,)
+    cal.normalize()
+    assert np.isclose(cal.traces_normed.max(), 1.0) or cal.traces_normed.max() <= 1.0
+
+
+def test_save_binned_dict_mat(tmp_path):
+    from mpes_spark.grid.binned import BinnedArray
+    from mpes_spark.io.writers import save_binned_dict
+
+    data = np.arange(20, dtype="f8").reshape(4, 5)
+    arr = BinnedArray(
+        data, dims=("E", "kx"), coords={"E": np.linspace(0, 3, 4), "kx": np.linspace(-1, 1, 5)}
+    )
+    for comp in (False, True):
+        p = str(tmp_path / f"b{int(comp)}.mat")
+        paths = save_binned_dict(arr, p, form="mat", dtyp="float32", mat_compression=comp)
+        r = loadmat(paths[0])
+        assert np.allclose(r["binned"], data.astype("f4"))
+        assert np.allclose(r["E"], np.linspace(0, 3, 4))
+        assert np.allclose(r["kx"], np.linspace(-1, 1, 5))
+
+
+def test_params_mat_roundtrip(tmp_path):
+    from mpes_spark.io.writers import load_params, save_params
+
+    params = {
+        "coeffs": np.array([1e-9, -2e-6, 0.05]),
+        "E0": -0.5,
+        "axis": "E",
+        "meta": {"order": 3},
+    }
+    p = str(tmp_path / "cal.mat")
+    save_params(params, p)  # extension implies form='mat'
+    r = load_params(p)
+    assert np.allclose(r["coeffs"], params["coeffs"])
+    assert r["E0"][0, 0] == -0.5
+    assert r["axis"] == "E"
+    assert r["meta"]["order"][0, 0] == 3
+
+
+def test_params_dmp_roundtrip(tmp_path):
+    from mpes_spark.io.writers import load_params, save_params
+
+    params = {"coeffs": np.array([1.0, 2.0]), "axis": "E"}
+    p = str(tmp_path / "cal.dmp")
+    save_params(params, p)  # extension implies form='dmp'
+    r = load_params(p)
+    assert np.array_equal(r["coeffs"], params["coeffs"])
+    assert r["axis"] == "E"
+
+
+def test_convert_to_mat(tmp_path):
+    from mpes_spark.io.binary_source import DictBackend, convert_to_mat
+
+    be = DictBackend(
+        files={
+            "f1": {
+                "streams": [
+                    ("Stream_0", "X", np.arange(5, dtype="i4")),
+                    ("Stream_1", "Y", np.arange(5, dtype="f8") * 0.5),
+                ]
+            },
+            "f2": {
+                "streams": [
+                    ("Stream_0", "X", np.arange(5, 8, dtype="i4")),
+                    ("Stream_1", "Y", np.arange(3, dtype="f8") + 10),
+                ]
+            },
+        }
+    )
+    p = str(tmp_path / "conv.mat")
+    convert_to_mat(["f1", "f2"], be, p, do_compression=True)
+    r = loadmat(p)
+    assert np.array_equal(r["X"], [np.r_[np.arange(5), np.arange(5, 8)]])
+    assert r["Y"].shape == (1, 8)
