@@ -1021,6 +1021,122 @@ def pxp_decode_stats(
     )
 
 
+def mat_decode_stats(
+    docs: DataFrame, max_bytes: int = 96, id_col: str = "doc_id"
+) -> DataFrame:
+    """The Level-5 MAT container under the hash gate (r10 — the .mat
+    sibling of hdf5_ingest_oracle/pxp_ingest_oracle): each doc's
+    leading ASCII bytes split into variable ``a`` (first ceil(n/2)
+    bytes, int32) and a nested struct ``s`` holding char field ``t``
+    (the first min(n, 8) chars) plus float64 field ``b`` (the rest,
+    omitted when empty), serialized to an IN-MEMORY zlib-compressed
+    MAT-file (``mat_bytes``) and parsed back through the full element
+    walk (``loadmat``), then reduced to integer statistics computed
+    FROM THE PARSED VALUES. ``pos_dot`` weights each sample by its
+    1-based position within its variable, so the split boundary and
+    sample order are both under the hash; ``n_fields`` pins the
+    struct's field census. The oracle re-derives everything from
+    characters."""
+    import numpy as np
+
+    from mpes_spark.io.matlib import loadmat, mat_bytes
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nv, nf, sa, sb, dot, cs = [], [], [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                raw = _ascii_payload(text, max_bytes)
+                ids.append(did)
+                if not raw:
+                    nv.append(0), nf.append(0), sa.append(0)
+                    sb.append(0), dot.append(0), cs.append(0)
+                    continue
+                data = np.frombuffer(raw, dtype="u1")
+                h = (len(data) + 1) // 2
+                s: dict = {"t": raw[: min(len(data), 8)].decode("ascii")}
+                if len(data) > h:
+                    s["b"] = data[h:].astype("f8")
+                back = loadmat(
+                    mat_bytes(
+                        {"a": data[:h].astype("i4"), "s": s},
+                        do_compression=True,
+                    )
+                )
+                a = back["a"].ravel()
+                st = back["s"]
+                b = st["b"].ravel() if "b" in st else np.empty(0)
+                nv.append(len(back))
+                nf.append(len(st))
+                sa.append(int(a.sum()))
+                sb.append(int(b.sum()))
+                dot.append(
+                    int((a.astype("i8") * np.arange(1, a.size + 1)).sum())
+                    + int((b.astype("i8") * np.arange(1, b.size + 1)).sum())
+                )
+                cs.append(sum(ord(c) for c in st["t"]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "n_vars": pd.Series(nv, dtype="int64"),
+                    "n_fields": pd.Series(nf, dtype="int64"),
+                    "sum_a": pd.Series(sa, dtype="int64"),
+                    "sum_b": pd.Series(sb, dtype="int64"),
+                    "pos_dot": pd.Series(dot, dtype="int64"),
+                    "char_sum": pd.Series(cs, dtype="int64"),
+                }
+            )
+
+    return _spread(docs, id_col).mapInPandas(
+        batches,
+        schema=f"{id_col} bigint, n_vars bigint, n_fields bigint, "
+        "sum_a bigint, sum_b bigint, pos_dot bigint, char_sum bigint",
+    )
+
+
+def mat_decode_stats_sql(
+    table: str, max_bytes: int = 96, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`mat_decode_stats`: byte i of the ASCII
+    projection lands in ``a`` (i <= ceil(n/2), in-variable position i)
+    or ``b`` (position i - ceil(n/2)); ``t`` carries bytes 1..min(n,8);
+    the struct has 2 fields iff the ``b`` half is non-empty."""
+    return f"""
+WITH atab AS (
+  SELECT {id_col}, {_ASCII_TEXT_SQL} AS atext FROM {table}
+),
+pos AS (
+  SELECT {id_col}, least(length(atext), {max_bytes}) AS n, i,
+         ascii(substr(atext, CAST(i AS INTEGER), 1)) AS byte
+  FROM atab, unnest(range(1, least(length(atext), {max_bytes}) + 1)) r(i)
+  WHERE length(atext) > 0
+),
+agg AS (
+  SELECT {id_col},
+         CAST(2 AS BIGINT) AS n_vars,
+         CAST(CASE WHEN max(n) > (max(n) + 1) // 2 THEN 2 ELSE 1 END
+              AS BIGINT) AS n_fields,
+         CAST(sum(CASE WHEN i <= (n + 1) // 2 THEN byte ELSE 0 END)
+              AS BIGINT) AS sum_a,
+         CAST(sum(CASE WHEN i > (n + 1) // 2 THEN byte ELSE 0 END)
+              AS BIGINT) AS sum_b,
+         CAST(sum(CASE WHEN i <= (n + 1) // 2 THEN i * byte
+                       ELSE (i - (n + 1) // 2) * byte END) AS BIGINT)
+           AS pos_dot,
+         CAST(sum(CASE WHEN i <= least(n, 8) THEN byte ELSE 0 END)
+              AS BIGINT) AS char_sum
+  FROM pos GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       COALESCE(n_vars, 0) AS n_vars,
+       COALESCE(n_fields, 0) AS n_fields,
+       COALESCE(sum_a, 0) AS sum_a,
+       COALESCE(sum_b, 0) AS sum_b,
+       COALESCE(pos_dot, 0) AS pos_dot,
+       COALESCE(char_sum, 0) AS char_sum
+FROM {table} d LEFT JOIN agg USING ({id_col})
+""".strip()
+
+
 def pxp_decode_stats_sql(
     table: str, max_bytes: int = 96, id_col: str = "doc_id"
 ) -> str:

@@ -1780,6 +1780,22 @@ def pxp_ingest_oracle(spark, sf_dir):
     return MM.pxp_decode_stats(_docs(spark, sf_dir), max_bytes=96)
 
 
+@_q("mat_ingest_oracle", MM.mat_decode_stats_sql("documents", max_bytes=96))
+def mat_ingest_oracle(spark, sf_dir):
+    """The Level-5 MAT-file container under the hash gate (r10 — the
+    .mat sibling of hdf5_ingest_oracle/pxp_ingest_oracle, closing the
+    scipy.io seam): leading doc bytes -> int32 variable + nested
+    struct (char field + float64 field, the float half omitted when
+    empty) -> in-memory zlib-COMPRESSED MAT-file (miCOMPRESSED
+    elements, struct field tables, char/int32/float64 storage) ->
+    full element-walk parse -> integer stats computed from the PARSED
+    values. pos_dot is position-weighted WITHIN each variable and
+    n_fields pins the struct's field census, so a wrong split
+    boundary, reordered samples, a bad tag length, or a dropped
+    struct field flips the hash (io/matlib.py:mat_bytes, loadmat)."""
+    return MM.mat_decode_stats(_docs(spark, sf_dir), max_bytes=96)
+
+
 from mpes_spark.extras import privacy as PV  # noqa: E402
 
 

@@ -36,7 +36,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["savemat", "loadmat", "whosmat"]
+__all__ = ["savemat", "loadmat", "whosmat", "mat_bytes"]
 
 # -- MAT-file data types (mi*) and array classes (mx*), per the spec ---------
 miINT8, miUINT8, miINT16, miUINT16, miINT32, miUINT32 = 1, 2, 3, 4, 5, 6
@@ -133,9 +133,11 @@ def _write_value(name: str, value, oned_as: str) -> bytes:
     value = _canonical(value, oned_as)
 
     if isinstance(value, str):
-        units = np.array([ord(c) for c in value], dtype="<u2")
-        dims = (1, len(units)) if len(units) else (0, 0)
-        return _matrix(name, mxCHAR, dims, 0, _element(miUINT16, units.tobytes()))
+        # UTF-16 code units (surrogate pairs for non-BMP), as MATLAB
+        # stores char data; dims count code units, not codepoints
+        enc = value.encode("utf-16-le")
+        dims = (1, len(enc) // 2) if enc else (0, 0)
+        return _matrix(name, mxCHAR, dims, 0, _element(miUINT16, enc))
 
     if isinstance(value, dict):
         names = list(value)
@@ -188,18 +190,15 @@ def _write_value(name: str, value, oned_as: str) -> bytes:
     raise TypeError(f"cannot write dtype {value.dtype} to mat")
 
 
-def savemat(
-    path: str,
+def mat_bytes(
     mdict: dict,
     do_compression: bool = False,
     oned_as: str = "row",
-) -> None:
-    """Write ``{name: value}`` to a Level-5 MAT-file.
-
-    ``sio.savemat`` analog (reference call sites listed in the module
-    docstring). ``do_compression`` zlib-wraps each variable element,
-    matching the reference's ``mat_compression`` kwarg
-    (``fprocessing.py:907-908``)."""
+) -> bytes:
+    """Serialize ``{name: value}`` to Level-5 MAT-file bytes
+    (the in-memory core of :func:`savemat`; pairs with
+    :func:`loadmat` accepting bytes, mirroring igor's
+    ``pxp_bytes``/``load_pxp``)."""
     if oned_as not in ("row", "col"):
         raise ValueError("oned_as must be 'row' or 'col'")
     desc = b"MATLAB 5.0 MAT-file, created by mpes_spark.io.matlib"
@@ -213,8 +212,23 @@ def savemat(
             comp = zlib.compress(el)
             el = struct.pack("<II", miCOMPRESSED, len(comp)) + comp
         out.append(el)
+    return b"".join(out)
+
+
+def savemat(
+    path: str,
+    mdict: dict,
+    do_compression: bool = False,
+    oned_as: str = "row",
+) -> None:
+    """Write ``{name: value}`` to a Level-5 MAT-file.
+
+    ``sio.savemat`` analog (reference call sites listed in the module
+    docstring). ``do_compression`` zlib-wraps each variable element,
+    matching the reference's ``mat_compression`` kwarg
+    (``fprocessing.py:907-908``)."""
     with open(path, "wb") as fh:
-        fh.write(b"".join(out))
+        fh.write(mat_bytes(mdict, do_compression=do_compression, oned_as=oned_as))
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +268,15 @@ def _num(data: bytes, mdtype: int, bo: str) -> np.ndarray:
 def _chars(data: bytes, mdtype: int, bo: str) -> list[str]:
     if mdtype in (miUINT16, miUTF16):
         units = np.frombuffer(data, dtype=f"{bo}u2")
-        return [chr(u) for u in units]
+        # decode as UTF-16 so surrogate pairs reassemble (MATLAB chars
+        # are UTF-16 code units); fall back to unit-wise chr for
+        # malformed data (lone surrogates). Multi-row grids reshape by
+        # code unit, so callers only get fewer-than-dims chars for
+        # non-BMP text, which is 1-row in practice.
+        try:
+            return list(units.astype("<u2").tobytes().decode("utf-16-le"))
+        except UnicodeDecodeError:
+            return [chr(u) for u in units]
     if mdtype == miUTF8:
         return list(data.decode("utf-8"))
     if mdtype in (miINT8, miUINT8):
@@ -340,14 +362,18 @@ def _parse_matrix(payload: bytes, bo: str):
     return name, arr
 
 
-def loadmat(path: str) -> dict:
-    """Read a Level-5 MAT-file -> ``{name: value}``.
+def loadmat(path: str | bytes) -> dict:
+    """Read a Level-5 MAT-file (path, or raw bytes for in-memory
+    containers) -> ``{name: value}``.
 
     ``sio.loadmat`` analog (``analysis.py:889-892``), with the
     documented divergences: 1x1 structs -> dict, one-row char -> str.
     Handles zlib-compressed elements and both byte orders."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
+    if isinstance(path, (bytes, bytearray)):
+        buf = bytes(path)
+    else:
+        with open(path, "rb") as fh:
+            buf = fh.read()
     if len(buf) < 128:
         raise ValueError("not a Level-5 MAT-file (truncated header)")
     endian = buf[126:128]

@@ -2635,3 +2635,40 @@ def test_pxp_decode_stats_parity(spark):
     assert g[cols].astype("int64").equals(w[cols].astype("int64"))
     assert g.loc[g.doc_id == 3, "n_waves"].item() == 1
     assert g.loc[g.doc_id == 4, "n_waves"].item() == 2
+
+
+def test_mat_decode_stats_parity(spark):
+    """r10 MAT container gate: the in-memory compressed MAT-file
+    round-trip stats match the character-arithmetic DuckDB twin,
+    including the single-field-struct boundary (1-byte payload),
+    non-ASCII projection, truncation, and empty docs."""
+    import duckdb
+    import pandas as pd
+
+    from mpes_spark.extras.multimodal import (
+        mat_decode_stats,
+        mat_decode_stats_sql,
+    )
+
+    rows = [
+        (1, "matlab level five container payload content here"),
+        (2, ""),
+        (3, "x"),                      # 1 byte: a only, struct = {t}
+        (4, "ab"),                     # 2 bytes: a + struct {t, b}
+        (5, "short"),                  # n < 8: t is the whole payload
+        (6, "héllo wörld" + "q" * 200),  # projection + truncation
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    g = mat_decode_stats(docs).toPandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    w = con.execute(mat_decode_stats_sql("documents")).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    cols = sorted(g.columns)
+    assert g[cols].astype("int64").equals(w[cols].astype("int64"))
+    assert g.loc[g.doc_id == 3, "n_fields"].item() == 1
+    assert g.loc[g.doc_id == 4, "n_fields"].item() == 2
+    assert g.loc[g.doc_id == 2, "n_vars"].item() == 0

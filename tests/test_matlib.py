@@ -195,6 +195,70 @@ def test_params_mat_roundtrip(tmp_path):
     assert r["meta"]["order"][0, 0] == 3
 
 
+def test_nonbmp_char_roundtrip(tmp_path):
+    """Non-BMP codepoints ride as UTF-16 surrogate pairs (MATLAB's
+    char storage); dims count code units, the decoded str is intact."""
+    s = "math 𝕄 bold"
+    p = str(tmp_path / "u.mat")
+    savemat(p, {"s": s})
+    assert loadmat(p)["s"] == s
+    (name, dims, cls) = whosmat(p)[0]
+    assert cls == "char" and dims == (1, len(s.encode("utf-16-le")) // 2)
+
+
+def test_mat_bytes_inmemory_roundtrip():
+    from mpes_spark.io.matlib import mat_bytes
+
+    d = {"a": np.arange(4, dtype="i4")}
+    for comp in (False, True):
+        buf = mat_bytes(d, do_compression=comp)
+        assert isinstance(buf, bytes) and buf[126:128] == b"IM"
+        assert np.array_equal(loadmat(buf)["a"], [[0, 1, 2, 3]])
+
+
+# -- property fuzz (hypothesis): arbitrary arrays/strings round-trip --------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis.extra.numpy import arrays  # noqa: E402
+
+
+@given(
+    arr=arrays(
+        dtype=st.sampled_from(
+            [np.uint8, np.int16, np.uint16, np.int32, np.int64, np.float32, np.float64]
+        ),
+        shape=st.one_of(
+            st.tuples(st.integers(1, 40)),
+            st.tuples(st.integers(1, 12), st.integers(1, 12)),
+            st.tuples(st.integers(1, 5), st.integers(1, 5), st.integers(1, 5)),
+        ),
+        elements=st.integers(0, 100),
+    ),
+    name=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=12,
+    ).filter(lambda s: not s[0].isdigit() and ord(max(s)) < 256),
+    comp=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_mat_roundtrip_fuzz(tmp_path_factory, arr, name, comp):
+    p = str(tmp_path_factory.mktemp("matfuzz") / "f.mat")
+    savemat(p, {name: arr}, do_compression=comp)
+    got = loadmat(p)[name]
+    assert got.dtype == arr.dtype
+    want = np.atleast_2d(arr)
+    np.testing.assert_array_equal(got, want)
+
+
+@given(text=st.text(min_size=0, max_size=60), comp=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_mat_string_fuzz(tmp_path_factory, text, comp):
+    p = str(tmp_path_factory.mktemp("matfuzz") / "s.mat")
+    savemat(p, {"s": text}, do_compression=comp)
+    assert loadmat(p)["s"] == text
+
+
 def test_params_dmp_roundtrip(tmp_path):
     from mpes_spark.io.writers import load_params, save_params
 
