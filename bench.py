@@ -20,11 +20,15 @@ SCALING.md) can't masquerade as a code regression:
   across reps instead of biasing every sample the same way.
 - **Bands**: per-query [min, median, max] over reps is recorded in the
   sidecar (`bands`); the median remains the headline number.
-- **Calibration probes**: three fixed queries with code that never
-  changes (parquet scan+agg, shuffle agg, pure-JVM expression chain)
-  run every rep. Their total is a pure machine-speed signal: the ratio
-  current/previous (clamped to [0.5, 2.0]) rescales the regression
-  comparison, so a uniformly slow machine doesn't flag everything.
+- **Calibration probes**: four fixed queries with code that never
+  changes (parquet scan+agg, shuffle agg, pure-JVM expression chain,
+  and an Arrow pandas_udf round-trip) run every rep. Their timings are
+  a pure machine-speed signal, split into two drift classes (r11):
+  JVM-bound queries rescale by the scan/shuffle/cpu trio's ratio,
+  Python-worker-bound queries (plans containing ArrowEvalPython /
+  MapInPandas / ... — auto-detected per query, recorded in the
+  sidecar's `classes`) rescale by the Arrow probe's ratio. Both
+  ratios clamp to [0.5, 2.0].
 - **Regression rule**: a query is flagged only when its new median
   exceeds 1.2x the previous run's MAX band (or 1.5x the previous
   median when the previous round recorded no bands), after probe-drift
@@ -98,12 +102,49 @@ def _probes(sf_dir: str):
             )
         )
 
-    return {"probe_scan": probe_scan, "probe_shuffle": probe_shuffle, "probe_cpu": probe_cpu}
+    def probe_arrow(spark):
+        # Fixed Arrow pandas_udf round-trip (r11, VERDICT r10 #4): the
+        # scan/shuffle/cpu trio tracks only the JVM, but the component
+        # that actually drifted in r10 was the Python worker pool
+        # (probes read 0.71x while Arrow-tagged queries ran ~3x). This
+        # probe times worker spawn + Arrow batch transfer both ways +
+        # a pandas kernel, so Arrow-tagged queries get rescaled by the
+        # machine signal of THEIR cost regime.
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _fma(a, b):
+            return a * b + a
+
+        return spark.range(1_000_000).select(
+            F.sum(
+                _fma(
+                    F.col("id").cast("double"),
+                    (F.col("id") % F.lit(7)).cast("double"),
+                )
+            ).alias("s")
+        )
+
+    return {
+        "probe_scan": probe_scan,
+        "probe_shuffle": probe_shuffle,
+        "probe_cpu": probe_cpu,
+        "probe_arrow": probe_arrow,
+    }
 
 
-def _prev_round_results(sf: float) -> tuple[str | None, dict[str, float], dict[str, list], float | None]:
+# Physical-plan node names that mark a query as Python-worker-bound
+# ("arrow" drift class); everything else is "jvm".
+_ARROW_PLAN_RE = re.compile(
+    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapGroupsInPandas"
+    r"|AggregateInPandas|WindowInPandas|FlatMapCoGroupsInPandas|PythonMapInArrow"
+)
+_JVM_PROBES = ("probe_scan", "probe_shuffle", "probe_cpu")
+
+
+def _prev_round_results(sf: float) -> tuple[str | None, dict[str, float], dict[str, list], dict[str, float]]:
     """Latest recorded results at the same scale factor ->
-    (source_file, per-query medians, per-query bands, probe_total).
+    (source_file, per-query medians, per-query bands, probe dict).
     Prefers the committed sidecar (full map + bands + probes); falls
     back to the newest BENCH_r*.json parsed line when it carries the
     full query map. Bands accept both the r4 2-element spread and the
@@ -115,15 +156,13 @@ def _prev_round_results(sf: float) -> tuple[str | None, dict[str, float], dict[s
             detail = json.load(fh)
         if float(detail.get("sf", -1)) == sf:
             bands = detail.get("bands") or detail.get("spread") or {}
-            probe_total = None
             probe = detail.get("probe")
-            if isinstance(probe, dict) and probe:
-                probe_total = float(sum(probe.values()))
+            probe = dict(probe) if isinstance(probe, dict) else {}
             return (
                 "bench_results.json",
                 {k: float(v) for k, v in detail.get("queries", {}).items()},
                 bands,
-                probe_total,
+                probe,
             )
     except Exception:  # noqa: BLE001 - deltas are best-effort decoration
         pass
@@ -145,11 +184,11 @@ def _prev_round_results(sf: float) -> tuple[str | None, dict[str, float], dict[s
                 os.path.basename(best[1]),
                 {k: float(v) for k, v in parsed.get("queries", {}).items()},
                 {},
-                None,
+                {},
             )
     except Exception:  # noqa: BLE001
         pass
-    return os.path.basename(best[1]), {}, {}, None
+    return os.path.basename(best[1]), {}, {}, {}
 
 
 def _run_suite(
@@ -183,6 +222,7 @@ def _run_suite(
     random.Random(rep).shuffle(order)
 
     timings: dict[str, float] = {}
+    classes: dict[str, str] = {}
     failures: dict[str, str] = {}
     for name in order:
         # Settle the PREVIOUS query's residue OUTSIDE the timed
@@ -207,13 +247,23 @@ def _run_suite(
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         try:
-            q[name](spark, sf_dir).collect()
+            df = q[name](spark, sf_dir)
+            df.collect()
             timings[name] = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001 - report, don't abort the run
             failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# FAIL {name}: {failures[name]}", file=sys.stderr)
+        else:
+            # Drift class, read OUTSIDE the timed region from the
+            # already-planned query: Python-worker-bound plans rescale
+            # by the Arrow probe, everything else by the JVM trio.
+            try:
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                classes[name] = "arrow" if _ARROW_PLAN_RE.search(plan) else "jvm"
+            except Exception:  # noqa: BLE001 - class is decoration
+                classes[name] = "jvm"
     spark.stop()
-    return timings, probe_times, failures
+    return timings, probe_times, failures, classes
 
 
 def main() -> None:
@@ -228,11 +278,17 @@ def main() -> None:
     per_rep: list[dict[str, float]] = []
     probe_reps: list[dict[str, float]] = []
     failures: dict[str, str] = {}
+    classes: dict[str, str] = {}
     for r in range(reps):
-        t, p, f = _run_suite(sf_dir, cpus, r)
+        t, p, f, c = _run_suite(sf_dir, cpus, r)
         per_rep.append(t)
         probe_reps.append(p)
         failures.update(f)
+        # "arrow" wins across reps: a plan that ever touched the
+        # Python workers belongs to the arrow drift class.
+        for n, cls in c.items():
+            if classes.get(n) != "arrow":
+                classes[n] = cls
         print(f"# rep {r + 1}/{reps}: {sum(t.values()):.1f}s", file=sys.stderr)
 
     names = [n for n in per_rep[0] if all(n in t for t in per_rep)]
@@ -261,9 +317,10 @@ def main() -> None:
         "reps": reps,
         "bands": bands,
         "probe": probe,
+        "classes": classes,
     }
 
-    prev_file, prev, prev_bands, prev_probe_total = _prev_round_results(sf)
+    prev_file, prev, prev_bands, prev_probe = _prev_round_results(sf)
     if prev:
         common = [n for n in medians if n in prev]
         out["prev_round"] = prev_file
@@ -271,15 +328,30 @@ def main() -> None:
         out["delta_total"] = round(
             sum(medians[n] for n in common) - out["prev_total"], 4
         )
-        drift = 1.0
-        if prev_probe_total and probe:
-            raw = sum(probe.values()) / prev_probe_total
-            drift = min(max(raw, PROBE_DRIFT_CLAMP[0]), PROBE_DRIFT_CLAMP[1])
-            out["probe_drift"] = round(drift, 3)
+        # Per-class drift (r11): JVM queries rescale by the frozen
+        # scan/shuffle/cpu trio, Arrow queries by the pandas_udf
+        # round-trip probe — the r10 incident was exactly these two
+        # classes drifting in opposite directions (JVM probes 0.71x
+        # while Python-worker queries ran ~3x).
+        drift_jvm = drift_arrow = 1.0
+        jvm_common = [k for k in _JVM_PROBES if k in prev_probe and k in probe]
+        if jvm_common:
+            raw = sum(probe[k] for k in jvm_common) / sum(
+                prev_probe[k] for k in jvm_common
+            )
+            drift_jvm = min(max(raw, PROBE_DRIFT_CLAMP[0]), PROBE_DRIFT_CLAMP[1])
+            out["probe_drift"] = round(drift_jvm, 3)
+        if prev_probe.get("probe_arrow") and probe.get("probe_arrow"):
+            raw = probe["probe_arrow"] / prev_probe["probe_arrow"]
+            drift_arrow = min(max(raw, PROBE_DRIFT_CLAMP[0]), PROBE_DRIFT_CLAMP[1])
+            out["probe_drift_arrow"] = round(drift_arrow, 3)
+        else:
+            drift_arrow = drift_jvm  # no arrow baseline yet
         regressions: dict[str, list] = {}
         for n in common:
             if prev[n] <= 0.05:
                 continue
+            drift = drift_arrow if classes.get(n) == "arrow" else drift_jvm
             pb = prev_bands.get(n)
             if pb and len(pb) >= 2:
                 prev_high = float(pb[-1])  # max of the recorded band

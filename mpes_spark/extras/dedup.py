@@ -427,6 +427,7 @@ def blocked_jaccard_pairs(
     n: int = 3,
     block_tokens: int = 2,
     threshold: float = 0.5,
+    waves: int = 1,
 ) -> DataFrame:
     """DataFrame rendering of :func:`blocked_jaccard_sql` (same
     semantics, value-identical output). The shingle relation is
@@ -437,22 +438,48 @@ def blocked_jaccard_pairs(
     100 TB a persisted shingle table would be a memory hazard while
     recompute stays embarrassingly parallel. Use this form when the
     pair list feeds further computation (e.g. cluster resolution);
-    the SQL twin stays the oracle."""
+    the SQL twin stays the oracle.
+
+    ``waves`` > 1 runs candidate+verify per hash band of the block
+    key (r11 scratch bound, see :func:`prefix_filtered_pairs`). Each
+    doc has exactly ONE block key, so the bands partition the docs
+    and every pair surfaces in exactly one wave — the union needs no
+    cross-wave distinct."""
     sh = shingle_table(df, text, n, id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
     blocks = df.select(
         F.col(id_col),
         F.concat_ws(
             " ", F.slice(F.split(F.col(text), " "), 1, block_tokens)
         ).alias("bk"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bk") == F.col("b.bk"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    return verify_jaccard(cand, sh, threshold, id_col)
+
+    def _cand(blk: DataFrame) -> DataFrame:
+        a, b = blk.alias("a"), blk.alias("b")
+        return a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+
+    if waves <= 1:
+        return verify_jaccard(_cand(blocks), sh, threshold, id_col)
+    parts: list[DataFrame] = []
+    for i in range(waves):
+        cand = _cand(blocks.filter(_wave_band("bk", waves, i))).localCheckpoint(
+            eager=True
+        )
+        sh_w = _wave_doc_filter(sh, cand, id_col)
+        parts.append(
+            verify_jaccard(cand, sh_w, threshold, id_col)
+            .localCheckpoint(eager=True)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def blocked_containment_sql(
@@ -662,6 +689,24 @@ def token_sets(
     )
 
 
+def _wave_band(col: str, waves: int, i: int):
+    """Deterministic hash band predicate for waved execution."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(waves)) == i
+
+
+def _wave_doc_filter(toks: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
+    """Restrict an element relation to the docs a candidate wave
+    touches — broadcast semi-join on the (candidate-bounded, small)
+    wave doc-id set, so per-wave verify shuffles only the shingles of
+    participating docs instead of the full ~40x relation."""
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return toks.join(F.broadcast(ids), id_col, "left_semi")
+
+
 def prefix_filtered_pairs(
     df: DataFrame,
     text: str = "text",
@@ -669,6 +714,7 @@ def prefix_filtered_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     checkpoint: bool = True,
+    waves: int = 1,
 ) -> DataFrame:
     """All-pairs set-similarity join via RARE-TOKEN prefix filtering
     (PPJoin-family, Bayardo et al. WWW'07 / Xiao et al. 2008): order
@@ -700,7 +746,21 @@ def prefix_filtered_pairs(
     the corpus and no token is ever rare — measured 142 s at sf0.1
     (50k docs) for unigrams vs seconds for 3-gram shingles, whose
     combinatorial space keeps most elements rare at any corpus
-    size (SCALING.md). Same completeness theorem either way."""
+    size (SCALING.md). Same completeness theorem either way.
+
+    ``waves`` > 1 enables WAVED execution (r11, the sf10 disk-wall
+    fix — SCALING.md "the scratch ceiling"): the candidate+verify
+    stage runs in ``waves`` hash bands of the prefix element key, each
+    wave materialized eagerly before the next starts, so peak shuffle
+    scratch is bounded by one band's candidates plus the shingles of
+    that wave's participating docs (broadcast-semi-filtered) instead
+    of the full ~40x-corpus relation. RESULT-IDENTICAL to waves=1: a
+    qualifying pair shares >= 1 prefix element, that element hashes
+    into exactly one band, so every pair is found (possibly in
+    several bands — deduped by the final distinct), and each wave
+    verifies against the docs' FULL shingle sets. Trade: the pruned
+    scan + explode lineage re-executes per wave — recompute is the
+    currency that buys bounded scratch."""
     toks = (
         token_sets(df, text, id_col)
         if n == 1
@@ -735,24 +795,54 @@ def prefix_filtered_pairs(
         # Window ops before, 2 after)
         .persist()
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "sh")
-    b = prefix.select(F.col(id_col).alias("id_b"), "sh")
-    cand = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # materialize the (small, true-pair-bounded) verified result so the
-    # two persisted relations can be released NOW — a long-lived session
-    # (the ~200-query bench loop) would otherwise accumulate their
-    # cached blocks across calls; checkpoint=False keeps the live plan
-    # (and the caches) for plan inspection
-    out = verify_jaccard(cand, toks, threshold, id_col)
-    if not checkpoint:
+    if waves <= 1:
+        a = prefix.select(F.col(id_col).alias("id_a"), "sh")
+        b = prefix.select(F.col(id_col).alias("id_b"), "sh")
+        cand = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # materialize the (small, true-pair-bounded) verified result so
+        # the persisted relations can be released NOW — a long-lived
+        # session (the ~200-query bench loop) would otherwise accumulate
+        # their cached blocks across calls; checkpoint=False keeps the
+        # live plan (and the caches) for plan inspection
+        out = verify_jaccard(cand, toks, threshold, id_col)
+        if not checkpoint:
+            return out
+        out = out.localCheckpoint(eager=True)
+        prefix.unpersist()
         return out
-    out = out.localCheckpoint(eager=True)
-    toks.unpersist()
+
+    parts: list[DataFrame] = []
+    for i in range(waves):
+        band = prefix.filter(_wave_band("sh", waves, i))
+        a = band.select(F.col(id_col).alias("id_a"), "sh")
+        b = band.select(F.col(id_col).alias("id_b"), "sh")
+        cand = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            # pin the wave's candidates: consumed 3x below (doc filter
+            # + verify), and the eager cut means wave i's candidate
+            # shuffle is released before wave i+1 plans
+            .localCheckpoint(eager=True)
+        )
+        toks_w = _wave_doc_filter(toks, cand, id_col)
+        parts.append(
+            verify_jaccard(cand, toks_w, threshold, id_col)
+            .localCheckpoint(eager=True)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    # a pair can surface in several bands (one per shared prefix
+    # element's band) with byte-identical verified rows
+    out = out.distinct()
+    out = out.localCheckpoint(eager=True) if checkpoint else out
     prefix.unpersist()
     return out
 
@@ -817,6 +907,47 @@ WHERE CAST(i.icnt AS DOUBLE) / (za.n + zb.n - i.icnt) >= {t_lit}
 """.strip()
 
 
+def _dual_verify(
+    cand: DataFrame,
+    toks: DataFrame,
+    jaccard_threshold: float,
+    containment_threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """ONE intersection aggregation; Jaccard and containment are both
+    ratios over (icnt, nsh_a, nsh_b) — shared work, single agg."""
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
+    sa = toks.select(F.col(id_col).alias("id_a"), "sh")
+    sb = toks.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        sa.join(cand, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("icnt"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("nsh_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nsh_b"))
+    jac = F.col("icnt") / (F.col("nsh_a") + F.col("nsh_b") - F.col("icnt"))
+    cont = F.col("icnt") / F.least("nsh_a", "nsh_b")
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(
+            (jac >= jaccard_threshold) | (cont >= containment_threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+            (jac >= jaccard_threshold).cast("int").alias("jaccard_dup"),
+            (cont >= containment_threshold).cast("int").alias(
+                "containment_dup"
+            ),
+        )
+    )
+
+
 def prefix_dual_pairs(
     df: DataFrame,
     text: str = "text",
@@ -825,6 +956,7 @@ def prefix_dual_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     checkpoint: bool = True,
+    waves: int = 1,
 ) -> DataFrame:
     """Dual-measure similarity self-join: Jaccard AND containment
     verdicts for every near-dup pair, computed off ONE shared
@@ -889,51 +1021,52 @@ def prefix_dual_pairs(
         F.col("rn") <= F.col("nsz") - F.ceil(F.col("nsz") * F.lit(t_eff)) + 1
     ).select(F.col(id_col).alias("id_p"), "sh")
     probe = enriched.select(F.col(id_col).alias("id_q"), "sh")
-    cand = (
-        prefix.join(probe, "sh")
-        .filter(F.col("id_p") != F.col("id_q"))
-        .select(
-            F.least("id_p", "id_q").alias("id_a"),
-            F.greatest("id_p", "id_q").alias("id_b"),
+
+    def _cand(pfx: DataFrame) -> DataFrame:
+        return (
+            pfx.join(probe, "sh")
+            .filter(F.col("id_p") != F.col("id_q"))
+            .select(
+                F.least("id_p", "id_q").alias("id_a"),
+                F.greatest("id_p", "id_q").alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    # ONE intersection aggregation; Jaccard and containment are both
-    # ratios over (icnt, nsh_a, nsh_b) — shared work, single agg
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("nsh"))
-    sa = toks.select(F.col(id_col).alias("id_a"), "sh")
-    sb = toks.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        sa.join(cand, "id_a")
-        .join(sb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("icnt"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("nsh").alias("nsh_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("nsh").alias("nsh_b"))
-    jac = F.col("icnt") / (F.col("nsh_a") + F.col("nsh_b") - F.col("icnt"))
-    cont = F.col("icnt") / F.least("nsh_a", "nsh_b")
-    out = (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .filter(
-            (jac >= jaccard_threshold) | (cont >= containment_threshold)
+
+    if waves <= 1:
+        out = _dual_verify(
+            _cand(prefix), toks, jaccard_threshold, containment_threshold,
+            id_col,
         )
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jac, 6).alias("jaccard"),
-            F.round(cont, 6).alias("containment"),
-            (jac >= jaccard_threshold).cast("int").alias("jaccard_dup"),
-            (cont >= containment_threshold).cast("int").alias(
-                "containment_dup"
-            ),
-        )
-    )
-    if not checkpoint:
+        if not checkpoint:
+            return out
+        out = out.localCheckpoint(eager=True)
+        enriched.unpersist()
         return out
-    out = out.localCheckpoint(eager=True)
-    toks.unpersist()
+
+    # Waved execution (r11, sf10 scratch bound — see
+    # prefix_filtered_pairs): bands over the PREFIX side's element key
+    # only (the one-sided join stays complete — the shared prefix
+    # element lands in exactly one band); per-wave verify against the
+    # wave docs' FULL element sets; byte-identical rows across bands
+    # collapse in the final distinct.
+    parts: list[DataFrame] = []
+    for i in range(waves):
+        cand = _cand(prefix.filter(_wave_band("sh", waves, i))).localCheckpoint(
+            eager=True
+        )
+        toks_w = _wave_doc_filter(toks, cand, id_col)
+        parts.append(
+            _dual_verify(
+                cand, toks_w, jaccard_threshold, containment_threshold,
+                id_col,
+            ).localCheckpoint(eager=True)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    out = out.distinct()
+    out = out.localCheckpoint(eager=True) if checkpoint else out
     enriched.unpersist()
     return out
 
@@ -2232,22 +2365,31 @@ _SENT_PROTECT = "\x01"
 _SENT_BREAK = "\x02"
 
 
+# Group-1 backreference marker in step replacements — rendered as "$1"
+# by the Spark dialect and "\\1" by the DuckDB dialect.
+_SENT_G1 = "\x00g1\x00"
+
+
 def _sent_steps() -> list[tuple[str, str, str]]:
     """(kind, pattern-or-needle, replacement), applied strictly in
     order. 're' patterns stay in the Java/RE2-common subset (\\b on
-    ASCII text behaves identically in both engines); replacements are
-    plain literals — no group refs, so the two dialects cannot drift
-    on backreference syntax."""
-    steps: list[tuple[str, str, str]] = []
-    for a in _SENT_ABBREVS:
-        esc = a.replace(".", r"\.")
-        steps.append(("re", rf"\b{esc}\.", a + _SENT_PROTECT))
-    for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ":  # initials: "J. Smith"
-        steps.append(("re", rf"\b{c}\.", c + _SENT_PROTECT))
-    for p in ".!?":
-        steps.append(("lit", p + " ", p + _SENT_BREAK))
-    steps.append(("lit", _SENT_PROTECT, "."))
-    return steps
+    ASCII text behaves identically in both engines; alternation is
+    leftmost-first in both). r11 collapsed the 50 per-abbreviation /
+    per-initial passes into ONE alternation pass (VERDICT r10 #5) —
+    safe because no two ``name.`` matches can overlap (names contain
+    no terminal-dot-of-another-name, and protecting a dot swaps one
+    non-word char for another, so \\b structure is untouched), which
+    makes the sequential chain and the single leftmost scan pick the
+    identical match set. Replacements may carry the ``_SENT_G1``
+    group-1 marker; each renderer maps it to its dialect's syntax."""
+    alts = [a.replace(".", r"\.") for a in _SENT_ABBREVS] + ["[A-Z]"]
+    return [
+        # abbreviations + single-letter initials ("J. Smith"), one pass
+        ("re", r"\b(" + "|".join(alts) + r")\.", _SENT_G1 + _SENT_PROTECT),
+        # sentence boundaries after [.!?]-space, one pass
+        ("re", r"([.!?]) ", _SENT_G1 + _SENT_BREAK),
+        ("lit", _SENT_PROTECT, "."),
+    ]
 
 
 def sentence_split_expr(col: "Column | str"):
@@ -2255,7 +2397,7 @@ def sentence_split_expr(col: "Column | str"):
     out = F.col(col) if isinstance(col, str) else col
     for kind, pat, rep in _sent_steps():
         if kind == "re":
-            out = F.regexp_replace(out, pat, rep)
+            out = F.regexp_replace(out, pat, rep.replace(_SENT_G1, "$1"))
         else:
             out = F.replace(out, F.lit(pat), F.lit(rep))
     return F.split(out, _SENT_BREAK)
@@ -2283,7 +2425,12 @@ def sentence_split_sql(expr: str) -> str:
     a split-to-array SQL expression."""
     out = expr
     for kind, pat, rep in _sent_steps():
-        q_pat, q_rep = _sent_sql_quote(pat), _sent_sql_quote(rep)
+        q_pat = _sent_sql_quote(pat)
+        # group-1 marker -> RE2 backreference '\1' (literal backslash-one
+        # inside a single-quoted DuckDB string)
+        q_rep = " || '\\1' || ".join(
+            _sent_sql_quote(p) for p in rep.split(_SENT_G1)
+        )
         if kind == "re":
             out = f"regexp_replace({out}, {q_pat}, {q_rep}, 'g')"
         else:

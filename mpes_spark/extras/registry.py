@@ -526,6 +526,26 @@ def neardup_prefix_filter(spark, sf_dir):
     return DD.prefix_filtered_pairs(_docs(spark, sf_dir), threshold=0.7, n=3)
 
 
+@_q(
+    "neardup_prefix_waved",
+    DD.prefix_filtered_pairs_sql("documents", "duckdb", threshold=0.7, n=3),
+)
+def neardup_prefix_waved(spark, sf_dir):
+    """WAVED execution of the prefix-filtered similarity join (r11,
+    the sf10 scratch-ceiling fix — SCALING.md): candidate+verify runs
+    in 3 hash bands of the prefix element key, each wave eagerly
+    materialized so peak shuffle scratch is ~1/waves of the un-waved
+    plan (the shingle relation is ~40x corpus bytes; the sf10 probe
+    hit the 78 GB box ceiling). Hash-gated against the SAME oracle as
+    neardup_prefix_filter — waving is a physical-execution choice and
+    must be result-invisible: every qualifying pair shares a prefix
+    element, that element hashes into exactly one band, and each wave
+    verifies against full per-doc shingle sets."""
+    return DD.prefix_filtered_pairs(
+        _docs(spark, sf_dir), threshold=0.7, n=3, waves=3
+    )
+
+
 _BATCH_PRED = "source IN ('src0', 'src1')"
 
 

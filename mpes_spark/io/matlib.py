@@ -130,6 +130,10 @@ def _canonical(value, oned_as: str):
 
 
 def _write_value(name: str, value, oned_as: str) -> bytes:
+    if len(name) > 63:
+        raise ValueError(
+            f"MAT variable name {name!r} exceeds MATLAB's 63-char limit"
+        )
     value = _canonical(value, oned_as)
 
     if isinstance(value, str):
@@ -144,6 +148,12 @@ def _write_value(name: str, value, oned_as: str) -> bytes:
         for k in names:
             if not isinstance(k, str) or not k:
                 raise TypeError("struct field names must be non-empty strings")
+            if len(k) > 63:
+                # clamping maxlen while ljust'ing the full name would
+                # misalign the field-name table -> unreadable file
+                raise ValueError(
+                    f"struct field name {k!r} exceeds MATLAB's 63-char limit"
+                )
         maxlen = max((len(k) for k in names), default=0) + 1
         maxlen = min(max(maxlen, 2), 64)  # MATLAB caps field names at 63 chars
         body = _element(miINT32, struct.pack("<i", maxlen))
@@ -362,6 +372,18 @@ def _parse_matrix(payload: bytes, bo: str):
     return name, arr
 
 
+def _header_bo(buf: bytes) -> str:
+    """Validate the 128-byte MAT5 header, return the byte order."""
+    if len(buf) < 128:
+        raise ValueError("not a Level-5 MAT-file (truncated header)")
+    endian = buf[126:128]
+    if endian == b"IM":
+        return "<"
+    if endian == b"MI":
+        return ">"
+    raise ValueError("not a Level-5 MAT-file (bad endian indicator)")
+
+
 def loadmat(path: str | bytes) -> dict:
     """Read a Level-5 MAT-file (path, or raw bytes for in-memory
     containers) -> ``{name: value}``.
@@ -374,15 +396,7 @@ def loadmat(path: str | bytes) -> dict:
     else:
         with open(path, "rb") as fh:
             buf = fh.read()
-    if len(buf) < 128:
-        raise ValueError("not a Level-5 MAT-file (truncated header)")
-    endian = buf[126:128]
-    if endian == b"IM":
-        bo = "<"
-    elif endian == b"MI":
-        bo = ">"
-    else:
-        raise ValueError("not a Level-5 MAT-file (bad endian indicator)")
+    bo = _header_bo(buf)
     out: dict = {}
     cur = _Cursor(buf[128:], bo)
     while not cur.done():
@@ -409,7 +423,7 @@ def whosmat(path: str) -> list[tuple[str, tuple[int, ...], str]]:
     }.items()}
     with open(path, "rb") as fh:
         buf = fh.read()
-    bo = "<" if buf[126:128] == b"IM" else ">"
+    bo = _header_bo(buf)
     rows = []
     cur = _Cursor(buf[128:], bo)
     while not cur.done():

@@ -545,12 +545,27 @@ def save_params(params: dict, path: str, form: str | None = None) -> None:
     ``sio.savemat(save_addr, clss.__dict__)`` branch, ``base.py:363``,
     via the pure-python MAT5 writer), or ``'dmp'``/``'dump'`` (the
     ``dio.save`` pickle branch, ``base.py:365-371``, stdlib pickle);
-    ``.mat``/``.dmp`` extensions imply their forms."""
+    ``.mat``/``.dmp`` extensions imply their forms. Passing a ``form``
+    that contradicts the extension warns: ``load_params`` infers the
+    codec from the extension by default, so a mismatched file needs an
+    explicit ``load_params(path, form=...)`` to read back."""
+    implied = (
+        "mat" if path.endswith(".mat")
+        else "dmp" if path.endswith((".dmp", ".dump", ".pkl"))
+        else "json"
+    )
     if form is None:
-        form = (
-            "mat" if path.endswith(".mat")
-            else "dmp" if path.endswith((".dmp", ".dump", ".pkl"))
-            else "json"
+        form = implied
+    elif form in ("dump",):
+        form = "dmp"
+    if form != implied and form in ("json", "mat", "dmp"):
+        import warnings
+
+        warnings.warn(
+            f"save_params: form={form!r} contradicts the {implied!r}-implying "
+            f"extension of {path!r}; load_params(path) will misread it unless "
+            f"called with form={form!r}",
+            stacklevel=2,
         )
     if form == "mat":
         from mpes_spark.io.matlib import savemat
@@ -581,16 +596,33 @@ def save_params(params: dict, path: str, form: str | None = None) -> None:
         json.dump(enc(params), f)
 
 
-def load_params(path: str) -> dict:
-    if path.endswith(".mat"):
+def load_params(path: str, form: str | None = None) -> dict:
+    """Read back a ``save_params`` file. ``form`` overrides the
+    extension-based codec choice (``'json'``/``'mat'``/``'dmp'``) for
+    files written with a mismatched extension.
+
+    .. warning:: the ``'dmp'``/pickle branch executes arbitrary code
+       from the file — only load pickle files you wrote yourself
+       (same caveat as the reference's ``dio.load``)."""
+    if form is None:
+        form = (
+            "mat" if path.endswith(".mat")
+            else "dmp" if path.endswith((".dmp", ".dump", ".pkl"))
+            else "json"
+        )
+    elif form == "dump":
+        form = "dmp"
+    if form == "mat":
         from mpes_spark.io.matlib import loadmat
 
         return loadmat(path)
-    if path.endswith((".dmp", ".dump", ".pkl")):
+    if form == "dmp":
         import pickle
 
         with open(path, "rb") as f:
             return pickle.load(f)
+    if form != "json":
+        raise ValueError(f"unknown params form {form!r}")
 
     def dec(v):
         if isinstance(v, dict):

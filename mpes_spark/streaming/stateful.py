@@ -758,6 +758,16 @@ def sentence_span_ingest_sink(
                 .distinct()
                 .localCheckpoint(eager=True)
             ]
+            # flag audit gets the same generation compaction (r11,
+            # VERDICT r10 #9): one checkpointed union collapses the
+            # part list so its depth is bounded by compact_every over
+            # any soak length. NO distinct — flagged() is an audit
+            # log, and a re-delivered (doc, idx) must stay visible
+            # once per delivery.
+            if state["flag_parts"]:
+                state["flag_parts"] = [
+                    _union(state["flag_parts"]).localCheckpoint(eager=True)
+                ]
 
     def flagged() -> DataFrame | None:
         if not state["flag_parts"]:
@@ -777,6 +787,7 @@ def sentence_span_ingest_sink(
         )
         return {
             "span_parts": len(parts),
+            "flag_parts": len(state["flag_parts"]),
             "state_rows": rows,
             "distinct_spans": distinct,
             "batches": state["batches"],

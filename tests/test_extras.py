@@ -2672,3 +2672,58 @@ def test_mat_decode_stats_parity(spark):
     assert g.loc[g.doc_id == 3, "n_fields"].item() == 1
     assert g.loc[g.doc_id == 4, "n_fields"].item() == 2
     assert g.loc[g.doc_id == 2, "n_vars"].item() == 0
+
+
+def test_waved_execution_parity(spark):
+    """Waved execution (r11, the sf10 scratch-ceiling fix) is a
+    physical-plan choice and must be result-INVISIBLE: for each of
+    the three positioned-shingle-family operators, waves=3 returns
+    exactly the waves=1 row set — including pairs whose shared prefix
+    elements span several hash bands (found in multiple waves, then
+    collapsed by the union distinct)."""
+    from mpes_spark.extras.dedup import (
+        blocked_jaccard_pairs,
+        prefix_dual_pairs,
+        prefix_filtered_pairs,
+    )
+
+    rows = [
+        (1, "quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over the lazy cat"),
+        (3, "quick brown fox leaps over the lazy dog today"),
+        (4, "entirely different tokens appear here now"),
+        (5, "entirely different tokens appear here now"),
+        (6, "alpha beta gamma delta epsilon zeta preface filler words "
+            "surround the short document completely padding more terms"),
+        (7, "alpha beta gamma delta epsilon zeta"),
+        (8, "quick brown fox jumps over the lazy dog"),
+        (9, "unrelated corpus content matching no other doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(rs):
+        return sorted(tuple(r) for r in rs)
+
+    for n in (1, 3):
+        flat = prefix_filtered_pairs(docs, threshold=0.5, n=n).collect()
+        waved = prefix_filtered_pairs(
+            docs, threshold=0.5, n=n, waves=3
+        ).collect()
+        assert flat, f"fixture must pair (n={n})"
+        assert key(waved) == key(flat), f"prefix_filtered n={n}"
+
+    flat = prefix_dual_pairs(
+        docs, jaccard_threshold=0.5, containment_threshold=0.9, n=1
+    ).collect()
+    waved = prefix_dual_pairs(
+        docs, jaccard_threshold=0.5, containment_threshold=0.9, n=1, waves=3
+    ).collect()
+    assert flat and key(waved) == key(flat), "prefix_dual"
+
+    flat = blocked_jaccard_pairs(
+        docs, n=3, block_tokens=2, threshold=0.2
+    ).collect()
+    waved = blocked_jaccard_pairs(
+        docs, n=3, block_tokens=2, threshold=0.2, waves=3
+    ).collect()
+    assert flat and key(waved) == key(flat), "blocked_jaccard"

@@ -1370,3 +1370,41 @@ def test_sentence_span_ingest_sink_cross_batch_parity(spark, tmp_path):
     got_per_doc = Counter(d for d, _ in got)
     assert dict(got_per_doc) == want
     assert 1 not in got_per_doc  # first copy never retro-flagged
+
+
+def test_sentence_span_sink_flag_compaction_soak(spark):
+    """r11 (VERDICT r10 #9): the flag audit gets the same generation
+    compaction as the span state — under a 50-batch soak with
+    compact_every=10, BOTH part lists stay depth-bounded (pre-r11 the
+    flag_parts list grew one entry per batch, unbounded), and the
+    compacted audit is row-identical to the uncompacted one."""
+    from mpes_spark.streaming.stateful import sentence_span_ingest_sink
+
+    def batch_df(i):
+        # every 7th batch replants batch 0's passage -> cross-batch flags
+        base = (
+            "Repeat passage alpha. Repeat passage bravo. Repeat passage charlie."
+            if i % 7 == 0
+            else f"Unique lead {i} here. Unique mid {i} there. Unique tail {i} done."
+        )
+        return spark.createDataFrame(
+            [(i * 10, base + f" Batch {i} filler sentence. Another filler {i}.")],
+            "doc_id long, text string",
+        )
+
+    handle_c, flagged_c = sentence_span_ingest_sink(compact_every=10)
+    handle_u, flagged_u = sentence_span_ingest_sink(compact_every=None)
+    n = 50
+    for i in range(n):
+        df = batch_df(i)
+        handle_c(df, i)
+        handle_u(df, i)
+
+    sc, su = handle_c.state_stats(), handle_u.state_stats()
+    assert su["flag_parts"] > 10  # the pre-r11 failure mode, visible
+    assert sc["span_parts"] <= 10 and sc["flag_parts"] <= 10
+    assert sc["batches"] == su["batches"] == n
+    assert sc["distinct_spans"] == su["distinct_spans"]
+    got_c = sorted((r.doc_id, r.span_idx) for r in flagged_c().collect())
+    got_u = sorted((r.doc_id, r.span_idx) for r in flagged_u().collect())
+    assert got_c == got_u and got_c  # compaction is audit-invisible

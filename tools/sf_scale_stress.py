@@ -260,20 +260,44 @@ def gen_banded(out_dir: str, copies: int) -> None:
                     "text",
                     F.concat(F.col("text"), F.lit(f" replicavariant{i}")),
                 )
-            if tb == "embeddings" and i > 0 and "embedding" in df.columns:
+            if tb == "embeddings" and "embedding" in df.columns:
+                # r11 (VERDICT r10 #7): decade-BANDED vector cliques,
+                # the embedding analog of the text decade tokens. Per
+                # decade d = i//10 a deterministic per-dimension SIGN
+                # pattern flips the vector: norms and within-decade
+                # cosine structure are preserved exactly (so near-dup
+                # cliques stay 10-way), while cross-decade cosine of
+                # the same base vector becomes a near-zero random sum —
+                # LSH/IVF buckets do not merge across decades, and the
+                # sf10/sf1 ratio measures a pure 10x VOLUME decade at
+                # fixed clique size. Within-copy 1e-6 jitter on top
+                # keeps copies from being bit-identical.
+                dec = i // 10
                 c = c.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
-                        lambda v, j: v
-                        + (
-                            F.pmod(
-                                F.xxhash64(F.col("vec_id") * (j + 1) + F.lit(i)),
-                                F.lit(2001),
-                            ).cast("float")
-                            - F.lit(1000.0)
+                        lambda v, j: (
+                            v
+                            + (
+                                F.pmod(
+                                    F.xxhash64(
+                                        F.col("vec_id") * (j + 1) + F.lit(i)
+                                    ),
+                                    F.lit(2001),
+                                ).cast("float")
+                                - F.lit(1000.0)
+                            )
+                            * F.lit(1e-6)
                         )
-                        * F.lit(1e-6),
+                        * F.when(
+                            F.pmod(
+                                F.xxhash64(j * F.lit(7919) + F.lit(dec * 104729)),
+                                F.lit(2),
+                            )
+                            == 0,
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0)).cast("float"),
                     ),
                 )
             parts.append(c)
@@ -301,7 +325,25 @@ def _gc_stats(spark) -> tuple[int, int]:
     return n, t
 
 
-def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 2, reps10: int = 1, skip10: tuple = ()) -> None:
+# r11 (VERDICT r10 #7): the ANN/embedding family's second decade —
+# banded vector cliques (decade sign patterns, see gen_banded) so the
+# 100 TB similarity-search claim rests on two measured decades like
+# the graph/dedup families. topk_cosine is output-fixed (global top-k);
+# the rest are output-sensitive (judged on t/out).
+QUERIES_DECADE_ANN = [
+    "exact_dedup_count",   # linear anchor
+    "hist_2d",             # linear anchor
+    "topk_cosine",
+    "ann_lsh_cosine",
+    "ivf_ann_fullprobe",
+    "ivfpq_ann_cosine",
+    "embed_neardup_banded",
+    "semantic_dedup",
+    "contrastive_mining_ann",
+]
+
+
+def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 2, reps10: int = 1, skip10: tuple = (), qlist: list | None = None, out_json: str = "/tmp/sf_decade_stress.json") -> None:
     """Time QUERIES_DECADE at banded sf1 and sf10; record per-query
     time ratio, OUTPUT-row ratio (output-sensitive joins are judged on
     time-per-output-unit), and GC count/millis deltas. reps=2 by
@@ -311,13 +353,14 @@ def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 2, reps10: int = 1, skip
     from __spark_entry__ import queries
 
     q = queries()
+    qlist = qlist or QUERIES_DECADE
     results: dict[str, dict] = {}
     for tag, sf_dir in (("sf1", sf1_dir), ("sf10", sf10_dir)):
         spark = _session(tag)
         spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000).groupBy(
         ).count().collect()
         n_reps = reps if tag == "sf1" else reps10
-        for name in QUERIES_DECADE:
+        for name in qlist:
             if tag == "sf10" and name in skip10:
                 print(f"sf10 {name}: SKIPPED (wall-clock budget; see "
                       "SCALING.md r10 decade notes)", flush=True)
@@ -349,7 +392,7 @@ def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 2, reps10: int = 1, skip
     )
     print(hdr)
     doc = {}
-    for name in QUERIES_DECADE:
+    for name in qlist:
         r = results[name]
         if "sf10" not in r:
             doc[name] = {**r, "verdict": "SKIPPED_SF10"}
@@ -367,9 +410,111 @@ def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 2, reps10: int = 1, skip
             f"{name:24s} {r['sf1']:8.2f} {r['sf10']:8.2f} {tr:8.2f} "
             f"{orat:9.2f} {per_out:8.2f}  {verdict}"
         )
-    with open("/tmp/sf_decade_stress.json", "w") as fh:
+    with open(out_json, "w") as fh:
         json.dump(doc, fh, indent=1)
-    print("\nwrote /tmp/sf_decade_stress.json")
+    print(f"\nwrote {out_json}")
+
+
+def run_waved(sf10_dir: str, sf1_dir: str | None, waves: int = 8) -> None:
+    """r11 (VERDICT r10 #3): waved execution of the positioned-shingle
+    family at banded sf10 — the configuration whose UN-waved plan hit
+    the 78 GB scratch wall in r10 (SCALING.md "the scratch ceiling").
+    Runs prefix_filtered_pairs / prefix_dual_pairs / the dedup_clusters
+    pair stage with ``waves`` hash bands, recording wall time, output
+    rows, and peak scratch usage (sampled from the local dirs). If
+    ``sf1_dir`` is given, first proves result parity at sf1: waved
+    row-multiset == un-waved row-multiset."""
+    import glob as _glob
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from mpes_spark.extras.dedup import (
+        blocked_jaccard_pairs,
+        prefix_dual_pairs,
+        prefix_filtered_pairs,
+    )
+
+    def _docs(spark, d):
+        return spark.read.parquet(f"{d}/documents.parquet")
+
+    def _scratch_bytes() -> int:
+        # Spark local dirs default under /tmp: blockmgr + spark-* dirs
+        tot = 0
+        for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
+            for root in _glob.glob(pat):
+                for dirpath, _dirs, files in os.walk(root):
+                    for f in files:
+                        try:
+                            tot += os.path.getsize(os.path.join(dirpath, f))
+                        except OSError:
+                            pass
+        return tot
+
+    doc: dict = {"waves": waves}
+    spark = _session("waved")
+    if sf1_dir:
+        for label, fn in (
+            ("prefix", lambda d, w: prefix_filtered_pairs(
+                d, threshold=0.7, n=3, waves=w)),
+            ("dual", lambda d, w: prefix_dual_pairs(
+                d, jaccard_threshold=0.7, containment_threshold=0.9, n=3,
+                waves=w)),
+            ("blocked", lambda d, w: blocked_jaccard_pairs(
+                d, n=3, block_tokens=2, threshold=0.2, waves=w)),
+        ):
+            d = _docs(spark, sf1_dir)
+            flat = sorted(map(tuple, fn(d, 1).collect()))
+            wav = sorted(map(tuple, fn(d, waves).collect()))
+            ok = flat == wav
+            doc[f"sf1_parity_{label}"] = {"rows": len(flat), "equal": ok}
+            print(f"sf1 parity {label}: rows={len(flat)} equal={ok}", flush=True)
+            assert ok, f"waved parity broken for {label}"
+
+    peak = {"v": 0}
+    stop = threading.Event()
+
+    def _sampler():
+        while not stop.is_set():
+            peak["v"] = max(peak["v"], _scratch_bytes())
+            stop.wait(5.0)
+
+    for label, fn in (
+        ("prefix", lambda d, w: prefix_filtered_pairs(
+            d, threshold=0.7, n=3, waves=w)),
+        ("dual", lambda d, w: prefix_dual_pairs(
+            d, jaccard_threshold=0.7, containment_threshold=0.9, n=3,
+            waves=w)),
+        ("blocked", lambda d, w: blocked_jaccard_pairs(
+            d, n=3, block_tokens=2, threshold=0.2, waves=w)),
+    ):
+        peak["v"] = 0
+        stop.clear()
+        th = threading.Thread(target=_sampler, daemon=True)
+        th.start()
+        t0 = time.perf_counter()
+        n = fn(_docs(spark, sf10_dir), waves).count()
+        dt = time.perf_counter() - t0
+        stop.set()
+        th.join()
+        doc[f"sf10_{label}"] = {
+            "sec": round(dt, 1),
+            "rows": n,
+            "peak_scratch_gb": round(peak["v"] / 1e9, 2),
+        }
+        print(
+            f"sf10 {label} waves={waves}: {dt:.1f}s rows={n} "
+            f"peak_scratch={peak['v']/1e9:.2f}GB",
+            flush=True,
+        )
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+        spark.sparkContext._jvm.System.gc()
+    spark.stop()
+    with open("/tmp/sf_waved.json", "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print("\nwrote /tmp/sf_waved.json")
 
 
 if __name__ == "__main__":
@@ -388,5 +533,13 @@ if __name__ == "__main__":
     elif mode == "run_decade":
         run_decade(out, sys.argv[3],
                    skip10=tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else ())
+    elif mode == "run_decade_ann":
+        run_decade(out, sys.argv[3],
+                   skip10=tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else (),
+                   qlist=QUERIES_DECADE_ANN,
+                   out_json="/tmp/sf_decade_ann.json")
+    elif mode == "run_waved":
+        run_waved(out, sys.argv[3] if len(sys.argv) > 3 else None,
+                  waves=int(sys.argv[4]) if len(sys.argv) > 4 else 8)
     else:
         raise SystemExit(f"unknown mode {mode}")
