@@ -210,6 +210,13 @@ def _run_suite(
 
     probe_times: dict[str, float] = {}
     for name, fn in _probes(sf_dir).items():
+        # Warm pass first (r11): the FIRST execution of a code path in
+        # a fresh JVM costs 3-4x its warm cost (JIT + Python worker
+        # pool spawn for the Arrow probe — measured in-session
+        # 2.89 -> 0.93 -> 0.73 s JVM trio, 3.39 -> 0.97 -> 0.52 s
+        # Arrow; SCALING.md r11). A single-shot cold probe measures
+        # warmup, not machine speed, and saturates the drift clamp.
+        fn(spark).collect()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark).collect()
@@ -303,8 +310,15 @@ def main() -> None:
         ]
         for n in names
     }
+    # min over reps, not median (r11): probes estimate machine
+    # CAPABILITY for drift rescaling, and shared-VM contention noise
+    # is one-sided (samples only ever sit ABOVE the capability floor —
+    # quiet-box minima reproduce historical bands while medians swing
+    # 1.5-2.5x; SCALING.md r11). The min is the stable capability
+    # statistic; query timings keep medians because the workload's
+    # realistic cost includes the noise.
     probe = {
-        n: round(statistics.median(p[n] for p in probe_reps), 4)
+        n: round(min(p[n] for p in probe_reps), 4)
         for n in probe_reps[0]
     }
 
