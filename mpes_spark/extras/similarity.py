@@ -985,6 +985,7 @@ def embedding_neardup_banded(
     threshold: float = 0.95,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_vectors: bool = False,
 ) -> DataFrame:
     """Banded hyperplane-LSH near-dup pairs — the same multi-band OR
     construction MinHash uses, applied to SRP sign bits. ``planes``
@@ -1045,6 +1046,19 @@ def embedding_neardup_banded(
     )
     va = c.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     vb = c.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    if broadcast_vectors:
+        # r11 (sf10 decade finding, SCALING.md): the verify join is
+        # candidate-volume-bound — shuffling ~bands*n^2/2^w candidate
+        # rows WITH attached vector payloads spills long before the
+        # vector table itself is large (measured 755 s at 103M
+        # candidates x 64 dims, banded sf10). When the vector relation
+        # fits executor memory (n * dim * 8 B — e.g. 200k x 64 =
+        # ~100 MB), broadcasting it turns both verify joins into
+        # map-side hash lookups and the candidate relation never
+        # shuffles at all. Opt-in because at true corpus scale the
+        # vector table outgrows the broadcast budget and AQE's
+        # size-based choice (the default path) is the right call.
+        va, vb = F.broadcast(va), F.broadcast(vb)
     cos = cosine_verify_udf()
     return (
         cand.join(va, "id_a")

@@ -415,6 +415,88 @@ def run_decade(sf1_dir: str, sf10_dir: str, reps: int = 2, reps10: int = 1, skip
     print(f"\nwrote {out_json}")
 
 
+def run_ann_scaled(sf1_dir: str, sf10_dir: str) -> None:
+    """r11: the banded-LSH decade at PRODUCTION sizing. The registry
+    query pins band width w=6 (64 buckets/band) — right at gate scale,
+    but expected candidate volume is bands * n^2 / 2^w, so a fixed w
+    is QUADRATIC under volume growth: at banded sf10 (200k vectors)
+    w=6 implies ~2.5e9 candidates and the query did not finish inside
+    10 minutes (measured, SCALING.md r11). The operator's own sizing
+    rule (`w >= log2(n / target_bucket_rows)`, similarity.py
+    docstring) prescribes w per scale; this probe applies it —
+    sf1(20k): w=6, sf10(200k): w=10 at ~300 rows/bucket — and records
+    the decade ratio for the banded pair join and the SemDeDup
+    reduction on top. Recall target is held by the band count (4)."""
+    import math
+
+    import numpy as np
+
+    from mpes_spark.extras import similarity as SIM
+    from pyspark.sql import functions as F
+
+    TARGET = 300
+    doc: dict = {}
+    for tag, sf_dir in (("sf1", sf1_dir), ("sf10", sf10_dir)):
+        spark = _session(f"ann_{tag}")
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = e.count()
+        w = max(4, math.ceil(math.log2(n / TARGET)))
+        planes = SIM.hyperplanes(dim=64, nplanes=4 * w, seed=11)
+        rec = {"n_vecs": n, "w": w, "bands": 4}
+        # default (AQE-decided) verify join, then the broadcast-vector
+        # variant — the sf10 finding: verify is candidate-shuffle-bound
+        for key, bcast in (("pairs_sec", False), ("pairs_bcast_sec", True)):
+            t0 = time.perf_counter()
+            pairs = SIM.embedding_neardup_banded(
+                e, planes, bands=4, threshold=0.4, broadcast_vectors=bcast
+            )
+            n_pairs = pairs.count()
+            rec[key] = round(time.perf_counter() - t0, 2)
+        rec["n_pairs"] = n_pairs
+        t0 = time.perf_counter()
+        pairs = SIM.embedding_neardup_banded(
+            e, planes, bands=4, threshold=0.4, broadcast_vectors=True
+        )
+        drops = pairs.select(F.col("id_b").alias("drop_id")).distinct()
+        # registry-shaped reduction: the agg REFERENCES the join's right
+        # side (n_dropped). A count() over the bare left join gets the
+        # whole pair pipeline ELIMINATED by Catalyst (left join with a
+        # unique right key + no right-side references -> join removed),
+        # which is exactly what silently happened to this probe's first
+        # draft — 5.7 s "semdedup" that never computed a pair.
+        surv = (
+            e.join(drops, e.vec_id == F.col("drop_id"), "left")
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n_vecs"),
+                F.sum(
+                    F.when(F.col("drop_id").isNotNull(), 1).otherwise(0)
+                ).alias("n_dropped"),
+            )
+            .collect()
+        )
+        rec["semdedup_sec"] = round(time.perf_counter() - t0, 2)
+        rec["n_labels"] = len(surv)
+        rec["n_dropped"] = int(sum(r["n_dropped"] for r in surv))
+        doc[tag] = rec
+        print(f"{tag}: {rec}", flush=True)
+        spark.stop()
+    doc["t_ratio_pairs"] = round(doc["sf10"]["pairs_sec"] / doc["sf1"]["pairs_sec"], 2)
+    doc["t_ratio_pairs_bcast"] = round(
+        doc["sf10"]["pairs_bcast_sec"] / doc["sf1"]["pairs_bcast_sec"], 2
+    )
+    doc["t_ratio_semdedup"] = round(
+        doc["sf10"]["semdedup_sec"] / doc["sf1"]["semdedup_sec"], 2
+    )
+    doc["out_ratio_pairs"] = round(
+        doc["sf10"]["n_pairs"] / max(doc["sf1"]["n_pairs"], 1), 2
+    )
+    with open("/tmp/sf_ann_scaled.json", "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps({k: v for k, v in doc.items() if not isinstance(v, dict)}))
+    print("\nwrote /tmp/sf_ann_scaled.json")
+
+
 def run_waved(sf10_dir: str, sf1_dir: str | None, waves: int = 8) -> None:
     """r11 (VERDICT r10 #3): waved execution of the positioned-shingle
     family at banded sf10 — the configuration whose UN-waved plan hit
@@ -538,6 +620,8 @@ if __name__ == "__main__":
                    skip10=tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else (),
                    qlist=QUERIES_DECADE_ANN,
                    out_json="/tmp/sf_decade_ann.json")
+    elif mode == "run_ann_scaled":
+        run_ann_scaled(out, sys.argv[3])
     elif mode == "run_waved":
         run_waved(out, sys.argv[3] if len(sys.argv) > 3 else None,
                   waves=int(sys.argv[4]) if len(sys.argv) > 4 else 8)
