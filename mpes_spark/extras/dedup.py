@@ -766,15 +766,33 @@ def prefix_filtered_pairs(
         if n == 1
         else shingle_table(df, text, n, id_col)
     )
+    # Prefix construction ranks on xxhash64(sh), not the string (r11,
+    # second half of the sf10 scratch fix): the ranking stage is the
+    # ONE remaining global sort of the ~40x element relation, and its
+    # spill is dominated by the shingle STRINGS (~50 B each vs the
+    # 8 B hash — measured: the string-keyed sort alone overflowed the
+    # sf10 box that the waved candidate stage had just fit).
+    # Output-IDENTICAL: prefix-filter completeness holds under ANY
+    # consistent global element order — (tdf, hash) is one — and the
+    # verify stage recomputes TRUE Jaccard from the string relation,
+    # so extra candidates (tiebreak differences, hash-collision
+    # collisions) cannot change the verified pairs. The one
+    # theoretical gap: two DISTINCT shingles colliding on xxhash64
+    # make the order a weak order at that key, and an inconsistent
+    # tie-resolution at both docs' prefix boundaries could drop a
+    # candidate — requires an exact 64-bit collision inside one
+    # corpus (~n^2/2^65 odds; zero at any feasible n), and the
+    # sf0.01 oracle gate verifies exactness empirically every round.
+    toksh = toks.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     # element df via agg + equi-join, NOT a sh-keyed window: a window
     # would buffer each shingle's whole partition — a ubiquitous
     # element at 100 TB is one giant buffered partition, while the
     # agg is map-side combined and the join AQE-skew-splittable
-    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
+    dfreq = toksh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
     w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
     wn = Window.partitionBy(id_col)
     prefix = (
-        toks.join(dfreq, "sh")
+        toksh.join(dfreq, "sh")
         # doc size rides the SAME doc-keyed exchange as the ranking
         # window (doc partitions are document-length-bounded — safe to
         # window, and it saves the separate sizes agg + join)
@@ -1005,13 +1023,17 @@ def prefix_dual_pairs(
         if n == 1
         else shingle_table(df, text, n, id_col)
     )
-    dfreq = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
+    # hash-keyed ranking/candidates, string-keyed verify — same
+    # scratch rationale and output-identity argument as
+    # prefix_filtered_pairs (r11)
+    toksh = toks.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    dfreq = toksh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
     w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
     wn = Window.partitionBy(id_col)
     # element df via agg + equi-join (NOT a sh-keyed window — see
     # prefix_filtered_pairs); doc size rides the doc-keyed exchange
     enriched = (
-        toks.join(dfreq, "sh")
+        toksh.join(dfreq, "sh")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("nsz", F.count(F.lit(1)).over(wn))
         .filter(F.col("tdf") >= 2)  # df=1 elements collide with nobody

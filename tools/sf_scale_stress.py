@@ -497,7 +497,7 @@ def run_ann_scaled(sf1_dir: str, sf10_dir: str) -> None:
     print("\nwrote /tmp/sf_ann_scaled.json")
 
 
-def run_waved(sf10_dir: str, sf1_dir: str | None, waves: int = 8) -> None:
+def run_waved(sf10_dir: str, sf1_dir: str | None, waves: int = 8, ops: tuple = ("prefix", "dual", "blocked")) -> None:
     """r11 (VERDICT r10 #3): waved execution of the positioned-shingle
     family at banded sf10 — the configuration whose UN-waved plan hit
     the 78 GB scratch wall in r10 (SCALING.md "the scratch ceiling").
@@ -570,6 +570,8 @@ def run_waved(sf10_dir: str, sf1_dir: str | None, waves: int = 8) -> None:
         ("blocked", lambda d, w: blocked_jaccard_pairs(
             d, n=3, block_tokens=2, threshold=0.2, waves=w)),
     ):
+        if label not in ops:
+            continue
         peak["v"] = 0
         stop.clear()
         th = threading.Thread(target=_sampler, daemon=True)
@@ -623,7 +625,9 @@ if __name__ == "__main__":
     elif mode == "run_ann_scaled":
         run_ann_scaled(out, sys.argv[3])
     elif mode == "run_waved":
-        run_waved(out, sys.argv[3] if len(sys.argv) > 3 else None,
-                  waves=int(sys.argv[4]) if len(sys.argv) > 4 else 8)
+        run_waved(out,
+                  (sys.argv[3] or None) if len(sys.argv) > 3 and sys.argv[3] != "-" else None,
+                  waves=int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+                  ops=tuple(sys.argv[5].split(",")) if len(sys.argv) > 5 else ("prefix", "dual", "blocked"))
     else:
         raise SystemExit(f"unknown mode {mode}")
