@@ -466,15 +466,18 @@ def blocked_jaccard_pairs(
 
     if waves <= 1:
         return verify_jaccard(_cand(blocks), sh, threshold, id_col)
+    shh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     parts: list[DataFrame] = []
     for i in range(waves):
         cand = _cand(blocks.filter(_wave_band("bk", waves, i))).localCheckpoint(
             eager=True
         )
-        sh_w = _wave_doc_filter(sh, cand, id_col)
+        # hashed-element verify in waves (see prefix_filtered_pairs)
+        sh_w = _wave_doc_filter(shh, cand, id_col)
         parts.append(
-            verify_jaccard(cand, sh_w, threshold, id_col)
-            .localCheckpoint(eager=True)
+            verify_jaccard(
+                cand, sh_w, threshold, id_col, broadcast_pairs=True
+            ).localCheckpoint(eager=True)
         )
     out = parts[0]
     for p in parts[1:]:
@@ -849,10 +852,20 @@ def prefix_filtered_pairs(
             # shuffle is released before wave i+1 plans
             .localCheckpoint(eager=True)
         )
-        toks_w = _wave_doc_filter(toks, cand, id_col)
+        # Waved verify runs on the HASHED element relation with the
+        # (wave-bounded, id-pair-only) candidates broadcast (r11 fix
+        # ladder (a)+(c), SCALING.md): the sa side then never
+        # shuffles, and the per-wave element shuffle carries 16 B
+        # rows instead of ~60 B strings. icnt/nsh by hash equal the
+        # string counts except under an exact 64-bit collision
+        # (~1e-13/pair; the sf0.01 oracle gate checks exactness
+        # empirically). The waves=1 gate path stays string-keyed,
+        # exact by construction.
+        toks_w = _wave_doc_filter(toksh, cand, id_col)
         parts.append(
-            verify_jaccard(cand, toks_w, threshold, id_col)
-            .localCheckpoint(eager=True)
+            verify_jaccard(
+                cand, toks_w, threshold, id_col, broadcast_pairs=True
+            ).localCheckpoint(eager=True)
         )
     out = parts[0]
     for p in parts[1:]:
@@ -1077,7 +1090,8 @@ def prefix_dual_pairs(
         cand = _cand(prefix.filter(_wave_band("sh", waves, i))).localCheckpoint(
             eager=True
         )
-        toks_w = _wave_doc_filter(toks, cand, id_col)
+        # hashed-element verify in waves (see prefix_filtered_pairs)
+        toks_w = _wave_doc_filter(toksh, cand, id_col)
         parts.append(
             _dual_verify(
                 cand, toks_w, jaccard_threshold, containment_threshold,
