@@ -479,6 +479,7 @@ def blocked_jaccard_pairs(
                 cand, sh_w, threshold, id_col, broadcast_pairs=True
             ).localCheckpoint(eager=True)
         )
+        _wave_gc(cand)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -697,6 +698,20 @@ def _wave_band(col: str, waves: int, i: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(waves)) == i
 
 
+def _wave_gc(df: DataFrame) -> None:
+    """Nudge the JVM between waves so the previous wave's shuffle
+    files are actually reclaimed before the next wave writes its own.
+    ContextCleaner releases a shuffle only after the JVM garbage-
+    collects its unreferenced RDDs — under a busy driver that lags by
+    several waves, and the waves' whole point is that at most ONE
+    wave's scratch is live at a time (measured: waves accumulated to
+    ENOSPC without this, while per-wave volume alone fit)."""
+    try:
+        df.sparkSession.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - Connect mode has no _jvm; best-effort
+        pass
+
+
 def _wave_doc_filter(toks: DataFrame, cand: DataFrame, id_col: str) -> DataFrame:
     """Restrict an element relation to the docs a candidate wave
     touches — broadcast semi-join on the (candidate-bounded, small)
@@ -794,28 +809,56 @@ def prefix_filtered_pairs(
     dfreq = toksh.groupBy("sh").agg(F.count(F.lit(1)).alias("tdf"))
     w = Window.partitionBy(id_col).orderBy(F.col("tdf").asc(), F.col("sh"))
     wn = Window.partitionBy(id_col)
-    prefix = (
-        toksh.join(dfreq, "sh")
-        # doc size rides the SAME doc-keyed exchange as the ranking
-        # window (doc partitions are document-length-bounded — safe to
-        # window, and it saves the separate sizes agg + join)
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .filter(
-            F.col("rn")
-            <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+
+    def _rank(el: DataFrame, df_rel: DataFrame) -> DataFrame:
+        return (
+            el.join(df_rel, "sh")
+            # doc size rides the SAME doc-keyed exchange as the
+            # ranking window (doc partitions are document-length-
+            # bounded — safe to window, and it saves the separate
+            # sizes agg + join)
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(
+                F.col("rn")
+                <= F.col("n") - F.ceil(F.col("n") * F.lit(threshold)) + 1
+            )
+            # df=1 elements collide with nobody — dropping them from
+            # the candidate join loses no pair (a match needs a SHARED
+            # prefix element) and removes every singleton join key;
+            # with a long rare tail that is most of the prefix relation
+            .filter(F.col("tdf") >= 2)
+            .select(F.col(id_col), "sh")
         )
-        # df=1 elements collide with nobody — dropping them from the
-        # candidate join loses no pair (a match needs a SHARED prefix
-        # element) and removes every singleton join key; with a long
-        # rare tail that is most of the prefix relation
-        .filter(F.col("tdf") >= 2)
-        .select(F.col(id_col), "sh")
+
+    if waves > 1:
+        # Doc-banded prefix CONSTRUCTION (r11, the final sf10 scratch
+        # layer): the monolithic df-join + doc-keyed rank over the
+        # full element relation was itself ~the box's scratch budget
+        # (measured: runs died in these stages with every later stage
+        # already waved). Ranking is per-doc independent, so it bands
+        # by doc id with zero semantic effect; only the element-df
+        # relation is global, and it is aggregated ONCE and pinned as
+        # (small, distinct-element-bounded) checkpoint blocks that
+        # each band re-shuffles instead of re-aggregating. Peak
+        # scratch: max(one df aggregation, one band's join + sort).
+        dfreq = dfreq.localCheckpoint(eager=True)
+        pfx_parts = []
+        for j in range(waves):
+            pfx_parts.append(
+                _rank(
+                    toksh.filter(_wave_band(id_col, waves, j)), dfreq
+                ).localCheckpoint(eager=True)
+            )
+            _wave_gc(toksh)
+        prefix = pfx_parts[0]
+        for p in pfx_parts[1:]:
+            prefix = prefix.union(p)
+    else:
         # consumed as BOTH sides of the candidate self-join — persist,
         # or the df-join + both windows execute twice (plan showed 4
         # Window ops before, 2 after)
-        .persist()
-    )
+        prefix = _rank(toksh, dfreq).persist()
     if waves <= 1:
         a = prefix.select(F.col(id_col).alias("id_a"), "sh")
         b = prefix.select(F.col(id_col).alias("id_b"), "sh")
@@ -867,6 +910,7 @@ def prefix_filtered_pairs(
                 cand, toks_w, threshold, id_col, broadcast_pairs=True
             ).localCheckpoint(eager=True)
         )
+        _wave_gc(cand)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -1098,6 +1142,7 @@ def prefix_dual_pairs(
                 id_col,
             ).localCheckpoint(eager=True)
         )
+        _wave_gc(cand)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
