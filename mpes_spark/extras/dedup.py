@@ -31,6 +31,8 @@ All stages are DataFrame ops / Spark SQL — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -705,9 +707,41 @@ def _wave_gc(df: DataFrame) -> None:
     collects its unreferenced RDDs — under a busy driver that lags by
     several waves, and the waves' whole point is that at most ONE
     wave's scratch is live at a time (measured: waves accumulated to
-    ENOSPC without this, while per-wave volume alone fit)."""
+    ENOSPC without this, while per-wave volume alone fit).
+
+    Fires only under actual scratch PRESSURE (r11 re-measure): a
+    forced full GC is pure pause time when the scratch volume has
+    headroom — at gate scale (sf0.1, megabytes of wave scratch) the
+    6 per-execution nudges cost 2.4 s of neardup_prefix_waved's
+    14.5 s median while reclaiming nothing that matters. Pressure
+    test, both terms workload-scaled and env-tunable: free scratch
+    below an absolute floor (``MPES_WAVE_GC_FREE_GB``, default 32 —
+    below this, the next wave can plausibly ENOSPC regardless of
+    workload), or below ``MPES_WAVE_GC_HEADROOM`` (default 4) times
+    the LIVE pinned-block bytes, the direct measure of this
+    workload's per-wave scratch magnitude (the sf10 campaign's
+    67 GB-free box with tens-of-GB waves fires immediately under
+    either term; a TB-scratch cluster with the same waves skips
+    until headroom genuinely thins)."""
     try:
-        df.sparkSession.sparkContext._jvm.System.gc()
+        sc = df.sparkSession.sparkContext
+        import shutil
+
+        local = (
+            sc._conf.get("spark.local.dir", None)
+            or os.environ.get("SPARK_LOCAL_DIRS")
+            or "/tmp"
+        )
+        free = shutil.disk_usage(local.split(",")[0]).free
+        floor = float(os.environ.get("MPES_WAVE_GC_FREE_GB", "32")) * 1e9
+        headroom = float(os.environ.get("MPES_WAVE_GC_HEADROOM", "4"))
+        live = sum(
+            r.diskSize() + r.memSize()
+            for r in sc._jsc.sc().getRDDStorageInfo()
+        )
+        if free > max(floor, headroom * live):
+            return
+        sc._jvm.System.gc()
     except Exception:  # noqa: BLE001 - Connect mode has no _jvm; best-effort
         pass
 

@@ -226,6 +226,28 @@ class CorpusPipeline:
         )
         return self._wrap(self.df.join(bad, self.id_col, "left_anti"))
 
+    # -- stage-boundary materialization -----------------------------------
+
+    def pin(self) -> "CorpusPipeline":
+        """Materialization point (r11, guide §2/§5): persist the
+        current stage's output before a stage that consumes it MORE
+        THAN ONCE. Every dedup/sample stage built on the
+        ids-then-semi-join idiom (the shape that keeps full-width rows
+        out of group-keyed exchanges at 100 TB) references ``self.df``
+        on BOTH sides of its join, so an unpinned k-stage chain
+        re-executes its upstream per join side (measured: the 3-stage
+        corpus_recipe_e2e plan scanned the corpus 8x; with two pins
+        2.29 s -> 1.51 s median, 2.17 -> 1.38 s min, 3 cold sf0.1
+        reps). At 100 TB this is exactly where a recipe would write a
+        stage boundary to storage; in-session, MEMORY_AND_DISK
+        persistence is the same decision. NOT automatic: pinning a
+        stage consumed once (or one whose recompute is a stateless
+        scan) measured SLOWER than recompute elsewhere in this round
+        (perplexity_bucket_assignments, cluster_safe_splits —
+        OPTIMIZATION_r11.md), so the caller chooses. The caller also
+        owns the unpersist (or session teardown)."""
+        return self._wrap(self.df.persist())
+
     # -- sampling / sharding ----------------------------------------------
 
     def sample_quota(self, quota: int, group: str = "source") -> "CorpusPipeline":

@@ -1974,7 +1974,15 @@ def corpus_recipe_e2e(spark, sf_dir):
     return (
         CorpusPipeline(_docs(spark, sf_dir))
         .quality_filter()
+        # pin the two multiply-consumed stage boundaries (r11): the
+        # dedup and sample stages each reference their input on both
+        # sides of an ids-semi-join, so the unpinned chain re-ran the
+        # quality scan 4x (8 parquet-scan nodes in the before plan;
+        # pinned, each boundary computes once and later references
+        # read the cache — measured 2.29 -> 1.51 s, CorpusPipeline.pin)
+        .pin()
         .dedup_exact()
+        .pin()
         .sample_quota(20, "source")
         .df.select("doc_id", "source")
     )

@@ -509,6 +509,36 @@ def test_corpus_pipeline_end_to_end(spark):
     )
 
 
+def test_corpus_pipeline_pin_identity(spark):
+    """pin() is a pure materialization point: the pinned chain must
+    return EXACTLY the rows of the unpinned chain (r11 — the
+    corpus_recipe_e2e gate runs the pinned form, so result-identity
+    with the lazy form is the optimization's safety contract)."""
+    from mpes_spark.extras.pipeline import CorpusPipeline
+
+    d = _docs(spark)
+    base = (
+        CorpusPipeline(d)
+        .quality_filter()
+        .dedup_exact()
+        .sample_quota(5, "source")
+        .df.select("doc_id", "source")
+    )
+    pinned = (
+        CorpusPipeline(d)
+        .quality_filter()
+        .pin()
+        .dedup_exact()
+        .pin()
+        .sample_quota(5, "source")
+        .df.select("doc_id", "source")
+    )
+    rows_a = sorted((r.doc_id, r.source) for r in base.collect())
+    rows_b = sorted((r.doc_id, r.source) for r in pinned.collect())
+    assert rows_a == rows_b and rows_a
+    spark.catalog.clearCache()
+
+
 def test_corpus_pipeline_redact_and_lang(spark):
     from mpes_spark.extras.pipeline import CorpusPipeline
 
@@ -2672,6 +2702,40 @@ def test_mat_decode_stats_parity(spark):
     assert g.loc[g.doc_id == 3, "n_fields"].item() == 1
     assert g.loc[g.doc_id == 4, "n_fields"].item() == 2
     assert g.loc[g.doc_id == 2, "n_vars"].item() == 0
+
+
+def test_wave_gc_pressure_gated(spark):
+    """_wave_gc fires only under scratch pressure (r11): with ample
+    free scratch it must return without a JVM full GC (the 6 forced
+    GCs cost 2.4 s/execution at gate scale), and under a forced
+    pressure threshold it must still complete (the gc path)."""
+    import os
+    import time
+
+    from mpes_spark.extras.dedup import _wave_gc
+
+    df = spark.range(10)
+    old = os.environ.get("MPES_WAVE_GC_FREE_GB")
+    try:
+        os.environ["MPES_WAVE_GC_FREE_GB"] = "0.000001"
+        t0 = time.perf_counter()
+        _wave_gc(df)
+        skip_ms = (time.perf_counter() - t0) * 1000
+        os.environ["MPES_WAVE_GC_FREE_GB"] = "1000000"
+        t0 = time.perf_counter()
+        _wave_gc(df)  # gc path must not raise
+        gc_ms = (time.perf_counter() - t0) * 1000
+        # the skip path must not have paid a full GC (forced major
+        # GCs on the test JVM measure ~100 ms+; the skip path is a
+        # disk_usage + storage-info read). Bound is relative to the
+        # measured gc path so a loaded box inflates both sides
+        # instead of false-failing the absolute check.
+        assert skip_ms < max(50.0, gc_ms)
+    finally:
+        if old is None:
+            os.environ.pop("MPES_WAVE_GC_FREE_GB", None)
+        else:
+            os.environ["MPES_WAVE_GC_FREE_GB"] = old
 
 
 def test_waved_execution_parity(spark):
