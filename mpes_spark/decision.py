@@ -736,31 +736,36 @@ def blame_single_return_supplier(spark, sf_dir):
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     # two-level aggregation instead of the EXPAND-based double
-    # countDistinct: the (orderkey, suppkey) rollup is the dedup, the
-    # orderkey rollup rides its exchange, and the blame filter is a
-    # plain join back to the pair relation (already unique) — at
+    # countDistinct: the (orderkey, suppkey) rollup is the dedup — at
     # sf0.1 this cut the query from 20.3s to ~4s warm (no Expand,
-    # no post-join distinct)
+    # no post-join distinct). The order-level counts then come from a
+    # WINDOW over the pair relation (r11, guide §2.4): the previous
+    # per-order rollup + semi-join consumed per_pair TWICE, so the
+    # lineitem scan + pair aggregation re-executed per consumer (2
+    # parquet scans of lineitem in the before plan, 1 after); the
+    # window needs one orderkey exchange and its partitions are
+    # bounded by suppliers-per-order. Isolated A/B at sf0.1: median
+    # 2.14 -> 1.85 s, floor 1.93 -> 1.80 s.
+    from pyspark.sql.window import Window as W
+
     per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(
             F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
         ).alias("has_r")
     )
-    per_order = per_pair.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_supp"),
-        F.sum("has_r").cast("bigint").alias("n_r_supp"),
+    wo = W.partitionBy("l_orderkey")
+    blamed = (
+        per_pair.withColumn("n_supp", F.count(F.lit(1)).over(wo))
+        .withColumn("n_r_supp", F.sum("has_r").over(wo))
+        .filter(
+            (F.col("has_r") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_r_supp") == 1)
+        )
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_pair.filter(F.col("has_r") == 1)
-        .join(
-            per_order.filter(
-                (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
-            ).select("l_orderkey"),
-            "l_orderkey",
-            "left_semi",
-        )
-        .join(F.broadcast(s), per_pair.l_suppkey == s.s_suppkey)
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )

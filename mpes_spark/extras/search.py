@@ -1159,38 +1159,42 @@ def rouge_n(
     scores its clip, not its count). The generated-data eval loop:
     distillation filtering, paraphrase QA, summary grading.
 
-    Plan: each side explodes to (pair, gram, cnt) via one count agg;
-    clipped overlap is one inner equi-join on (pair, gram) + a
-    least() sum; totals ride the same gram aggs. Everything is
-    integer until the final rounded ratios, so the oracle gate is
-    exact. Pairs where either side has < n tokens vanish (no gram
-    rows -> inner join drops them) — identically in both engines."""
+    Plan (r11, guide §2.4 — one tagged pass instead of four): both
+    sides' grams explode ONCE (ref grams tagged (1,0), cand grams
+    (0,1)); one (pair, gram) aggregation yields both per-gram counts,
+    and one pair-keyed aggregation yields the clipped overlap AND
+    both totals (sum of grouped counts == side total). Identical
+    integers: one-sided grams contribute least(c, 0) = 0 exactly as
+    the old inner join excluded them, and the total >= 1 filters
+    reproduce the old row set (the tot_r ⋈ tot_c inner join kept a
+    pair iff BOTH sides produced >= 1 gram) — pairs where either
+    side has < n tokens vanish, identically in both engines."""
     from mpes_spark.extras.text import word_ngrams_expr
 
-    def gram_counts(col: str, side: str) -> DataFrame:
-        return (
-            pairs.select(
-                F.col(pair_id),
-                F.explode(word_ngrams_expr(n, col)).alias("g"),
-            )
-            .groupBy(pair_id, "g")
-            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
-        )
-
-    rc = gram_counts(ref, "ref")
-    cc = gram_counts(cand, "cand")
-    per_gram = rc.join(cc, [pair_id, "g"]).select(
-        pair_id, F.least("c_ref", "c_cand").alias("clip")
+    tag = lambda col, r, c: F.transform(  # noqa: E731
+        F.coalesce(word_ngrams_expr(n, col), F.array()),
+        lambda g: F.struct(
+            g.alias("g"), F.lit(r).alias("r"), F.lit(c).alias("c")
+        ),
     )
-    overlap = per_gram.groupBy(pair_id).agg(F.sum("clip").alias("overlap"))
-    tot_r = rc.groupBy(pair_id).agg(F.sum("c_ref").alias("total_ref"))
-    tot_c = cc.groupBy(pair_id).agg(F.sum("c_cand").alias("total_cand"))
+    both = pairs.select(
+        F.col(pair_id),
+        F.explode(F.concat(tag(ref, 1, 0), tag(cand, 0, 1))).alias("t"),
+    )
+    cnt = both.groupBy(pair_id, "t.g").agg(
+        F.sum("t.r").alias("c_ref"), F.sum("t.c").alias("c_cand")
+    )
     scored = (
-        tot_r.join(tot_c, pair_id)
-        .join(overlap, pair_id, "left")
+        cnt.groupBy(pair_id)
+        .agg(
+            F.sum(F.least("c_ref", "c_cand")).alias("overlap"),
+            F.sum("c_ref").alias("total_ref"),
+            F.sum("c_cand").alias("total_cand"),
+        )
+        .filter((F.col("total_ref") >= 1) & (F.col("total_cand") >= 1))
         .select(
             pair_id,
-            F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+            F.col("overlap").cast("bigint").alias("overlap"),
             F.col("total_ref").cast("bigint").alias("total_ref"),
             F.col("total_cand").cast("bigint").alias("total_cand"),
         )
@@ -1283,36 +1287,46 @@ def bleu2(
     (or a candidate shorter than 2 tokens) scores bleu2 = 0 — the
     standard unsmoothed convention, identical in both engines.
 
-    Plan: two (pair, gram, cnt) count aggs per n, clipped overlap via
-    one equi-join each — four key-partitioned aggs and two joins, all
-    on (pair_id, gram); no driver state, no all-pairs anywhere.
+    Plan (r11, guide §2.4 — one pass per n instead of three): both
+    sides' grams explode in a SINGLE tagged pass (ref grams carry
+    (1,0), cand grams (0,1)), so per-gram counts for both sides come
+    out of ONE (pair_id, gram) aggregation, and the clipped overlap
+    AND the candidate total come out of ONE pair-keyed aggregation —
+    no rc⋈cc join, no separate tot pass (sum of grouped counts ==
+    total grams). Identical integers: ref-only grams contribute
+    least(c_ref, 0) = 0 exactly as the old inner join excluded them,
+    and the tot >= 1 filter reproduces the old row set (a pair row
+    existed iff the candidate produced >= 1 gram).
     """
     from mpes_spark.extras.similarity import _pround6
     from mpes_spark.extras.text import word_ngrams_expr
 
-    def side_counts(col: str, n: int, side: str) -> DataFrame:
-        return (
-            pairs.select(
-                F.col(pair_id),
-                F.explode(word_ngrams_expr(n, col)).alias("g"),
-            )
-            .groupBy(pair_id, "g")
-            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
-        )
-
     def clipped(n: int) -> DataFrame:
-        rc = side_counts(ref, n, "ref")
-        cc = side_counts(cand, n, "cand")
-        ov = (
-            rc.join(cc, [pair_id, "g"])
-            .groupBy(pair_id)
-            .agg(F.sum(F.least("c_ref", "c_cand")).alias(f"ov{n}"))
+        tag = lambda col, r, c: F.transform(  # noqa: E731
+            F.coalesce(word_ngrams_expr(n, col), F.array()),
+            lambda g: F.struct(
+                g.alias("g"), F.lit(r).alias("r"), F.lit(c).alias("c")
+            ),
         )
-        tot = cc.groupBy(pair_id).agg(F.sum("c_cand").alias(f"tot{n}"))
-        return tot.join(ov, pair_id, "left").select(
-            pair_id,
-            F.coalesce(f"ov{n}", F.lit(0)).cast("bigint").alias(f"ov{n}"),
-            F.col(f"tot{n}").cast("bigint").alias(f"tot{n}"),
+        both = pairs.select(
+            F.col(pair_id),
+            F.explode(F.concat(tag(ref, 1, 0), tag(cand, 0, 1))).alias("t"),
+        )
+        cnt = both.groupBy(pair_id, "t.g").agg(
+            F.sum("t.r").alias("c_ref"), F.sum("t.c").alias("c_cand")
+        )
+        return (
+            cnt.groupBy(pair_id)
+            .agg(
+                F.sum(F.least("c_ref", "c_cand")).alias(f"ov{n}"),
+                F.sum("c_cand").alias(f"tot{n}"),
+            )
+            .filter(F.col(f"tot{n}") >= 1)
+            .select(
+                pair_id,
+                F.col(f"ov{n}").cast("bigint").alias(f"ov{n}"),
+                F.col(f"tot{n}").cast("bigint").alias(f"tot{n}"),
+            )
         )
 
     lens = pairs.select(
