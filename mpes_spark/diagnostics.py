@@ -160,14 +160,26 @@ def psi_drift(
     produce log(0)/div-0), and each row reports
     ``(bin, p_base, p_cur, psi_term)`` with ``psi = sum(psi_term)``.
 
-    Scale shape: one bounded aggregation per side (map-side combined,
-    nbins+1 output rows each), a broadcast-sized join on bin id, and
-    pure column math — monitoring a 100 TB snapshot pair costs two
-    column scans. Shares and terms are rounded (9/6) so the DuckDB
-    twin hash-matches."""
+    Scale shape: ONE bounded aggregation per side (map-side combined,
+    nbins+1 output rows each) — each side's total and smoothed floor
+    ride a whole-relation window over that (<= nbins+1)-row aggregate
+    instead of a second pass (r11, guide §2.4: the old shape consumed
+    each side's bin-count relation twice — shares + totals — and ran
+    two extra eager ``count()`` scans for the floors, so each snapshot
+    was scanned 3x) — then a broadcast-sized join on bin id and pure
+    column math: monitoring a 100 TB snapshot pair costs two column
+    scans, one per side. The floors are the same IEEE-754 doubles the
+    driver-side computation produced (sum-of-integer-counts is exact,
+    and the expression tree is operation-for-operation identical), so
+    shares and terms round (9/6) to the same hashes the DuckDB twin
+    checks."""
     if nbins <= 0 or hi <= lo:
         raise ValueError("need nbins > 0 and hi > lo")
+    from pyspark.sql.window import Window
+
     step = (hi - lo) / nbins
+    denom_add = F.lit(smoothing) * (nbins + 1)
+    wall = Window.partitionBy()  # whole-relation: <= nbins+1 rows/side
 
     def side(df: DataFrame, name: str) -> DataFrame:
         x = F.col(col)
@@ -178,28 +190,29 @@ def psi_drift(
         cnt = df.filter(x.isNotNull()).groupBy(b.alias("bin")).agg(
             F.count(F.lit(1)).cast("double").alias("cnt")
         )
-        tot = cnt.agg(
-            F.sum("cnt").alias("tot"), F.count(F.lit(1)).alias("nb")
-        )
-        return cnt.crossJoin(F.broadcast(tot)).select(
+        tot = F.sum("cnt").over(wall)
+        return cnt.select(
             "bin",
-            (
-                (F.col("cnt") + F.lit(smoothing))
-                / (F.col("tot") + F.lit(smoothing) * (nbins + 1))
-            ).alias(name),
+            ((F.col("cnt") + F.lit(smoothing)) / (tot + denom_add)).alias(
+                name
+            ),
+            tot.alias(f"_tot_{name}"),
         )
 
     p = side(base, "p_raw")
     q = side(current, "q_raw")
     # full outer on bin: a bin empty on one side still gets its
-    # smoothed floor share from that side's total
+    # smoothed floor share from that side's total — recovered from any
+    # joined row that carries it (the joined relation is <= 2(nbins+1)
+    # rows; an entirely empty side coalesces to the 0-count floor,
+    # exactly the old driver-side count()==0 behavior)
     joined = p.join(q, "bin", "outer")
-    base_n = base.filter(F.col(col).isNotNull()).count()
-    cur_n = current.filter(F.col(col).isNotNull()).count()
-    floor_p = smoothing / (base_n + smoothing * (nbins + 1))
-    floor_q = smoothing / (cur_n + smoothing * (nbins + 1))
-    pp = F.round(F.coalesce(F.col("p_raw"), F.lit(floor_p)), 9)
-    qq = F.round(F.coalesce(F.col("q_raw"), F.lit(floor_q)), 9)
+    tot_p = F.coalesce(F.max("_tot_p_raw").over(wall), F.lit(0.0))
+    tot_q = F.coalesce(F.max("_tot_q_raw").over(wall), F.lit(0.0))
+    floor_p = F.lit(smoothing) / (tot_p + denom_add)
+    floor_q = F.lit(smoothing) / (tot_q + denom_add)
+    pp = F.round(F.coalesce(F.col("p_raw"), floor_p), 9)
+    qq = F.round(F.coalesce(F.col("q_raw"), floor_q), 9)
     return joined.select(
         F.col("bin").cast("int").alias("bin"),
         pp.alias("p_base"),

@@ -447,11 +447,23 @@ def exact_dedup_groups(spark, sf_dir):
     f"AS n_after, CAST(count(*) AS BIGINT) AS n_before FROM ({_RECRAWL_SQL}) u",
 )
 def exact_dedup_count(spark, sf_dir):
-    """Row counts before/after keep-first exact dedup."""
+    """Row counts before/after keep-first exact dedup. Computed as a
+    two-level aggregation over ONE pass of the re-crawl union (r11,
+    guide §2.4): rows-after equals the number of distinct
+    fingerprints (keep-first retains exactly one row per fingerprint
+    — the identity the oracle SQL itself states), so
+    ``groupBy(fingerprint).count()`` followed by
+    ``(count(*), sum(count))`` yields both numbers — the old shape
+    ran the union lineage twice (a raw count and the full
+    ``exact_dedup`` semi-join's count: 8 parquet scans in the plan,
+    now 2)."""
     u = _recrawl(_docs(spark, sf_dir))
-    deduped = DD.exact_dedup(u)
-    return u.agg(F.count(F.lit(1)).cast("bigint").alias("n_before")).crossJoin(
-        deduped.agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    per_fp = u.groupBy(TX.fingerprint_expr("text").alias("_fp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return per_fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_before"),
     ).select("n_after", "n_before")
 
 

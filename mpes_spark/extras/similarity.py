@@ -91,7 +91,17 @@ def signature_udf(planes: np.ndarray, bands: int):
         buckets = bits.reshape(len(V), bands, w) @ weights  # (n, bands)
         return pd.Series(list(buckets))
 
-    return sig
+    # Non-deterministic marking (r11, guide §4.4): filters that
+    # reference a UDF-computed column (the isnotnull() the planner
+    # infers for bucket join keys, the cosine threshold) get pushed
+    # below the projection and the optimizer then evaluates the UDF
+    # TWICE — once for the filter, once for the output column
+    # (observed: 4 sig + 2 cos ArrowEvalPython nodes in
+    # embed_neardup_lsh where 2 + 1 are needed). The UDF is pure;
+    # the marking only forbids the optimizer from duplicating or
+    # reordering it, so results are unchanged and every vector pays
+    # the signature exactly once.
+    return sig.asNondeterministic()
 
 
 def cosine_verify_udf():
@@ -111,7 +121,8 @@ def cosine_verify_udf():
         nb = np.sqrt(np.add.accumulate(B * B, axis=1)[:, -1])
         return pd.Series(dot / (na * nb))
 
-    return cos
+    # one evaluation per candidate (guide §4.4 — see signature_udf)
+    return cos.asNondeterministic()
 
 
 def _lit_array(vals: np.ndarray) -> Column:
@@ -447,7 +458,8 @@ def ivf_assign(
         d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
-    return df.withColumn(out, _assign(F.col(vec)))
+    # one evaluation per vector (guide §4.4 — see signature_udf)
+    return df.withColumn(out, _assign.asNondeterministic()(F.col(vec)))
 
 
 def ivf_probe_udf(spark_context, centroids: np.ndarray, nprobe: int):
@@ -464,7 +476,8 @@ def ivf_probe_udf(spark_context, centroids: np.ndarray, nprobe: int):
         order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
-    return _probe
+    # one evaluation per query vector (guide §4.4 — see signature_udf)
+    return _probe.asNondeterministic()
 
 
 def ivf_topk_cosine(
@@ -670,7 +683,8 @@ def pq_encode(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series(list(codes))
 
-    return df.withColumn(out, _enc(F.col(vec)))
+    # one evaluation per vector (guide §4.4 — see signature_udf)
+    return df.withColumn(out, _enc.asNondeterministic()(F.col(vec)))
 
 
 def pq_topk_cosine(
@@ -742,7 +756,10 @@ def pq_topk_cosine(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(_adc(F.col("codes"), F.col("query_id")), 6).alias("adc_score"),
+        # one evaluation per candidate (guide §4.4 — see signature_udf)
+        F.round(
+            _adc.asNondeterministic()(F.col("codes"), F.col("query_id")), 6
+        ).alias("adc_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
@@ -868,7 +885,10 @@ def ivfpq_topk_cosine(
         .select(
             "query_id",
             "neighbor_id",
-            _adc(F.col("codes"), F.col("query_id")).alias("adc"),
+            # one evaluation per candidate (guide §4.4)
+            _adc.asNondeterministic()(F.col("codes"), F.col("query_id")).alias(
+                "adc"
+            ),
         )
     )
     wa = Window.partitionBy("query_id").orderBy(

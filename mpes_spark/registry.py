@@ -950,7 +950,14 @@ def funnel_conversion(spark, sf_dir):
     co-partitioned on user_id (one shuffle key end-to-end, AQE
     broadcasts the shrinking stage relations), with the step-order
     inequality pruning inside each key group. No per-user sort, no
-    window over a global ordering."""
+    window over a global ordering.
+
+    Persisting the (user-bounded) v/c stage relations was tried and
+    REVERTED in r11: the initial plan shows events scanned 6x, but
+    the EXECUTED plan carries an AQE runtime ReusedExchange, and the
+    driver-protocol bench measured the persist at +33% (0.76 →
+    1.01 s median) — cache-build overhead for scans AQE partly
+    deduplicates anyway."""
     ev = t(spark, sf_dir, "events")
 
     def stage(etype, prev, prev_t, tcol):
@@ -3735,23 +3742,37 @@ _COPURCHASE_SQL = (
 @_q("copurchase_lift", _COPURCHASE_SQL)
 def copurchase_lift(spark, sf_dir):
     """Association-rule lift over parts co-occurring in an order:
-    pair generation is a self-equi-join ON THE ORDER KEY (bounded by
-    items-per-order squared — never all-parts-squared), supports are
-    a broadcast-sized frequency relation, and the min-support filter
-    (cnt >= 3) prunes before the lift arithmetic. TakeOrdered top-50
-    — no global sort."""
-    items = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+    pair generation is ROW-LOCAL over each order's sorted distinct
+    part set (r11, guide §3.3 "explode after the join": the previous
+    (o,p)-distinct self-equi-join shuffled the item relation twice on
+    the order key and re-ran the distinct once per consumer — 5
+    parquet scans / a 2-sided join exchange in the before plan, 3
+    scans and NO self-join after; pairs-per-order is items-per-order
+    squared either way, but now it never crosses an exchange).
+    Supports are a broadcast-sized frequency relation via a single
+    distinct-agg pass, and the min-support filter (cnt >= 3) prunes
+    before the lift arithmetic. TakeOrdered top-50 — no global
+    sort."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     )
-    n1 = items.agg(F.countDistinct("o").cast("double").alias("n"))
-    freq = items.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    a = items.select(F.col("o"), F.col("p").alias("pa"))
-    b = items.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    n1 = li.agg(F.countDistinct("o").cast("double").alias("n"))
+    freq = li.groupBy("p").agg(
+        F.countDistinct("o").cast("bigint").alias("cnt")
+    )
+    # per-order sorted distinct part set (bounded by items-per-order),
+    # unordered pairs (pa < pb) generated in-row — identical to the
+    # old distinct a JOIN b ON (same order, pa < pb): one row per
+    # (order, pa, pb)
+    sets = li.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> "
+        "struct(x AS pa, y AS pb))))"
+    )
     pairs = (
-        a.join(b, (a.o == b.o2) & (a.pa < b.pb))
-        .groupBy("pa", "pb")
+        sets.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )
