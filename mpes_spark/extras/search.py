@@ -522,13 +522,13 @@ def pmi_topk(
     explode -> groupBy(bigram) count and one explode -> groupBy(word)
     count, each a single map-side-combined shuffle bounded by vocab
     size, not corpus size. The unigram relation joins back twice and
-    is vocab-bounded -> broadcast; the two grand totals are SCAN-ONLY
-    scalar aggregates over the per-row array sizes (r11, guide §2.4:
-    they previously summed the bigram/token COUNT relations, so each
-    total re-executed a corpus-scale explode + vocab shuffle —
-    sum(size(grams)) is the same number with no explode and no
-    exchange; rows explode drops — NULL text, <n tokens — contribute
-    exactly 0/NULL to the sums). The final top-k is an ordered limit
+    is vocab-bounded -> broadcast; the two grand totals reduce to
+    one-row broadcasts RIDING the count relations' exchanges — the
+    executed plan carries 2 AQE ReusedExchange nodes, so the totals
+    cost no extra corpus work at runtime (r11: rewriting them as
+    scan-only sum(size(grams)) folds was tried and REVERTED — it
+    replaced two reused-exchange reads with two REAL extra corpus
+    scans). The final top-k is an ordered limit
     (TakeOrderedAndProject), never a global sort. Ties rank by
     (pmi desc, w1, w2) for cross-engine determinism.
     """
@@ -544,12 +544,8 @@ def pmi_topk(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    t_bi = docs.agg(
-        F.sum(
-            F.size(F.coalesce(word_ngrams_expr(2, text), F.array()))
-        ).alias("t_bi")
-    )
-    t_uni = docs.agg(F.sum(F.size(F.split(F.col(text), " "))).alias("t_uni"))
+    t_bi = bic.agg(F.sum("c_xy").alias("t_bi"))
+    t_uni = unic.agg(F.sum("c").alias("t_uni"))
     parts = F.split(F.col("bigram"), " ")
     pmi = F.log(
         (F.col("c_xy") / F.col("t_bi"))
