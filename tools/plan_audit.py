@@ -7,6 +7,18 @@ parquet-scan count — the smell that found the rouge/bleu and
 contamination repeated-subtree wins.
 
     python tools/plan_audit.py [name-substring ...]   # default: all
+
+`--executed` additionally RUNS each query once (collect, like the
+bench) and tabulates the AQE-FINAL plan instead of the initial one.
+The r11 lesson this encodes: initial-plan scan counts overstate
+runtime work exactly when repeated subtrees are canonically identical
+— AQE stage reuse dedups them at runtime (ReusedExchange), so a
+fusion rewrite can only add overhead there. A repeated subtree is a
+real fusion candidate only when the executed plan still shows the
+duplicated scans and NO ReusedExchange covering them (the subtrees
+diverge under pushdown/pruning, where no reuse mechanism exists).
+Columns added in this mode: `reuse` (ReusedExchange nodes),
+`aqeread` (AQEShuffleRead nodes).
 """
 
 import os
@@ -29,9 +41,16 @@ COUNTERS = {
     "cache": r"InMemoryTableScan",
 }
 
+EXECUTED_COUNTERS = {
+    "reuse": r"ReusedExchange",
+    "aqeread": r"AQEShuffleRead",
+}
+
 
 def main() -> None:
-    subs = sys.argv[1:]
+    args = sys.argv[1:]
+    executed = "--executed" in args
+    subs = [a for a in args if a != "--executed"]
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(
         app_name="plan_audit", master="local[8]", shuffle_partitions=8
@@ -39,12 +58,17 @@ def main() -> None:
     import __spark_entry__ as ent
 
     q = ent.queries()
+    counters = dict(COUNTERS)
+    if executed:
+        counters.update(EXECUTED_COUNTERS)
     rows = []
     for name in q:
         if subs and not any(s in name for s in subs):
             continue
         try:
             df = q[name](spark, sf)
+            if executed:
+                df.collect()  # AQE finalizes; same action as the bench
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
@@ -52,13 +76,13 @@ def main() -> None:
             rows.append((name, {"err": f"{type(exc).__name__}: {exc}"[:80]}))
             continue
         counts = {
-            k: len(re.findall(pat, plan)) for k, pat in COUNTERS.items()
+            k: len(re.findall(pat, plan)) for k, pat in counters.items()
         }
         counts["chars"] = len(plan)
         rows.append((name, counts))
     spark.stop()
 
-    hdr = ["query"] + list(COUNTERS) + ["chars"]
+    hdr = ["query"] + list(counters) + ["chars"]
     print("\t".join(hdr))
     for name, c in sorted(
         rows, key=lambda r: -(r[1].get("scan", 0) or 0)
