@@ -83,3 +83,19 @@ def test_gate_rotation_policy():
     for blk in (blocks[1], blocks[3]):
         rounds = [last[n] for n in blk]
         assert rounds == sorted(rounds)
+
+
+def test_env_extra_conf_parsing():
+    from mpes_spark.session import _env_extra_conf
+
+    assert _env_extra_conf("") == {}
+    assert _env_extra_conf(" ; ;") == {}
+    assert _env_extra_conf("a=1") == {"a": "1"}
+    assert _env_extra_conf(
+        " spark.io.compression.codec = zstd ; spark.sql.join.preferSortMergeJoin=false"
+    ) == {
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.join.preferSortMergeJoin": "false",
+    }
+    # malformed entries (no '=', empty key) are ignored, valid ones kept
+    assert _env_extra_conf("noequals; =v; k=a=b") == {"k": "a=b"}
