@@ -106,6 +106,16 @@ def pagerank(
         F.sum("w") if weight is not None else F.count(F.lit(1)).cast("double")
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(deg_agg.alias("outdeg"))
+    # Pin the out-degree relation like the nodes (r12): every
+    # iteration's rank plan references deg, and with per-iteration rank
+    # checkpoints each iteration is its own job — an unpinned deg
+    # re-aggregates the EDGE relation once per iteration (k edge-scale
+    # shuffles for a node-sized result). Pinned, the edge aggregation
+    # runs once and each iteration joins a node-sized relation.
+    if pin_edges == "checkpoint":
+        deg = deg.localCheckpoint(eager=True)
+    elif pin_edges == "persist":
+        deg = deg.persist()
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     one_minus_d = 1.0 - damping
 
@@ -276,14 +286,18 @@ def label_propagation(
 
     Scale shape: per round ONE edge⋈labels equi-join (labels stays
     node-sized) + one (src, label)-keyed count with map-side combine
-    + a per-src window argmax — the same join+groupBy skeleton as
+    + a per-src argmax — the same join+groupBy skeleton as
     :func:`pagerank`, but all-integer, so the cross-engine hash gate
-    is exact with no rounding at all. Edges are localCheckpoint-
-    pinned once (``pin_edges``); label lineage grows one
-    join+window per round, so production callers at high ``iters``
-    should set ``checkpoint_every``."""
-    from pyspark.sql.window import Window as W
-
+    is exact with no rounding at all. The argmax is a ``min(struct
+    (-cnt, label))`` AGGREGATE rather than a row_number window (r12):
+    both pick exactly the (cnt DESC, label ASC) head, but the
+    aggregate partially combines map-side and never sorts — the
+    window shuffles every (src, label, cnt) row to a per-src sort,
+    which at 100 TB buffers a celebrity node's whole label histogram
+    in one task where the agg folds it a partition at a time. Edges
+    are localCheckpoint-pinned once (``pin_edges``); label lineage
+    grows one join+agg per round, so production callers at high
+    ``iters`` should set ``checkpoint_every``."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if pin_edges:
         e = e.localCheckpoint(eager=True)
@@ -293,17 +307,25 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    w = W.partitionBy("src").orderBy(F.col("cnt").desc(), F.col("label").asc())
     for i in range(1, iters + 1):
         nb = (
             e.join(labels, e.dst == labels.node)
             .groupBy("src", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # min over (-cnt, label) == the (cnt DESC, label ASC) argmax:
+        # struct comparison is lexicographic, -cnt ascending is cnt
+        # descending, ties fall through to the smaller label.
         labels = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("src").alias("node"), "label")
+            nb.groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("label").alias("label")
+                    )
+                ).alias("best")
+            )
+            .select(F.col("src").alias("node"), F.col("best.label").alias("label"))
         )
         if checkpoint_every and i % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
@@ -336,31 +358,18 @@ def label_propagation_sql(edges_sql: str, iters: int = 3) -> str:
     return f"{body}\nSELECT node, label FROM l{iters}"
 
 
-def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, assume_canonical: bool
 ) -> DataFrame:
-    """Exact per-node triangle counts over an undirected edge list via
-    DEGREE-ORDERED edge orientation (the compact-forward /
-    node-iterator++ algorithm: Schank & Wagner 2005, Suri &
-    Vassilvitskii WWW'11): orient every edge from its lower-(degree,
-    id) endpoint to the higher one, enumerate wedges only at each
-    edge's LOW endpoint, and close wedges with a semi-join against
-    the oriented edge set. Returns (node, n_triangles) for nodes in
-    at least one triangle.
-
-    Why orientation is the 100-TB shape: un-oriented wedge counting
-    pays sum(deg^2) — a single celebrity node with degree 1e6
-    generates 10^12 wedges. Orientation bounds every node's
-    OUT-degree by O(sqrt(m)) (a node keeps only neighbors of equal or
-    larger degree), so wedge volume is O(m^{3/2}) worst-case —
-    optimal for triangle enumeration — and the skew moves into the
-    (deg, id) tuple comparison, not the join fan-out. All joins are
-    equi-keyed (wedge join on the apex, closure on the (b, c) pair);
-    counts are integers, so the oracle hash gate is exact.
-
-    Input edges may be in any order/duplication state; they are
-    canonicalized (min, max) and de-duplicated first."""
-    e = (
+    """(u, v) canonical undirected edge set. ``assume_canonical=True``
+    skips the least/greatest + distinct pass for inputs that already
+    satisfy src < dst with unique rows (e.g. the output of a
+    ``groupBy(src, dst)`` with a src<dst filter) — the normalization
+    is then an identity that still costs a full edge-relation
+    exchange (r12)."""
+    if assume_canonical:
+        return edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -368,12 +377,25 @@ def triangle_count(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    """(node, deg) over a canonical edge relation — one explode scan
+    instead of a two-scan unionAll (r12)."""
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _oriented_triangles(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counts (node, n_triangles) over a
+    canonical edge relation ``e`` and its degree table — the shared
+    core of :func:`triangle_count` and
+    :func:`clustering_coefficient` (r12: previously each built its
+    own canonical edge set and degree table, re-running the upstream
+    edge derivation)."""
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     ed = e.join(du, "u").join(dv, "v")
@@ -407,6 +429,44 @@ def triangle_count(
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list via
+    DEGREE-ORDERED edge orientation (the compact-forward /
+    node-iterator++ algorithm: Schank & Wagner 2005, Suri &
+    Vassilvitskii WWW'11): orient every edge from its lower-(degree,
+    id) endpoint to the higher one, enumerate wedges only at each
+    edge's LOW endpoint, and close wedges with a semi-join against
+    the oriented edge set. Returns (node, n_triangles) for nodes in
+    at least one triangle.
+
+    Why orientation is the 100-TB shape: un-oriented wedge counting
+    pays sum(deg^2) — a single celebrity node with degree 1e6
+    generates 10^12 wedges. Orientation bounds every node's
+    OUT-degree by O(sqrt(m)) (a node keeps only neighbors of equal or
+    larger degree), so wedge volume is O(m^{3/2}) worst-case —
+    optimal for triangle enumeration — and the skew moves into the
+    (deg, id) tuple comparison, not the join fan-out. All joins are
+    equi-keyed (wedge join on the apex, closure on the (b, c) pair);
+    counts are integers, so the oracle hash gate is exact.
+
+    Input edges may be in any order/duplication state; they are
+    canonicalized (min, max) and de-duplicated first (skip that pass
+    with ``assume_canonical=True`` when the input is already
+    src<dst-unique). The canonical edge set is localCheckpoint-pinned
+    (r12): it feeds both the degree aggregation and the orientation
+    join, so an unpinned edge lineage (often an expensive upstream
+    derivation, e.g. a co-occurrence self-join) would execute twice."""
+    e = _canonical_edges(edges, src, dst, assume_canonical).localCheckpoint(
+        eager=True
+    )
+    return _oriented_triangles(e, _degrees(e))
+
+
 def triangles_per_node_sql(edges_sql: str) -> str:
     """Oracle twin of :func:`triangle_count`: canonical-edge triple
     join (a < b < c by node id — orientation is a physical
@@ -436,7 +496,10 @@ GROUP BY node
 
 
 def clustering_coefficient(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node local clustering coefficient cc(v) = T(v) / (deg(v)
     choose 2) over an undirected edge list — the standard local
@@ -446,23 +509,18 @@ def clustering_coefficient(
     is the coefficient in integer micro-units via exact integer
     division (2e6*T DIV deg*(deg-1)) — ALL columns integers, so the
     oracle gate is exact with zero float anywhere. Cost on top of
-    :func:`triangle_count`: one degree agg (already computed there)
-    and one node-keyed left join."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    :func:`triangle_count`: one node-keyed left join — the canonical
+    edge set and its degree table are built ONCE and shared with the
+    triangle core (r12: previously this function and triangle_count
+    each derived their own copies, executing the upstream edge
+    derivation and the canonicalizing distinct twice each)."""
+    e = _canonical_edges(edges, src, dst, assume_canonical).localCheckpoint(
+        eager=True
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_count(edges, src, dst)
+    # node-sized; consumed by the orientation joins AND the final
+    # cc join — pin so the degree shuffle runs once
+    deg = _degrees(e).localCheckpoint(eager=True)
+    tri = _oriented_triangles(e, deg)
     t = F.coalesce(F.col("n_triangles"), F.lit(0))
     return (
         deg.filter(F.col("deg") >= 2)
@@ -526,6 +584,7 @@ def kcore(
     rounds: int = 6,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """k-core peeling: iteratively delete nodes of degree < ``k``
     (with their edges) for ``rounds`` iterations; return
@@ -549,24 +608,15 @@ def kcore(
     the surviving-node set — all equi-keyed on node ids, never
     all-pairs; the edge relation is re-pinned (localCheckpoint) each
     round so lineage stays one peel deep, the connected-components /
-    PageRank discipline."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    PageRank discipline. ``assume_canonical=True`` skips the
+    canonicalizing distinct for src<dst-unique inputs (r12); degree
+    aggregations scan the pinned edges once via explode instead of a
+    two-scan unionAll."""
+    e = _canonical_edges(edges, src, dst, assume_canonical).localCheckpoint(
+        eager=True
     )
     for _ in range(rounds):
-        deg = (
-            e.select(F.col("u").alias("node"))
-            .unionAll(e.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = deg.filter(F.col("deg") >= k).select("node")
+        keep = _degrees(e).filter(F.col("deg") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
@@ -574,8 +624,7 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     return (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
+        e.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg_core"))
     )

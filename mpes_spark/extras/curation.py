@@ -2024,15 +2024,20 @@ def lr_train_quality(
             .cast("bigint")
             .alias("pm"),
         )
+        # the bias gradient is sum(pm - ym) over ALL docs — identical
+        # to giving every doc a pseudo-feature `nbuckets`, so ONE
+        # explode + agg computes bucket and bias gradients together
+        # (r12: previously a second full pass over pdoc, unioned in)
         gb = (
-            pdoc.select("pm", "ym", F.explode("bs").alias("fid"))
+            pdoc.select(
+                "pm",
+                "ym",
+                F.explode(
+                    F.concat("bs", F.array(F.lit(nbuckets).cast("int")))
+                ).alias("fid"),
+            )
             .groupBy("fid")
             .agg(F.sum(F.col("pm") - F.col("ym")).cast("bigint").alias("g"))
-            .unionByName(
-                pdoc.agg(
-                    F.sum(F.col("pm") - F.col("ym")).cast("bigint").alias("g")
-                ).select(F.lit(nbuckets).alias("fid"), "g")
-            )
             .collect()
         )
         grads = {r.fid: r.g for r in gb}

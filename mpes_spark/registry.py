@@ -1537,19 +1537,19 @@ def pagerank_custsupp(spark, sf_dir):
     )
     # symmetrize in ONE pass over the orders⋈lineitem join (a union of
     # two selects would execute that join twice inside the pagerank
-    # edge checkpoint) — same idiom as dedup.connected_components
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    # edge checkpoint) — same idiom as dedup.connected_components.
+    # distinct BEFORE the explode (r12): 'c'/'s' prefixes make the two
+    # directions disjoint, so deduplicating the (a, b) pairs first is
+    # set-identical to deduplicating the symmetrized relation while
+    # shuffling half the rows through the distinct exchange.
+    edges = pairs.distinct().select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank(
         edges,
         iters=3,
@@ -1581,18 +1581,15 @@ def label_communities(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
     )
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-    )
+    # distinct before the explode (r12) — see pagerank_custsupp
+    edges = pairs.distinct().select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return label_propagation(edges, iters=3)
 
 
@@ -1631,18 +1628,24 @@ def pagerank_weighted(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
     )
+    # count before the explode (r12): each direction's multiplicity
+    # equals the (a, b) pair multiplicity ('c'/'s' prefixes keep the
+    # directions disjoint), so aggregating the un-symmetrized pairs
+    # and emitting both directions with the same weight is value-
+    # identical while shuffling half the rows through the count.
     edges = (
-        pairs.select(
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
             F.explode(
                 F.array(
                     F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
                     F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
                 )
-            ).alias("e")
+            ).alias("e"),
+            "w",
         )
-        .select("e.src", "e.dst")
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select("e.src", "e.dst", "w")
     )
     pr = pagerank(
         edges,
@@ -1685,26 +1688,10 @@ def kcore_copurchase(spark, sf_dir):
     fixpoint (pytest asserts it on an engineered chain)."""
     from mpes_spark.analysis.graph import kcore
 
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("src", "dst")
-    )
-    return kcore(edges, k=2, rounds=4)
+    edges = _copurchase_edges(spark, sf_dir)
+    # copurchase edges are src<dst-unique by construction (groupBy
+    # output): skip the canonicalizing distinct (r12)
+    return kcore(edges, k=2, rounds=4, assume_canonical=True)
 
 
 @_q("kcore3_copurchase", _kcore_sql(_COPURCHASE_EDGES_SQL, k=3, rounds=12))
@@ -1720,26 +1707,8 @@ def kcore3_copurchase(spark, sf_dir):
     clique graph that peels one wave per round)."""
     from mpes_spark.analysis.graph import kcore
 
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("src", "dst")
-    )
-    return kcore(edges, k=3, rounds=12)
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore(edges, k=3, rounds=12, assume_canonical=True)
 
 
 from mpes_spark.analysis.graph import (
@@ -1749,22 +1718,27 @@ from mpes_spark.analysis.graph import (
 
 def _copurchase_edges(spark, sf_dir):
     """(src, dst) part co-purchase edges: parts co-occurring in >= 2
-    distinct orders (per-order bucket join, support-filtered)."""
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    distinct orders. Row-local pair generation (r12, the
+    copurchase_lift idiom): per-order sorted distinct part set via one
+    groupBy, unordered (src < dst) pairs generated IN-ROW, then the
+    support count — identical row set to the old ``distinct`` +
+    order-key self-join (collect_set = the distinct; the in-row
+    (x, y>x) enumeration = the src < dst join condition) while
+    removing the distinct's (order, part) exchange and the self-join's
+    second exchange. Pairs-per-order is items-per-order squared either
+    way, but they never cross an exchange now."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    sets = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), y -> "
+        "struct(x AS src, y AS dst))))"
     )
     return (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
+        sets.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("src", "dst")
@@ -1785,7 +1759,7 @@ def clustering_coeff(spark, sf_dir):
     from mpes_spark.analysis.graph import clustering_coefficient
 
     edges = _copurchase_edges(spark, sf_dir)
-    return clustering_coefficient(edges)
+    return clustering_coefficient(edges, assume_canonical=True)
 
 
 @_q("copurchase_triangles", _tri_sql(_COPURCHASE_EDGES_SQL))
@@ -1802,26 +1776,8 @@ def copurchase_triangles(spark, sf_dir):
     bounded by order size) + one support-filtered count agg."""
     from mpes_spark.analysis.graph import triangle_count
 
-    op = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
-    )
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("src", "dst")
-    )
-    return triangle_count(edges)
+    edges = _copurchase_edges(spark, sf_dir)
+    return triangle_count(edges, assume_canonical=True)
 
 
 # -- anti join (set difference at data scale — the FileCollection
