@@ -31,6 +31,7 @@ All stages are DataFrame ops / Spark SQL — no Python UDFs anywhere.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame
@@ -164,7 +165,17 @@ def shingle_table(
     df: DataFrame, text: str = "text", n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word n-gram set per document: (id, sh). Pure array
-    ops, no UDF."""
+    ops, no UDF. Input contract: one row per document (unique
+    ``id_col``) — the per-document set semantics that every caller
+    (and the SQL twin's SELECT DISTINCT) assumes.
+
+    The dedup is IN-ROW (``array_distinct`` before the explode, r12):
+    shingle-set dedup is per-document, so a corpus-scale
+    ``.distinct()`` exchange of the exploded ~40x element relation —
+    previously paid by EVERY consumer of this table, usually twice
+    (candidate generation + verify recompute) — does the same work a
+    row at a time with zero shuffle. Same idiom as
+    :func:`token_sets`."""
     toks = df.select(F.col(id_col), F.split(F.col(text), " ").alias("toks")).filter(
         F.size("toks") >= n
     )
@@ -172,7 +183,9 @@ def shingle_table(
         f"transform(sequence(0, size(toks) - {n}), "
         f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
     )
-    return toks.select(F.col(id_col), F.explode(gen).alias("sh")).distinct()
+    return toks.select(
+        F.col(id_col), F.explode(F.array_distinct(gen)).alias("sh")
+    )
 
 
 def minhash_signatures(
@@ -467,7 +480,14 @@ def blocked_jaccard_pairs(
         )
 
     if waves <= 1:
-        return verify_jaccard(_cand(blocks), sh, threshold, id_col)
+        # persist: verify consumes the shingle relation three times
+        # (sizes + both join sides). Until r12 the in-plan `.distinct()`
+        # exchange doubled as a shared materialization point
+        # (ReusedExchange); with the distinct now in-row (see
+        # :func:`shingle_table`) an unpersisted lineage would re-run
+        # the scan+explode once per consumer. MEMORY_AND_DISK, the
+        # minhash_neardup_pairs precedent.
+        return verify_jaccard(_cand(blocks), sh.persist(), threshold, id_col)
     shh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     parts: list[DataFrame] = []
     for i in range(waves):
@@ -700,6 +720,38 @@ def _wave_band(col: str, waves: int, i: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(waves)) == i
 
 
+def _wave_slice(col: str, s: int, j: int):
+    """Sub-slice predicate inside one wave: deterministic hash of the
+    candidate's LEFT doc id (seeded so it decorrelates from
+    :func:`_wave_band`'s unseeded hash)."""
+    return F.pmod(F.xxhash64(F.lit(7), F.col(col)), F.lit(s)) == j
+
+
+def _wave_subslices(mass_rows, waves: int) -> dict[int, int]:
+    """Per-band sub-slice counts from measured candidate mass (r12,
+    the waved-dedup "fifth onion layer" bound): a clique-heavy corpus
+    concentrates candidate pairs on few prefix elements, so ONE band's
+    candidate materialization can exceed the scratch envelope that
+    waving exists to protect. Each band whose estimated candidate
+    mass exceeds ``MPES_WAVE_CAND_CAP`` (default 2e8 pairs ≈ low-GB
+    of pre-distinct join scratch; <= 0 disables) is split into
+    ceil(mass / cap) slices by hash of the candidate's left doc id —
+    every pair lands in exactly one slice of its band, so the union
+    over slices is row-identical to the unsplit band while peak
+    scratch is bounded by one slice's candidates. The mass estimate
+    is one small aggregation over the (pinned, prefix-sized) element
+    relation collected as ``waves`` numbers — a deliberate eager step
+    in an already-eager (per-wave localCheckpoint) execution mode."""
+    cap = float(os.environ.get("MPES_WAVE_CAND_CAP", "2e8"))
+    out = {i: 1 for i in range(waves)}
+    if cap <= 0 or not math.isfinite(cap):
+        return out
+    for r in mass_rows:
+        if r["band"] is not None and r["m"] is not None:
+            out[int(r["band"])] = max(1, math.ceil(float(r["m"]) / cap))
+    return out
+
+
 def _wave_gc(df: DataFrame) -> None:
     """Nudge the JVM between waves so the previous wave's shuffle
     files are actually reclaimed before the next wave writes its own.
@@ -806,7 +858,10 @@ def prefix_filtered_pairs(
     wave materialized eagerly before the next starts, so peak shuffle
     scratch is bounded by one band's candidates plus the shingles of
     that wave's participating docs (broadcast-semi-filtered) instead
-    of the full ~40x-corpus relation. RESULT-IDENTICAL to waves=1: a
+    of the full ~40x-corpus relation; clique-heavy bands are further
+    sub-split under ``MPES_WAVE_CAND_CAP`` (r12 — see
+    :func:`_wave_subslices`) so even one hot band's candidate
+    materialization stays bounded. RESULT-IDENTICAL to waves=1: a
     qualifying pair shares >= 1 prefix element, that element hashes
     into exactly one band, so every pair is found (possibly in
     several bands — deduped by the final distinct), and each wave
@@ -818,6 +873,17 @@ def prefix_filtered_pairs(
         if n == 1
         else shingle_table(df, text, n, id_col)
     )
+    if waves <= 1:
+        # persist: the element relation feeds the hashed ranking
+        # lineage AND the string-keyed verify three times (sizes +
+        # both join sides). Until r12 shingle_table's in-plan
+        # `.distinct()` exchange doubled as a shared materialization
+        # point (ReusedExchange); with the distinct now in-row an
+        # unpersisted lineage re-runs scan+explode per consumer
+        # (isolated floor 4.9 -> 6.0 s at sf0.1 without this).
+        # Waved mode deliberately recomputes instead — bounded
+        # scratch outranks cache at sf10+.
+        toks = toks.persist()
     # Prefix construction ranks on xxhash64(sh), not the string (r11,
     # second half of the sf10 scratch fix): the ranking stage is the
     # ONE remaining global sort of the ~40x element relation, and its
@@ -912,39 +978,65 @@ def prefix_filtered_pairs(
             return out
         out = out.localCheckpoint(eager=True)
         prefix.unpersist()
+        toks.unpersist()
         return out
 
+    # Candidate-mass schedule (r12, VERDICT r11 #2): one small agg
+    # over the pinned prefix relation estimates each band's candidate
+    # pairs (sum over elements of c*(c-1)/2, c = prefix occurrences);
+    # bands over MPES_WAVE_CAND_CAP are sub-split by hash of the
+    # pair's LEFT id so one clique-heavy band can no longer
+    # materialize an unbounded candidate set — see _wave_subslices.
+    mass = (
+        prefix.groupBy(
+            F.pmod(F.xxhash64("sh"), F.lit(waves)).alias("band"), "sh"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("band")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("m")
+        )
+        .collect()
+    )
+    slices = _wave_subslices(mass, waves)
     parts: list[DataFrame] = []
     for i in range(waves):
         band = prefix.filter(_wave_band("sh", waves, i))
-        a = band.select(F.col(id_col).alias("id_a"), "sh")
-        b = band.select(F.col(id_col).alias("id_b"), "sh")
-        cand = (
-            a.join(b, "sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            # pin the wave's candidates: consumed 3x below (doc filter
-            # + verify), and the eager cut means wave i's candidate
-            # shuffle is released before wave i+1 plans
-            .localCheckpoint(eager=True)
-        )
-        # Waved verify runs on the HASHED element relation with the
-        # (wave-bounded, id-pair-only) candidates broadcast (r11 fix
-        # ladder (a)+(c), SCALING.md): the sa side then never
-        # shuffles, and the per-wave element shuffle carries 16 B
-        # rows instead of ~60 B strings. icnt/nsh by hash equal the
-        # string counts except under an exact 64-bit collision
-        # (~1e-13/pair; the sf0.01 oracle gate checks exactness
-        # empirically). The waves=1 gate path stays string-keyed,
-        # exact by construction.
-        toks_w = _wave_doc_filter(toksh, cand, id_col)
-        parts.append(
-            verify_jaccard(
-                cand, toks_w, threshold, id_col, broadcast_pairs=True
-            ).localCheckpoint(eager=True)
-        )
-        _wave_gc(cand)
+        for j in range(slices[i]):
+            a = band.select(F.col(id_col).alias("id_a"), "sh")
+            if slices[i] > 1:
+                # every (id_a < id_b) pair is generated from its id_a
+                # row, so slicing the a side by hash(id_a) partitions
+                # the band's pairs exactly — complete and disjoint
+                a = a.filter(_wave_slice("id_a", slices[i], j))
+            b = band.select(F.col(id_col).alias("id_b"), "sh")
+            cand = (
+                a.join(b, "sh")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+                # pin the slice's candidates: consumed 3x below (doc
+                # filter + verify), and the eager cut means this
+                # slice's candidate shuffle is released before the
+                # next plans
+                .localCheckpoint(eager=True)
+            )
+            # Waved verify runs on the HASHED element relation with
+            # the (slice-bounded, id-pair-only) candidates broadcast
+            # (r11 fix ladder (a)+(c), SCALING.md): the sa side then
+            # never shuffles, and the per-wave element shuffle
+            # carries 16 B rows instead of ~60 B strings. icnt/nsh by
+            # hash equal the string counts except under an exact
+            # 64-bit collision (~1e-13/pair; the sf0.01 oracle gate
+            # checks exactness empirically). The waves=1 gate path
+            # stays string-keyed, exact by construction.
+            toks_w = _wave_doc_filter(toksh, cand, id_col)
+            parts.append(
+                verify_jaccard(
+                    cand, toks_w, threshold, id_col, broadcast_pairs=True
+                ).localCheckpoint(eager=True)
+            )
+            _wave_gc(cand)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -1114,6 +1206,10 @@ def prefix_dual_pairs(
         if n == 1
         else shingle_table(df, text, n, id_col)
     )
+    if waves <= 1:
+        # persist: ranking lineage + three verify consumers — see
+        # prefix_filtered_pairs (r12; waved mode recomputes by design)
+        toks = toks.persist()
     # hash-keyed ranking/candidates, string-keyed verify — same
     # scratch rationale and output-identity argument as
     # prefix_filtered_pairs (r11)
@@ -1155,6 +1251,7 @@ def prefix_dual_pairs(
             return out
         out = out.localCheckpoint(eager=True)
         enriched.unpersist()
+        toks.unpersist()
         return out
 
     # Waved execution (r11, sf10 scratch bound — see
@@ -1163,20 +1260,42 @@ def prefix_dual_pairs(
     # element lands in exactly one band); per-wave verify against the
     # wave docs' FULL element sets; byte-identical rows across bands
     # collapse in the final distinct.
+    # Candidate-mass schedule (r12, VERDICT r11 #2): the one-sided
+    # join emits tdf probe rows per prefix row, so each band's
+    # candidate mass is sum(tdf) over its prefix rows — one agg over
+    # the persisted enriched relation. Hot bands sub-split by hash of
+    # id_p; a pair can then surface in two slices (once per
+    # direction), which the final cross-band distinct already
+    # collapses — see _wave_subslices.
+    mass = (
+        enriched.filter(
+            F.col("rn")
+            <= F.col("nsz") - F.ceil(F.col("nsz") * F.lit(t_eff)) + 1
+        )
+        .groupBy(F.pmod(F.xxhash64("sh"), F.lit(waves)).alias("band"))
+        .agg(F.sum("tdf").cast("double").alias("m"))
+        .collect()
+    )
+    slices = _wave_subslices(mass, waves)
     parts: list[DataFrame] = []
     for i in range(waves):
-        cand = _cand(prefix.filter(_wave_band("sh", waves, i))).localCheckpoint(
-            eager=True
-        )
-        # hashed-element verify in waves (see prefix_filtered_pairs)
-        toks_w = _wave_doc_filter(toksh, cand, id_col)
-        parts.append(
-            _dual_verify(
-                cand, toks_w, jaccard_threshold, containment_threshold,
-                id_col,
-            ).localCheckpoint(eager=True)
-        )
-        _wave_gc(cand)
+        band_p = prefix.filter(_wave_band("sh", waves, i))
+        for j in range(slices[i]):
+            pfx = (
+                band_p
+                if slices[i] == 1
+                else band_p.filter(_wave_slice("id_p", slices[i], j))
+            )
+            cand = _cand(pfx).localCheckpoint(eager=True)
+            # hashed-element verify in waves (see prefix_filtered_pairs)
+            toks_w = _wave_doc_filter(toksh, cand, id_col)
+            parts.append(
+                _dual_verify(
+                    cand, toks_w, jaccard_threshold, containment_threshold,
+                    id_col,
+                ).localCheckpoint(eager=True)
+            )
+            _wave_gc(cand)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

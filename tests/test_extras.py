@@ -2791,3 +2791,64 @@ def test_waved_execution_parity(spark):
         docs, n=3, block_tokens=2, threshold=0.2, waves=3
     ).collect()
     assert flat and key(waved) == key(flat), "blocked_jaccard"
+
+
+def test_waved_subslice_parity(spark):
+    """Candidate-mass sub-splitting (r12, the waved-dedup clique
+    bound) is likewise result-INVISIBLE: with MPES_WAVE_CAND_CAP
+    forced to 1 candidate pair, EVERY band sub-splits into per-id
+    slices, and the row set must still equal the flat execution for
+    both prefix operators — including dual-measure pairs that now
+    surface once per direction across slices (collapsed by the final
+    distinct). Also pins the schedule math: cap<=0 disables."""
+    import os
+
+    from mpes_spark.extras.dedup import (
+        _wave_subslices,
+        prefix_dual_pairs,
+        prefix_filtered_pairs,
+    )
+
+    rows = [
+        (1, "quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over the lazy cat"),
+        (3, "quick brown fox leaps over the lazy dog today"),
+        (4, "entirely different tokens appear here now"),
+        (5, "entirely different tokens appear here now"),
+        (6, "alpha beta gamma delta epsilon zeta preface filler words "
+            "surround the short document completely padding more terms"),
+        (7, "alpha beta gamma delta epsilon zeta"),
+        (8, "quick brown fox jumps over the lazy dog"),
+        (9, "unrelated corpus content matching no other doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(rs):
+        return sorted(tuple(r) for r in rs)
+
+    old = os.environ.get("MPES_WAVE_CAND_CAP")
+    try:
+        os.environ["MPES_WAVE_CAND_CAP"] = "1"
+        assert _wave_subslices([{"band": 0, "m": 10.0}], 2) == {0: 10, 1: 1}
+        flat = prefix_filtered_pairs(docs, threshold=0.5, n=3).collect()
+        sliced = prefix_filtered_pairs(
+            docs, threshold=0.5, n=3, waves=3
+        ).collect()
+        assert flat and key(sliced) == key(flat), "prefix_filtered sliced"
+        flat = prefix_dual_pairs(
+            docs, jaccard_threshold=0.5, containment_threshold=0.9, n=1
+        ).collect()
+        sliced = prefix_dual_pairs(
+            docs, jaccard_threshold=0.5, containment_threshold=0.9, n=1,
+            waves=3,
+        ).collect()
+        assert flat and key(sliced) == key(flat), "prefix_dual sliced"
+        os.environ["MPES_WAVE_CAND_CAP"] = "0"
+        assert _wave_subslices([{"band": 0, "m": 1e12}], 3) == {
+            0: 1, 1: 1, 2: 1,
+        }
+    finally:
+        if old is None:
+            os.environ.pop("MPES_WAVE_CAND_CAP", None)
+        else:
+            os.environ["MPES_WAVE_CAND_CAP"] = old
